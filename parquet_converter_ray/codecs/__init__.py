@@ -1,0 +1,232 @@
+"""Codec registry + top-level column encode/decode with null handling.
+
+``encode_array`` takes any supported pyarrow array, extracts the validity
+bitmap, normalises to a physical representation (int64 for ints/timestamps,
+raw floats, uint8 for bool, utf8 for strings), dispatches to a codec by name —
+or picks one with the sampled cost model when ``codec="auto"`` — and returns a
+``ColumnBlob`` whose buffers are transport-wrapped (optional zstd layer).
+
+``decode_array`` reverses it bit-identically, including the empty-string vs
+null distinction (validity bitmap is stored independently of the values), which
+the north rule requires for transcript `text`/`tool` columns.
+
+Codec names: plain, bitpack, for, delta, rle, dict, shuffle (numeric);
+plain, dict, fsst (strings). The reference engine has no codec layer at all —
+it delegates to the Parquet writer codec (reference converter.py:577,
+config.py:175); this module is the north-star replacement.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import fsst as _fsst
+from . import numeric as _num
+from . import strings as _str
+from .util import pack_validity, unpack_validity, unwrap_buf, wrap_buf
+
+# --- registry ---------------------------------------------------------------
+
+_NUM_CODECS = {
+    "plain": (_num.enc_plain, _num.dec_plain),
+    "bitpack": (_num.enc_bitpack, _num.dec_bitpack),
+    "for": (_num.enc_for, _num.dec_for),
+    "delta": (_num.enc_delta, _num.dec_delta),
+    "rle": (_num.enc_rle, _num.dec_rle),
+    "dict": (_num.enc_dictnum, _num.dec_dictnum),
+    "shuffle": (_num.enc_shuffle, _num.dec_shuffle),
+}
+
+_STR_CODECS = {
+    "plain": (_str.enc_plain_s, _str.dec_plain_s),
+    "dict": (_str.enc_dict_s, _str.dec_dict_s),
+    "fsst": (_fsst.enc_fsst, _fsst.dec_fsst),
+}
+
+
+@dataclass
+class ColumnBlob:
+    codec: str
+    n: int
+    type_str: str
+    null_count: int
+    meta: dict
+    bufs: list[bytes] = field(default_factory=list)  # transport-wrapped
+    validity: bytes | None = None  # transport-wrapped packed bitmap
+
+    @property
+    def nbytes(self) -> int:
+        return sum(len(b) for b in self.bufs) + (len(self.validity) if self.validity else 0)
+
+
+# --- arrow type (de)serialisation -------------------------------------------
+
+
+def type_to_str(t: pa.DataType) -> str:
+    return str(t)
+
+
+def str_to_type(s: str) -> pa.DataType:
+    if s.startswith("timestamp"):
+        inner = s[s.index("[") + 1 : -1]
+        parts = inner.split(", tz=")
+        return pa.timestamp(parts[0], parts[1] if len(parts) > 1 else None)
+    if s.startswith("date32"):
+        return pa.date32()
+    if s.startswith("date64"):
+        return pa.date64()
+    return pa.type_for_alias(s)
+
+
+# --- physical normalisation -------------------------------------------------
+
+
+def _is_str(t: pa.DataType) -> bool:
+    return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
+def _is_bin(t: pa.DataType) -> bool:
+    return pa.types.is_binary(t) or pa.types.is_large_binary(t)
+
+
+def _fill_default(t: pa.DataType):
+    if _is_str(t):
+        return ""
+    if _is_bin(t):
+        return b""
+    if pa.types.is_boolean(t):
+        return False
+    return 0
+
+
+def _to_physical(arr: pa.Array) -> tuple[str, object]:
+    """Null-free array -> ("num", np.ndarray) or ("str"/"bin", pa.Array)."""
+    t = arr.type
+    if _is_str(t):
+        return "str", arr
+    if _is_bin(t):
+        return "bin", arr
+    if pa.types.is_boolean(t):
+        return "num", arr.to_numpy(zero_copy_only=False).astype(np.uint8)
+    if pa.types.is_timestamp(t):
+        return "num", arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if pa.types.is_date32(t):
+        return "num", arr.cast(pa.int32()).to_numpy(zero_copy_only=False)
+    if pa.types.is_date64(t):
+        return "num", arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return "num", arr.to_numpy(zero_copy_only=False)
+    raise TypeError(f"unsupported column type: {t}")
+
+
+def _from_physical(kind: str, vals, t: pa.DataType) -> pa.Array:
+    if kind in ("str", "bin"):
+        out = vals
+        if out.type != t:
+            out = out.cast(t)
+        return out
+    if pa.types.is_boolean(t):
+        return pa.array(vals.astype(bool), type=pa.bool_())
+    if pa.types.is_timestamp(t) or pa.types.is_date32(t) or pa.types.is_date64(t):
+        width_t = pa.int32() if pa.types.is_date32(t) else pa.int64()
+        return pa.array(vals.astype(np.int64 if width_t == pa.int64() else np.int32)).cast(t)
+    return pa.array(np.ascontiguousarray(vals), type=t)
+
+
+# --- cost model -------------------------------------------------------------
+
+_SAMPLE_TARGET = 8192
+
+
+def _candidates(kind: str, vals) -> list[str]:
+    if kind in ("str", "bin"):
+        return ["plain", "dict", "fsst"]
+    dt = vals.dtype
+    if dt.kind == "f":
+        cands = ["plain", "shuffle", "rle"]
+        if len(vals) == 0 or not np.isnan(vals).any():
+            cands.append("dict")
+        return cands
+    # ints / bool / timestamps
+    return ["for", "delta", "rle", "dict", "plain"]
+
+
+def _sample(kind: str, vals, n: int):
+    if n <= _SAMPLE_TARGET:
+        return vals, n
+    # 4 contiguous slices — contiguity preserves run/delta structure
+    k = _SAMPLE_TARGET // 4
+    stride = (n - k) // 3
+    idx = [(i * stride, i * stride + k) for i in range(4)]
+    if kind == "num":
+        return np.concatenate([vals[a:b] for a, b in idx]), 4 * k
+    parts = [vals.slice(a, b - a) for a, b in idx]
+    return pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]), 4 * k
+
+
+def choose_codec(kind: str, vals, n: int) -> str:
+    """Sampled cost model: encode a sample with each candidate, pick the smallest."""
+    if n == 0:
+        return "plain"
+    table = _NUM_CODECS if kind == "num" else _STR_CODECS
+    sample, sn = _sample(kind, vals, n)
+    best, best_size = "plain", float("inf")
+    for name in _candidates(kind, vals):
+        enc, _ = table[name]
+        try:
+            _, bufs = enc(sample)
+        except (ValueError, OverflowError):
+            continue
+        size = sum(len(wrap_buf(b)) for b in bufs)
+        if size < best_size:
+            best, best_size = name, size
+    return best
+
+
+# --- top level --------------------------------------------------------------
+
+
+def encode_array(arr, codec: str = "auto") -> ColumnBlob:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    n = len(arr)
+    null_count = arr.null_count
+    validity_buf = None
+    if null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        validity_buf = wrap_buf(pack_validity(valid))
+        arr = pc.fill_null(arr, pa.scalar(_fill_default(t), type=t))
+    kind, vals = _to_physical(arr)
+    if codec == "auto":
+        codec = choose_codec(kind, vals, n)
+    table = _NUM_CODECS if kind == "num" else _STR_CODECS
+    enc, _ = table[codec]
+    meta, bufs = enc(vals)
+    return ColumnBlob(
+        codec=codec,
+        n=n,
+        type_str=type_to_str(t),
+        null_count=null_count,
+        meta=meta,
+        bufs=[wrap_buf(b) for b in bufs],
+        validity=validity_buf,
+    )
+
+
+def decode_array(blob: ColumnBlob) -> pa.Array:
+    t = str_to_type(blob.type_str)
+    kind = "str" if _is_str(t) else ("bin" if _is_bin(t) else "num")
+    table = _NUM_CODECS if kind == "num" else _STR_CODECS
+    _, dec = table[blob.codec]
+    bufs = [unwrap_buf(b) for b in blob.bufs]
+    vals = dec(blob.meta, bufs, blob.n)
+    out = _from_physical(kind, vals, t)
+    if blob.null_count:
+        valid = unpack_validity(unwrap_buf(blob.validity), blob.n)
+        out = pc.if_else(pa.array(valid), out, pa.scalar(None, type=t))
+    return out

@@ -1,0 +1,223 @@
+"""FSST-style string compression, from scratch, fully vectorized with numpy.
+
+Fast Static Symbol Table compression (Boncz, Neumann, Leis — "FSST: Fast Random
+Access String Compression", VLDB 2020, public paper): replace frequent substrings
+(symbols of 1..8 bytes) with 1-byte codes; code 255 is an escape prefix for bytes
+not covered by the 255-entry symbol table.
+
+This implementation trains the table with a byte-pair-merge scheme (BPE-like
+greedy merging on a bounded sample, which naturally grows 2..8-byte symbols from
+frequent pairs), then *replays* the merge sequence over the full payload with
+vectorized numpy pair-replacement — no per-byte Python loops anywhere:
+
+  train:   sample bytes -> uint16 working array; repeatedly bincount adjacent
+           pairs, merge the most frequent pair into a new code (256+i), cap
+           symbol length at 8, stop at <=192 merges (leaves >=63 codes for
+           frequent single bytes).
+  encode:  replay merges over the full concatenated string payload, then map
+           working values to output codes; uncovered literals get escape(255)+byte.
+  decode:  parse escapes via run-parity over runs of 255-bytes (a 255 run's
+           even offsets are escape controls), then expand codes to symbol bytes
+           with a flat-buffer gather (np.repeat + arange) — vectorized.
+
+The whole column payload is encoded as ONE byte stream (symbols may span string
+boundaries); original string lengths are stored FOR-bit-packed so offsets are
+reconstructed exactly. Strings round-trip bit-identical, including empty strings
+(nulls are handled above the codec layer; see codecs/__init__.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .numeric import dec_for, enc_for
+from .strings import str_build, str_parts
+
+_MAX_SYMBOL_LEN = 8
+_MAX_MERGES = 192
+_ESCAPE = 255
+_ALPHA = 512  # working alphabet: 0..255 literals, 256..511 merge codes
+
+
+def _replace_pair(seq: np.ndarray, l: int, r: int, code: int) -> tuple[np.ndarray, int]:
+    """Replace non-overlapping occurrences of adjacent pair (l, r) with `code`."""
+    if len(seq) < 2:
+        return seq, 0
+    m = (seq[:-1] == l) & (seq[1:] == r)
+    p = np.nonzero(m)[0]
+    if len(p) == 0:
+        return seq, 0
+    if l == r and len(p) > 1:
+        # overlapping matches only possible when l == r (e.g. "aa" in "aaaa");
+        # within each run of consecutive match positions keep offsets 0,2,4...
+        starts_mask = np.empty(len(p), dtype=bool)
+        starts_mask[0] = True
+        np.not_equal(np.diff(p), 1, out=starts_mask[1:])
+        run_id = np.cumsum(starts_mask) - 1
+        run_start = p[starts_mask][run_id]
+        p = p[((p - run_start) & 1) == 0]
+    keep = np.ones(len(seq), dtype=bool)
+    keep[p + 1] = False
+    seq[p] = code
+    return seq[keep], len(p)
+
+
+class FsstTable:
+    """Trained symbol table: ordered merge list + output-code assignment."""
+
+    __slots__ = ("merges", "code_map", "code_syms")
+
+    def __init__(self, merges: list[tuple[int, int]], code_map: np.ndarray, code_syms: list[bytes]):
+        self.merges = merges
+        self.code_map = code_map  # int16[512]: working value -> output code, -1 = escape
+        self.code_syms = code_syms  # output code -> expansion bytes
+
+
+def train(data: bytes, max_merges: int = _MAX_MERGES, sample_cap: int = 1 << 18) -> FsstTable:
+    sample = _sample_bytes(data, sample_cap)
+    seq = np.frombuffer(sample, dtype=np.uint8).astype(np.uint16)
+    sym_len = np.ones(_ALPHA, dtype=np.int64)  # working value -> symbol byte length
+    merges: list[tuple[int, int]] = []
+    min_count = max(4, len(seq) // (1 << 16))
+    while len(merges) < max_merges and len(seq) >= 2:
+        key = seq[:-1].astype(np.int32) * _ALPHA + seq[1:]
+        counts = np.bincount(key, minlength=_ALPHA * _ALPHA)
+        # best pair whose merged symbol stays within 8 bytes
+        top = np.argpartition(counts, -64)[-64:]
+        top = top[np.argsort(counts[top])[::-1]]
+        chosen = -1
+        for k in top:
+            if counts[k] < min_count:
+                break
+            l, r = divmod(int(k), _ALPHA)
+            if sym_len[l] + sym_len[r] <= _MAX_SYMBOL_LEN:
+                chosen = int(k)
+                break
+        if chosen < 0:
+            break
+        l, r = divmod(chosen, _ALPHA)
+        code = 256 + len(merges)
+        seq, n_rep = _replace_pair(seq, l, r, code)
+        if n_rep == 0:
+            break
+        sym_len[code] = sym_len[l] + sym_len[r]
+        merges.append((l, r))
+    # expansions for every working value
+    exp: list[bytes] = [bytes([v]) for v in range(256)] + [b""] * 256
+    for i, (l, r) in enumerate(merges):
+        exp[256 + i] = exp[l] + exp[r]
+    # output-code assignment: all merge codes, then most frequent literals
+    freqs = np.bincount(seq, minlength=_ALPHA)
+    m = len(merges)
+    lit_vals = np.nonzero(freqs[:256] > 0)[0]
+    slots = 255 - m
+    if len(lit_vals) > slots:
+        order = np.argsort(freqs[lit_vals], kind="stable")[::-1]
+        lit_vals = np.sort(lit_vals[order[:slots]])
+    code_map = np.full(_ALPHA, -1, dtype=np.int16)
+    code_syms: list[bytes] = []
+    for i in range(m):
+        code_map[256 + i] = i
+        code_syms.append(exp[256 + i])
+    for j, v in enumerate(lit_vals):
+        code_map[v] = m + j
+        code_syms.append(exp[v])
+    return FsstTable(merges, code_map, code_syms)
+
+
+def _sample_bytes(data: bytes, cap: int) -> bytes:
+    if len(data) <= cap:
+        return data
+    n_chunks = 8
+    chunk = cap // n_chunks
+    stride = (len(data) - chunk) // max(1, n_chunks - 1)
+    return b"".join(data[i * stride : i * stride + chunk] for i in range(n_chunks))
+
+
+def compress(data: bytes, table: FsstTable) -> bytes:
+    seq = np.frombuffer(data, dtype=np.uint8).astype(np.uint16)
+    for i, (l, r) in enumerate(table.merges):
+        seq, _ = _replace_pair(seq, l, r, 256 + i)
+    codes = table.code_map[seq]
+    esc = codes < 0
+    widths = np.where(esc, 2, 1).astype(np.int64)
+    if len(seq) == 0:
+        return b""
+    ends = np.cumsum(widths)
+    starts = ends - widths
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    out[starts] = np.where(esc, _ESCAPE, codes).astype(np.uint8)
+    out[starts[esc] + 1] = seq[esc].astype(np.uint8)
+    return out.tobytes()
+
+
+def decompress(payload: bytes, code_syms: list[bytes]) -> bytes:
+    b = np.frombuffer(payload, dtype=np.uint8)
+    if len(b) == 0:
+        return b""
+    pos255 = np.nonzero(b == _ESCAPE)[0]
+    if len(pos255):
+        starts_mask = np.empty(len(pos255), dtype=bool)
+        starts_mask[0] = True
+        np.not_equal(np.diff(pos255), 1, out=starts_mask[1:])
+        run_id = np.cumsum(starts_mask) - 1
+        run_start = pos255[starts_mask][run_id]
+        ctrl = pos255[((pos255 - run_start) & 1) == 0]
+        lit_pos = ctrl + 1
+        consumed = np.zeros(len(b), dtype=bool)
+        consumed[pos255] = True
+        consumed[lit_pos] = True
+        coded_pos = np.nonzero(~consumed)[0]
+        allpos = np.concatenate([ctrl, coded_pos])
+        ids = np.concatenate(
+            [b[lit_pos].astype(np.int32) + 255, b[coded_pos].astype(np.int32)]
+        )
+        ids = ids[np.argsort(allpos, kind="stable")]
+    else:
+        ids = b.astype(np.int32)
+    # expansion tables: ids 0..254 -> code_syms, ids 255..510 -> literal byte (id-255)
+    k = len(code_syms)
+    flat = b"".join(code_syms) + bytes(range(256))
+    lens = np.zeros(511, dtype=np.int64)
+    starts = np.zeros(511, dtype=np.int64)
+    off = 0
+    for i, s in enumerate(code_syms):
+        starts[i] = off
+        lens[i] = len(s)
+        off += len(s)
+    starts[255:511] = off + np.arange(256)
+    lens[255:511] = 1
+    flat_np = np.frombuffer(flat, dtype=np.uint8)
+    l = lens[ids]
+    total = int(l.sum())
+    out_ends = np.cumsum(l)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(out_ends - l, l)
+    src = np.repeat(starts[ids], l) + intra
+    return flat_np[src].tobytes()
+
+
+# --- column codec interface -------------------------------------------------
+
+
+def enc_fsst(arr: pa.Array):
+    lens, data = str_parts(arr)
+    table = train(data)
+    payload = compress(data, table)
+    lmeta, lbufs = enc_for(lens)
+    sym_lens = [len(s) for s in table.code_syms]
+    meta = {"lmeta": lmeta, "sym_lens": sym_lens}
+    sym_flat = b"".join(table.code_syms)
+    return meta, [lbufs[0], sym_flat, payload]
+
+
+def dec_fsst(meta, bufs, n):
+    lens = dec_for(meta["lmeta"], [bufs[0]], n)
+    sym_flat = bufs[1]
+    code_syms: list[bytes] = []
+    off = 0
+    for sl in meta["sym_lens"]:
+        code_syms.append(sym_flat[off : off + sl])
+        off += sl
+    data = decompress(bufs[2], code_syms)
+    return str_build(lens, data)

@@ -1,0 +1,93 @@
+"""Per-partition lineage records + checkpoint manifest (resume support).
+
+Each finished partition writes ``_manifest/part-{pid:05d}.json`` AFTER its
+container file is atomically renamed into place — so a manifest record implies
+a complete container. Resume = scan the manifest dir, skip those partitions.
+``consolidate`` folds the per-partition records into one ``manifest.jsonl``
+plus summary totals (the new-engine analogue of the reference's
+``conversion_report.json``, reference logging.py:172-224).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class LineageRecord:
+    part_id: int
+    rows: int
+    bytes_in: int  # arrow in-memory bytes of the partition
+    bytes_out: int  # container file bytes
+    codecs: dict = field(default_factory=dict)  # column -> codec name
+    crc32: int = 0  # crc of the container payload
+    wall_s: float = 0.0
+    path: str = ""
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self))
+
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def record_path(out_dir: str, part_id: int) -> str:
+    return os.path.join(manifest_dir(out_dir), f"part-{part_id:05d}.json")
+
+
+def write_record(out_dir: str, rec: LineageRecord) -> None:
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    tmp = record_path(out_dir, rec.part_id) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(rec.to_json())
+    os.replace(tmp, record_path(out_dir, rec.part_id))
+
+
+def completed_parts(out_dir: str) -> set[int]:
+    """Partitions with a manifest record AND a container file of the recorded size."""
+    mdir = manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return set()
+    done: set[int] = set()
+    for fn in os.listdir(mdir):
+        if not (fn.startswith("part-") and fn.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(mdir, fn)) as f:
+                rec = json.load(f)
+            if os.path.getsize(rec["path"]) == rec["bytes_out"]:
+                done.add(int(rec["part_id"]))
+        except (OSError, ValueError, KeyError):
+            continue
+    return done
+
+
+def load_records(out_dir: str) -> list[dict]:
+    mdir = manifest_dir(out_dir)
+    recs = []
+    if os.path.isdir(mdir):
+        for fn in sorted(os.listdir(mdir)):
+            if fn.startswith("part-") and fn.endswith(".json"):
+                with open(os.path.join(mdir, fn)) as f:
+                    recs.append(json.load(f))
+    return recs
+
+
+def consolidate(out_dir: str) -> dict:
+    """Write manifest.jsonl + return summary (rows, bytes in/out, ratio)."""
+    recs = load_records(out_dir)
+    with open(os.path.join(out_dir, "manifest.jsonl"), "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    bytes_in = sum(r["bytes_in"] for r in recs)
+    bytes_out = sum(r["bytes_out"] for r in recs)
+    return {
+        "partitions": len(recs),
+        "rows": sum(r["rows"] for r in recs),
+        "bytes_in": bytes_in,
+        "bytes_out": bytes_out,
+        "ratio": bytes_out / max(bytes_in, 1),
+    }

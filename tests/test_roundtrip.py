@@ -1,0 +1,137 @@
+"""End-to-end encode -> container -> decode pipeline tests (Ray).
+
+North-rule gates (BASELINE.json):
+ - decode reproduces every column bit-identical under stable turn ordering;
+ - total compressed size <= the reference Parquet (snappy) output of the same
+   table (the reference writes parquet+snappy, converter.py:577 / config.py:175);
+ - exact resume of unfinished partitions from the lineage manifest.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_converter_ray import manifest as mf
+from parquet_converter_ray.container import decode_table, encode_table, pack_container
+from parquet_converter_ray.decode import container_files, decode_dataset, roundtrip_table
+from parquet_converter_ray.encode import encode_dataset
+from parquet_converter_ray.synth import make_transcripts
+
+N_TURNS = 20_000
+
+
+@pytest.fixture(scope="module")
+def transcripts():
+    return make_transcripts(N_TURNS, seed=42)
+
+
+def test_container_roundtrip_no_ray(transcripts):
+    t = transcripts.slice(0, 2000)
+    payload = pack_container(encode_table(t, codec="auto"))
+    out = decode_table(payload, verify_crc=True)
+    assert out.equals(t)
+
+
+def test_container_column_pruning(transcripts):
+    t = transcripts.slice(0, 1000)
+    payload = pack_container(encode_table(t))
+    out = decode_table(payload, columns=["conv_id", "text"])
+    assert out.column_names == ["conv_id", "text"]
+    assert out.column("text").combine_chunks().equals(t.column("text").combine_chunks())
+
+
+def test_encode_decode_bit_identical(ray_session, transcripts, tmp_path):
+    import ray.data
+
+    ds = ray.data.from_arrow(transcripts)
+    out = str(tmp_path / "enc")
+    summary = encode_dataset(ds, out, n_parts=8, salt_rows=2000)
+    assert summary["partitions"] == len(container_files(out))
+    assert summary["rows"] == N_TURNS
+    ok, msg = roundtrip_table(transcripts, out)
+    assert ok, msg
+
+
+def test_size_gate_vs_reference_parquet(ray_session, transcripts, tmp_path):
+    import ray.data
+
+    ds = ray.data.from_arrow(transcripts)
+    out = str(tmp_path / "enc")
+    summary = encode_dataset(ds, out, n_parts=4)
+    ref = str(tmp_path / "ref.parquet")
+    pq.write_table(transcripts, ref, compression="snappy")
+    assert summary["bytes_out"] <= os.path.getsize(ref), (
+        f"encoded {summary['bytes_out']} > reference parquet {os.path.getsize(ref)}"
+    )
+
+
+def test_decode_column_pruning_dataset(ray_session, transcripts, tmp_path):
+    import ray.data
+
+    out = str(tmp_path / "enc")
+    encode_dataset(ray.data.from_arrow(transcripts), out, n_parts=4)
+    ds = decode_dataset(out, columns=["role"])
+    got = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    assert got.column_names == ["role"]
+    assert got.num_rows == N_TURNS
+
+
+def test_resume_after_partial_failure(ray_session, transcripts, tmp_path):
+    """Kill after k partitions -> resume -> byte-equal full result."""
+    import ray.data
+
+    out = str(tmp_path / "enc")
+
+    def bomb(part_id: int):
+        if part_id >= 4:
+            raise RuntimeError(f"injected failure on partition {part_id}")
+
+    with pytest.raises(Exception):
+        encode_dataset(
+            ray.data.from_arrow(transcripts), out, n_parts=8, salt_rows=2000, fault_hook=bomb
+        )
+    done_before = mf.completed_parts(out)
+    assert 0 < len(done_before) < 8, "some but not all partitions should have finished"
+
+    summary = encode_dataset(
+        ray.data.from_arrow(transcripts), out, n_parts=8, salt_rows=2000, resume=True
+    )
+    assert summary["partitions"] == 8
+    assert summary["rows"] == N_TURNS
+    ok, msg = roundtrip_table(transcripts, out)
+    assert ok, msg
+
+
+def test_resume_is_noop_when_complete(ray_session, transcripts, tmp_path):
+    import ray.data
+
+    out = str(tmp_path / "enc")
+    encode_dataset(ray.data.from_arrow(transcripts), out, n_parts=4)
+    mtimes = {p: os.path.getmtime(p) for p in container_files(out)}
+    encode_dataset(ray.data.from_arrow(transcripts), out, n_parts=4, resume=True)
+    assert {p: os.path.getmtime(p) for p in container_files(out)} == mtimes
+
+
+def test_mega_conversation_salting(ray_session, transcripts, tmp_path):
+    """The mega-conversation must span multiple partitions when salted."""
+    import ray.data
+
+    out = str(tmp_path / "enc")
+    encode_dataset(ray.data.from_arrow(transcripts), out, n_parts=8, salt_rows=500)
+    # find the biggest conversation
+    import pyarrow.compute as pc
+
+    counts = transcripts.group_by("conv_id").aggregate([("turn_idx", "count")])
+    mega = counts.sort_by([("turn_idx_count", "descending")])["conv_id"][0].as_py()
+    hits = 0
+    for f in container_files(out):
+        with open(f, "rb") as fh:
+            data = fh.read()
+        tbl = decode_table(data, columns=["conv_id"])
+        if pc.any(pc.equal(tbl["conv_id"], mega)).as_py():
+            hits += 1
+    assert hits >= 2, "mega-conversation should be split across partitions"
