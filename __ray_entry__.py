@@ -1,44 +1,181 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01 and
+compares it against the matching ``oracle_sql()[name]`` via DuckDB (row-count +
+schema + order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in parquet_converter_ray) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Column names in every Ray result match the oracle SQL aliases exactly; float
+aggregates are rounded identically (4 decimals) on both sides.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 from typing import Any
 
+if "/root/repo" not in sys.path:
+    sys.path.insert(0, "/root/repo")
+
+# Ray workers import UDF modules by name: force by-value serialisation of our
+# package so worker importability never depends on the driver's cwd.
+try:
+    import cloudpickle
+
+    import parquet_converter_ray as _pkg
+
+    cloudpickle.register_pickle_by_value(_pkg)
+except Exception:
+    pass
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: transcript encode ->
+    containers -> decode, returning the decoded (stable-ordered) table."""
+    from parquet_converter_ray.pipelines.transcripts import transcript_roundtrip
+
+    return transcript_roundtrip("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from parquet_converter_ray.pipelines import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+        transcripts,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- reference-parity relational / profiling (SURVEY §2.5-2.6) ---
+        "count_lineitem": relational.count_lineitem,
+        "null_unique_profile": relational.null_unique_profile,
+        "distinct_parts": relational.distinct_parts,
+        "numeric_stats_lineitem": relational.numeric_stats_lineitem,
+        "median_totalprice": relational.median_totalprice,
+        "top5_orderpriority": relational.top5_orderpriority,
+        "value_counts_returnflag": relational.value_counts_returnflag,
+        "head_lineitem": relational.head_lineitem,
+        "pricing_summary": relational.pricing_summary,
+        "orders_by_month": relational.orders_by_month,
+        "events_hourly_window": relational.events_hourly_window,
+        "segment_revenue": relational.segment_revenue,
+        # --- text analysis ---
+        "token_counts": text.token_counts,
+        "char_stats": text.char_stats,
+        "doc_fingerprint": text.doc_fingerprint,
+        "lang_quality": text.lang_quality,
+        "winnow_fingerprints": text.winnow_fingerprints,
+        # --- dedup ---
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash": dedup.dedup_minhash,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_embedding": dedup.dedup_embedding,
+        # --- similarity search ---
+        "knn_bruteforce": similarity.knn_bruteforce,
+        "knn_lsh": similarity.knn_lsh,
+        # --- north-star transcript codec engine (non-SQL) ---
+        "transcript_roundtrip": transcripts.transcript_roundtrip,
+        "transcript_codec_plan": transcripts.transcript_codec_plan,
+        "convert_csv_roundtrip": transcripts.convert_csv_roundtrip,
+        # --- multimodal plumbing (stubbed decode) ---
+        "multimodal_features": multimodal.multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "count_lineitem": "SELECT count(*) AS n FROM lineitem",
+        "null_unique_profile": """
+            SELECT 'o_custkey' AS col, count(*) - count(o_custkey) AS null_count,
+                   count(DISTINCT o_custkey) AS n_unique FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority) FROM orders
+        """,
+        "distinct_parts": "SELECT count(DISTINCT l_partkey) AS n_unique FROM lineitem",
+        "numeric_stats_lineitem": """
+            SELECT 'l_quantity' AS col, round(min(l_quantity),4) AS min_v,
+                   round(max(l_quantity),4) AS max_v, round(avg(l_quantity),4) AS mean_v,
+                   round(stddev_samp(l_quantity),4) AS std_v FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', round(min(l_extendedprice),4), round(max(l_extendedprice),4),
+                   round(avg(l_extendedprice),4), round(stddev_samp(l_extendedprice),4) FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', round(min(l_discount),4), round(max(l_discount),4),
+                   round(avg(l_discount),4), round(stddev_samp(l_discount),4) FROM lineitem
+        """,
+        "median_totalprice": "SELECT round(median(o_totalprice),4) AS median_totalprice FROM orders",
+        "top5_orderpriority": """
+            SELECT o_orderpriority, count(*) AS cnt FROM orders
+            GROUP BY o_orderpriority ORDER BY cnt DESC, o_orderpriority LIMIT 5
+        """,
+        "value_counts_returnflag": """
+            SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag
+        """,
+        "head_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            ORDER BY l_orderkey, l_linenumber LIMIT 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity),2) AS sum_qty,
+                   round(sum(l_extendedprice),2) AS sum_base_price,
+                   round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+                   count(*) AS count_order,
+                   round(sum(l_quantity)/count(*),4) AS avg_qty,
+                   round(sum(l_extendedprice)/count(*),4) AS avg_price
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_month": """
+            SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "events_hourly_window": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n, round(sum(value),4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "segment_revenue": """
+            SELECT c_mktsegment, round(sum(o_totalprice),2) AS total,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "char_stats": "SELECT doc_id, length(text) AS n_chars_c FROM documents",
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding),4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "knn_bruteforce": """
+            SELECT b.vec_id, round(list_cosine_similarity(a.embedding, b.embedding),4) AS cos
+            FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
+            WHERE a.vec_id = 0
+            ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
+            LIMIT 10
+        """,
+        # lang_quality / winnow_fingerprints / dedup_minhash / dedup_simhash /
+        # dedup_ngram_jaccard / knn_lsh / transcript_* / multimodal_features:
+        # non-SQL-expressible (custom hashing / codec engine) -> rows-only check.
+    }

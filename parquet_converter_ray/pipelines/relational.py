@@ -1,0 +1,270 @@
+"""Relational / profiling query pipelines over the testdata star schema.
+
+Each function takes ``sf_dir`` and returns a small materialised result
+(pa.Table / pd.DataFrame) or a Dataset. Every query here is SQL-expressible and
+registered with a DuckDB oracle in ``__ray_entry__.oracle_sql`` — column names
+match the SQL aliases exactly (driver hashes values with columns sorted by
+name).
+
+Operator coverage (SURVEY.md §2.5/§2.6): A1 count, A2 null counts, A3 exact
+distinct, A4 min/max/mean/std + exact median, A5 top-k frequency, T1 head,
+plus filter/project/groupby pipelines and a broadcast hash join.
+
+Scale notes (how each would behave at 100 TB):
+ - aggregates use per-batch partial pre-aggregation inside ``map_batches``
+   before the (tiny) final ``groupby`` — the combiner pattern, so the shuffle
+   moves one row per (batch, key), not per input row;
+ - the join broadcasts the small side once via ``ray.put`` and does a
+   vectorized ``index_in`` lookup per batch — no shuffle of the big side;
+ - reads prune columns at the parquet scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ._util import sql_round
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# --- A1: count --------------------------------------------------------------
+
+
+def count_lineitem(sf_dir: str) -> pa.Table:
+    n = _t(sf_dir, "lineitem", columns=["l_orderkey"]).count()
+    return pa.table({"n": pa.array([n], type=pa.int64())})
+
+
+# --- A2/A3: null counts + exact distinct per column ------------------------
+
+
+def null_unique_profile(sf_dir: str) -> pa.Table:
+    """Per-column null_count + exact n_unique of orders (reference
+    converter.py:624-630 / analyzer.py:197,261 parity)."""
+    from ..profile import profile_dataset
+
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    prof = profile_dataset(_t(sf_dir, "orders", columns=cols))
+    return pa.table(
+        {
+            "col": pa.array(cols),
+            "null_count": pa.array([prof["columns"][c]["null_count"] for c in cols], type=pa.int64()),
+            "n_unique": pa.array([prof["columns"][c]["n_unique"] for c in cols], type=pa.int64()),
+        }
+    )
+
+
+def distinct_parts(sf_dir: str) -> pa.Table:
+    """Exact distinct count of a high-cardinality column — the distributed
+    groupby fallback path (A3 at scale)."""
+    ds = _t(sf_dir, "lineitem", columns=["l_partkey"])
+    n = ds.groupby("l_partkey").count().count()
+    return pa.table({"n_unique": pa.array([n], type=pa.int64())})
+
+
+# --- A4: numeric stats ------------------------------------------------------
+
+
+def numeric_stats_lineitem(sf_dir: str) -> pa.Table:
+    from ..profile import profile_dataset
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    prof = profile_dataset(_t(sf_dir, "lineitem", columns=cols))
+    rows = {"col": [], "min_v": [], "max_v": [], "mean_v": [], "std_v": []}
+    for c in cols:
+        p = prof["columns"][c]
+        rows["col"].append(c)
+        rows["min_v"].append(sql_round(p["min"], 4))
+        rows["max_v"].append(sql_round(p["max"], 4))
+        rows["mean_v"].append(sql_round(p["mean"], 4))
+        rows["std_v"].append(sql_round(p["std"], 4))
+    return pa.table(rows)
+
+
+def median_totalprice(sf_dir: str) -> pa.Table:
+    from ..profile import exact_median
+
+    m = exact_median(_t(sf_dir, "orders", columns=["o_totalprice"]), "o_totalprice")
+    return pa.table({"median_totalprice": pa.array([sql_round(m, 4)], type=pa.float64())})
+
+
+# --- A5/T4: frequencies -----------------------------------------------------
+
+
+def top5_orderpriority(sf_dir: str) -> pa.Table:
+    ds = _t(sf_dir, "orders", columns=["o_orderpriority"])
+    out = (
+        ds.groupby("o_orderpriority")
+        .count()
+        .sort(["count()", "o_orderpriority"], descending=[True, False])
+        .limit(5)
+        .to_pandas()
+    )
+    return pa.table(
+        {"o_orderpriority": out["o_orderpriority"], "cnt": out["count()"].astype("int64")}
+    )
+
+
+def value_counts_returnflag(sf_dir: str) -> pa.Table:
+    ds = _t(sf_dir, "lineitem", columns=["l_returnflag"])
+    out = ds.groupby("l_returnflag").count().to_pandas()
+    return pa.table({"l_returnflag": out["l_returnflag"], "cnt": out["count()"].astype("int64")})
+
+
+# --- T1: ordered head -------------------------------------------------------
+
+
+def head_lineitem(sf_dir: str) -> pa.Table:
+    ds = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    rows = ds.sort(["l_orderkey", "l_linenumber"]).take(10)
+    return pa.Table.from_pylist(rows)
+
+
+# --- pricing summary (filter + project + partial-agg + groupby) -------------
+
+
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-shaped: per (returnflag, linestatus) sums/averages with the
+    per-batch combiner pattern — the shuffle carries partials, not rows."""
+    cutoff = pa.scalar(np.datetime64("2000-09-02", "us"), type=pa.timestamp("us"))
+    ds = _t(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "qty": batch["l_quantity"].to_pandas(),
+                "price": batch["l_extendedprice"].to_pandas(),
+                "disc_price": pc.multiply(
+                    batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+                ).to_pandas(),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_price=("price", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("qty", "size"),
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    agg["avg_qty"] = sql_round(agg["sum_qty"] / agg["count_order"], 4)
+    agg["avg_price"] = sql_round(agg["sum_base_price"] / agg["count_order"], 4)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        agg[c] = sql_round(agg[c], 2)
+    agg["count_order"] = agg["count_order"].astype("int64")
+    return pa.Table.from_pandas(agg.sort_values(["l_returnflag", "l_linestatus"]), preserve_index=False)
+
+
+# --- date scalar functions + grouped count ---------------------------------
+
+
+def orders_by_month(sf_dir: str) -> pa.Table:
+    ds = _t(sf_dir, "orders", columns=["o_orderdate"])
+
+    def trunc(batch: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(batch["o_orderdate"], unit="month")
+        return pa.table({"month": m})
+
+    out = ds.map_batches(trunc, batch_format="pyarrow").groupby("month").count().to_pandas()
+    out = out.rename(columns={"count()": "n"})
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values("month"), preserve_index=False)
+
+
+# --- streaming-shaped tumbling window over events ---------------------------
+
+
+def events_hourly_window(sf_dir: str) -> pa.Table:
+    """Tumbling 1h window per event_type: window assignment is a vectorized
+    map (no state needed for tumbling), aggregation is partial+final."""
+    ds = _t(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "window_start": pc.floor_temporal(batch["ts"], unit="hour").to_pandas(),
+                "value": batch["value"].to_pandas(),
+            }
+        )
+        return df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = sql_round(out["sum_value"], 4)
+    return pa.Table.from_pandas(out.sort_values(["event_type", "window_start"]), preserve_index=False)
+
+
+# --- broadcast hash join ----------------------------------------------------
+
+
+def segment_revenue(sf_dir: str) -> pa.Table:
+    """orders ⋈ customer via broadcast: the small side ships once (ray.put),
+    each batch does a vectorized index_in lookup — no shuffle of orders."""
+    cust = (
+        _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    keys = pa.array(cust["c_custkey"].to_numpy())
+    segs = cust["c_mktsegment"].to_numpy()
+    small_ref = ray.put((keys, segs))
+
+    def lookup(batch: pa.Table) -> pd.DataFrame:
+        k, s = ray.get(small_ref)
+        idx = pc.index_in(batch["o_custkey"], value_set=k).to_numpy(zero_copy_only=False)
+        seg = np.where(idx >= 0, s[np.maximum(idx, 0)], None)
+        df = pd.DataFrame({"c_mktsegment": seg, "o_totalprice": batch["o_totalprice"].to_pandas()})
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            total=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(lookup, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("total", alias_name="total"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["total"] = sql_round(out["total"], 2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values("c_mktsegment"), preserve_index=False)

@@ -1,0 +1,116 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+ - knn_bruteforce: exact cosine top-k against a broadcast query vector; each
+   batch computes a local top-k (pruning) and the tiny per-batch results are
+   reduced on the driver — the shuffle-free pattern for single-query ANN.
+ - knn_lsh: random-hyperplane LSH bucketing (the scale path): vectors are
+   bucketed by sign pattern; the query probes its own bucket plus the
+   neighbouring buckets within Hamming distance 1; exact cosine re-rank on
+   the candidates only. Deterministic seeded planes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ._util import sql_round
+
+
+def _emb(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t["vec_id"].to_pylist().index(vec_id)
+    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+
+
+def knn_bruteforce(sf_dir: str, query_id: int = 0, k: int = 10) -> pa.Table:
+    """Exact cosine top-k for the embedding of ``vec_id == query_id``.
+
+    Oracle: DuckDB list_cosine_similarity ORDER BY cos DESC, vec_id LIMIT k."""
+    q = _query_vector(sf_dir, query_id)
+    qn = q / np.linalg.norm(q)
+    ref = ray.put(qn)
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(ref)
+        ids = batch["vec_id"].to_numpy()
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cos = m @ qv
+        keep = ids != query_id
+        ids, cos = ids[keep], cos[keep]
+        if len(ids) > k:
+            part = np.argpartition(-cos, k)[:k]
+            ids, cos = ids[part], cos[part]
+        return pd.DataFrame({"vec_id": ids.astype("int64"), "cos": cos})
+
+    parts = _emb(sf_dir).map_batches(local_topk, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+    parts["cos"] = sql_round(parts["cos"], 4)
+    return pa.Table.from_pandas(parts, preserve_index=False)
+
+
+class LshIndexer:
+    """Actor-pool stage: sign-pattern bucket of each vector under fixed seeded
+    hyperplanes (state built once per actor)."""
+
+    def __init__(self, dim: int = 64, n_planes: int = 8, seed: int = 777):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.normal(0, 1, (dim, n_planes))
+
+    def bucket_of(self, m: np.ndarray) -> np.ndarray:
+        signs = (m @ self.planes) > 0
+        return (signs @ (1 << np.arange(self.planes.shape[1]))).astype(np.int64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        batch = batch.copy()
+        batch["bucket"] = self.bucket_of(m)
+        return batch
+
+
+def knn_lsh(sf_dir: str, query_id: int = 0, k: int = 10, n_planes: int = 8) -> pa.Table:
+    """Approximate top-k: probe the query's LSH bucket + Hamming-1 neighbours,
+    exact cosine re-rank on candidates only (IVF-style scale path)."""
+    q = _query_vector(sf_dir, query_id)
+    indexer = LshIndexer(dim=len(q), n_planes=n_planes)
+    qb = int(indexer.bucket_of(q[None, :])[0])
+    probe = {qb} | {qb ^ (1 << i) for i in range(n_planes)}
+    probe_arr = pa.array(sorted(probe), type=pa.int64())
+    qn = q / np.linalg.norm(q)
+    ref = ray.put(qn)
+
+    ds = _emb(sf_dir).map_batches(
+        LshIndexer, fn_constructor_kwargs={"dim": len(q), "n_planes": n_planes},
+        batch_format="pandas", batch_size=4096, concurrency=2,
+    )
+
+    def candidates(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch["bucket"], value_set=probe_arr)
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
+        qv = ray.get(ref)
+        ids = batch["vec_id"].to_numpy()
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cos = m @ qv
+        keep2 = ids != query_id
+        return pd.DataFrame({"vec_id": ids[keep2].astype("int64"), "cos": cos[keep2]})
+
+    out = ds.map_batches(candidates, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+    out["cos"] = sql_round(out["cos"], 4)
+    return pa.Table.from_pandas(out, preserve_index=False)

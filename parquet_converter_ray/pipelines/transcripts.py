@@ -1,0 +1,114 @@
+"""Flagship transcript pipelines: encode -> containers -> decode (north star).
+
+The transcript table is synthesized deterministically (BASELINE.json
+input_hint schema) — scale follows the sf_dir name so sf0.01 exercises more
+data than sf0.001. Results are cached under /tmp/pcr_cache (generation and
+encode are deterministic, so cache hits are exact).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyarrow as pa
+
+import ray.data
+
+from ..decode import decode_dataset
+from ..encode import encode_dataset
+from ..synth import write_transcripts
+
+_CACHE = "/tmp/pcr_cache"
+
+
+def _scale_rows(sf_dir: str | None) -> int:
+    m = re.search(r"sf([0-9.]+)", sf_dir or "")
+    sf = float(m.group(1)) if m else 0.001
+    return max(20_000, int(sf * 6_000_000))  # sf0.01 -> 60k, sf0.1 -> 600k
+
+
+def _input_dir(n_turns: int) -> str:
+    path = os.path.join(_CACHE, f"transcripts-{n_turns}")
+    return write_transcripts(path, n_turns, seed=42)
+
+
+def encode_transcripts(sf_dir: str | None = None, out_dir: str | None = None, **kw) -> dict:
+    n = _scale_rows(sf_dir)
+    inp = _input_dir(n)
+    out = out_dir or os.path.join(_CACHE, f"encoded-{n}")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    ds = ray.data.read_parquet(inp)
+    return encode_dataset(ds, out, salt_rows=kw.pop("salt_rows", 50_000), **kw)
+
+
+def transcript_roundtrip(sf_dir: str | None = None) -> pa.Table:
+    """Encode + decode the transcript table; returns the decoded table sorted
+    by the stable turn order (the north-rule invariant surface)."""
+    n = _scale_rows(sf_dir)
+    out = os.path.join(_CACHE, f"encoded-{n}")
+    encode_transcripts(sf_dir, out_dir=out)
+    decoded = decode_dataset(out)
+    tbl = pa.concat_tables(list(decoded.iter_batches(batch_format="pyarrow")))
+    return tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def transcript_codec_plan(sf_dir: str | None = None) -> pa.Table:
+    """Per-partition lineage: chosen codec per column + bytes in/out."""
+    import json
+
+    n = _scale_rows(sf_dir)
+    out = os.path.join(_CACHE, f"encoded-{n}")
+    if not os.path.exists(os.path.join(out, "manifest.jsonl")):
+        encode_transcripts(sf_dir, out_dir=out)
+    from ..manifest import load_records
+
+    recs = load_records(out)
+    return pa.table(
+        {
+            "part_id": pa.array([r["part_id"] for r in recs], type=pa.int32()),
+            "rows": pa.array([r["rows"] for r in recs], type=pa.int64()),
+            "bytes_in": pa.array([r["bytes_in"] for r in recs], type=pa.int64()),
+            "bytes_out": pa.array([r["bytes_out"] for r in recs], type=pa.int64()),
+            "codecs": pa.array([json.dumps(r["codecs"], sort_keys=True) for r in recs]),
+        }
+    ).sort_by("part_id")
+
+
+def convert_csv_roundtrip(sf_dir: str | None = None) -> pa.Table:
+    """Reference-parity conversion pipeline: synth CSV -> infer schema ->
+    streaming convert -> parquet -> read back."""
+    import numpy as np
+    import pandas as pd
+
+    from ..config import EngineConfig
+    from ..convert import convert_file
+
+    os.makedirs(_CACHE, exist_ok=True)
+    csv_path = os.path.join(_CACHE, "convert_input.csv")
+    if not os.path.exists(csv_path):
+        rng = np.random.default_rng(3)
+        n = 5000
+        df = pd.DataFrame(
+            {
+                "id": np.arange(n),
+                "value": [f"value_{i}" for i in range(n)],
+                "amount": rng.normal(100, 15, n).round(2),
+                "flag": rng.choice(["true", "false"], n),
+                "date": pd.date_range("2023-01-01", periods=n, freq="h").strftime("%Y-%m-%d %H:%M:%S"),
+            }
+        )
+        df.loc[::97, "value"] = "NA"  # null tokens
+        df.to_csv(csv_path, index=False)
+    out_dir = os.path.join(_CACHE, "convert_out")
+    stats = convert_file(csv_path, out_dir, EngineConfig())
+    if stats.errors:
+        raise RuntimeError(f"conversion failed: {stats.errors}")
+    tbl = (
+        ray.data.read_parquet(stats.output_path)
+        .sort("id")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(tbl, preserve_index=False)
