@@ -140,6 +140,7 @@ def _from_physical(kind: str, vals, t: pa.DataType) -> pa.Array:
 # --- cost model -------------------------------------------------------------
 
 _SAMPLE_TARGET = 8192
+_SAMPLE_TARGET_STR = 2048  # string trials are byte-heavy; smaller sample suffices
 
 
 def _candidates(kind: str, vals) -> list[str]:
@@ -156,10 +157,11 @@ def _candidates(kind: str, vals) -> list[str]:
 
 
 def _sample(kind: str, vals, n: int):
-    if n <= _SAMPLE_TARGET:
+    target = _SAMPLE_TARGET if kind == "num" else _SAMPLE_TARGET_STR
+    if n <= target:
         return vals, n
     # 4 contiguous slices — contiguity preserves run/delta structure
-    k = _SAMPLE_TARGET // 4
+    k = target // 4
     stride = (n - k) // 3
     idx = [(i * stride, i * stride + k) for i in range(4)]
     if kind == "num":
@@ -168,23 +170,35 @@ def _sample(kind: str, vals, n: int):
     return pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]), 4 * k
 
 
-def choose_codec(kind: str, vals, n: int) -> str:
-    """Sampled cost model: encode a sample with each candidate, pick the smallest."""
+def choose_codec(kind: str, vals, n: int) -> tuple[str, dict]:
+    """Sampled cost model: encode a sample with each candidate, pick the
+    smallest. Returns (codec_name, encode_params) — params carry reusable
+    trial artifacts (e.g. the FSST table trained on the sample) so the full
+    encode doesn't redo the training."""
     if n == 0:
-        return "plain"
+        return "plain", {}
     table = _NUM_CODECS if kind == "num" else _STR_CODECS
     sample, sn = _sample(kind, vals, n)
-    best, best_size = "plain", float("inf")
+    best, best_size, best_params = "plain", float("inf"), {}
+    fsst_table = None
     for name in _candidates(kind, vals):
         enc, _ = table[name]
         try:
-            _, bufs = enc(sample)
+            if name == "fsst":
+                from .strings import str_parts as _sp
+
+                _, sample_payload = _sp(sample if not isinstance(sample, pa.ChunkedArray) else sample.combine_chunks())
+                fsst_table = _fsst.train(sample_payload)
+                _, bufs = enc(sample, table=fsst_table)
+            else:
+                _, bufs = enc(sample)
         except (ValueError, OverflowError):
             continue
         size = sum(len(wrap_buf(b)) for b in bufs)
         if size < best_size:
             best, best_size = name, size
-    return best
+            best_params = {"table": fsst_table} if name == "fsst" else {}
+    return best, best_params
 
 
 # --- top level --------------------------------------------------------------
@@ -202,11 +216,12 @@ def encode_array(arr, codec: str = "auto") -> ColumnBlob:
         validity_buf = wrap_buf(pack_validity(valid))
         arr = pc.fill_null(arr, pa.scalar(_fill_default(t), type=t))
     kind, vals = _to_physical(arr)
+    params: dict = {}
     if codec == "auto":
-        codec = choose_codec(kind, vals, n)
+        codec, params = choose_codec(kind, vals, n)
     table = _NUM_CODECS if kind == "num" else _STR_CODECS
     enc, _ = table[codec]
-    meta, bufs = enc(vals)
+    meta, bufs = enc(vals, **params)
     return ColumnBlob(
         codec=codec,
         n=n,

@@ -74,7 +74,7 @@ class FsstTable:
         self.code_syms = code_syms  # output code -> expansion bytes
 
 
-def train(data: bytes, max_merges: int = _MAX_MERGES, sample_cap: int = 1 << 18) -> FsstTable:
+def train(data: bytes, max_merges: int = _MAX_MERGES, sample_cap: int = 1 << 17) -> FsstTable:
     sample = _sample_bytes(data, sample_cap)
     seq = np.frombuffer(sample, dtype=np.uint8).astype(np.uint16)
     sym_len = np.ones(_ALPHA, dtype=np.int64)  # working value -> symbol byte length
@@ -135,10 +135,80 @@ def _sample_bytes(data: bytes, cap: int) -> bytes:
     return b"".join(data[i * stride : i * stride + chunk] for i in range(n_chunks))
 
 
+def _pairmap(merges: list[tuple[int, int]]) -> np.ndarray:
+    pm = np.full(_ALPHA * _ALPHA, -1, dtype=np.int32)
+    for i, (l, r) in enumerate(merges):
+        pm[l * _ALPHA + r] = 256 + i
+    return pm
+
+
+def _replace_pass0(seq: np.ndarray, pm: np.ndarray) -> np.ndarray:
+    """First generation fast path: all values are literals (<256), so the pair
+    key fits uint16 and the lookup table is 128 KB (cache-resident)."""
+    if len(seq) < 2:
+        return seq
+    # build the literal-literal sub-table: key = l*256+r
+    lit = np.full(1 << 16, -1, dtype=np.int32)
+    src = np.nonzero(pm >= 0)[0]
+    l, r = src // _ALPHA, src % _ALPHA
+    m = (l < 256) & (r < 256)
+    lit[l[m] * 256 + r[m]] = pm[src[m]]
+    key = (seq[:-1] << np.uint16(8)) | seq[1:]
+    codes = lit[key]
+    p = np.nonzero(codes >= 0)[0]
+    if len(p) == 0:
+        return seq
+    if len(p) > 1:
+        starts_mask = np.empty(len(p), dtype=bool)
+        starts_mask[0] = True
+        np.not_equal(np.diff(p), 1, out=starts_mask[1:])
+        run_id = np.cumsum(starts_mask) - 1
+        run_start = p[starts_mask][run_id]
+        p = p[((p - run_start) & 1) == 0]
+    keep = np.ones(len(seq), dtype=bool)
+    keep[p + 1] = False
+    seq[p] = codes[p].astype(np.uint16)
+    return seq[keep]
+
+
+def _replace_all(seq: np.ndarray, pm: np.ndarray, max_passes: int = 8) -> np.ndarray:
+    """Apply ALL pair merges simultaneously, a generation per pass.
+
+    Each pass: one pair-key lookup finds every replaceable adjacent pair at
+    once; conflicts between adjacent matches are resolved greedily-left with
+    the run-parity trick. Any greedy segmentation is decodable, so the replay
+    does not need to replicate the training's sequential merge order — this is
+    what makes encode O(passes * n) instead of O(merges * n)."""
+    for _ in range(max_passes):
+        if len(seq) < 2:
+            break
+        key = seq[:-1].astype(np.int32) * _ALPHA + seq[1:]
+        codes = pm[key]
+        p = np.nonzero(codes >= 0)[0]
+        # early stop: late generations replace a vanishing fraction — the
+        # memory traffic of another full pass isn't worth <1% extra matches
+        if len(p) < max(64, len(seq) // 100):
+            break
+        if len(p) > 1:
+            # drop matches adjacent to a kept match (greedy left-to-right)
+            starts_mask = np.empty(len(p), dtype=bool)
+            starts_mask[0] = True
+            np.not_equal(np.diff(p), 1, out=starts_mask[1:])
+            run_id = np.cumsum(starts_mask) - 1
+            run_start = p[starts_mask][run_id]
+            p = p[((p - run_start) & 1) == 0]
+        keep = np.ones(len(seq), dtype=bool)
+        keep[p + 1] = False
+        seq[p] = codes[p].astype(np.uint16)
+        seq = seq[keep]
+    return seq
+
+
 def compress(data: bytes, table: FsstTable) -> bytes:
     seq = np.frombuffer(data, dtype=np.uint8).astype(np.uint16)
-    for i, (l, r) in enumerate(table.merges):
-        seq, _ = _replace_pair(seq, l, r, 256 + i)
+    pm = _pairmap(table.merges)
+    seq = _replace_pass0(seq, pm)
+    seq = _replace_all(seq, pm)
     codes = table.code_map[seq]
     esc = codes < 0
     widths = np.where(esc, 2, 1).astype(np.int64)
@@ -200,9 +270,12 @@ def decompress(payload: bytes, code_syms: list[bytes]) -> bytes:
 # --- column codec interface -------------------------------------------------
 
 
-def enc_fsst(arr: pa.Array):
+def enc_fsst(arr: pa.Array, table: FsstTable | None = None):
+    """``table`` lets the cost model's sample-trained table be reused for the
+    full encode (training twice per partition was the dominant fixed cost)."""
     lens, data = str_parts(arr)
-    table = train(data)
+    if table is None:
+        table = train(data)
     payload = compress(data, table)
     lmeta, lbufs = enc_for(lens)
     sym_lens = [len(s) for s in table.code_syms]

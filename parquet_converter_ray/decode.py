@@ -32,6 +32,9 @@ class Decoder:
         self.verify_crc = verify_crc
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .encode import pin_arrow_threads
+
+        pin_arrow_threads(1)
         tables = []
         for blob in batch["bytes"]:
             tables.append(

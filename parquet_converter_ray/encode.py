@@ -37,6 +37,22 @@ from .partition import assign_part_id
 
 TARGET_PART_BYTES = 64 << 20  # in-memory arrow bytes per partition
 
+_ARROW_PINNED = False
+
+
+def pin_arrow_threads(n: int = 1) -> None:
+    """Pin pyarrow's per-process thread pools inside Ray workers.
+
+    Every worker process otherwise sizes Arrow's pool to ALL machine cores, so
+    32 concurrent tasks spawn ~32x32 compute threads and the encode stage runs
+    SLOWER at higher parallelism (measured 2x). Ray already provides the
+    process-level parallelism; Arrow kernels should stay single-threaded."""
+    global _ARROW_PINNED
+    if not _ARROW_PINNED:
+        pa.set_cpu_count(n)
+        pa.set_io_thread_count(max(n, 1))
+        _ARROW_PINNED = True
+
 
 class EncodePartition:
     """Per-partition encoder: sort, pick codecs (sampled cost model), write container.
@@ -58,7 +74,13 @@ class EncodePartition:
         self.fault_hook = fault_hook
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        pin_arrow_threads(1)
         t0 = time.monotonic()
+        # the sort-exchange delivers groups as hundreds of tiny chunks; every
+        # downstream kernel crawls on chunked input — flatten ONCE up front
+        n_chunks = group.column(0).num_chunks
+        group = group.combine_chunks()
+        t_comb = time.monotonic()
         part_id = int(group["part_id"][0].as_py())
         if self.fault_hook is not None:
             self.fault_hook(part_id)
@@ -66,13 +88,22 @@ class EncodePartition:
         sort_cols = [c for c in self.sort_key if c in table.column_names]
         if sort_cols:
             table = table.sort_by([(c, "ascending") for c in sort_cols])
+        t_sort = time.monotonic()
         blobs = encode_table(table, codec=self.codec)
+        t_enc = time.monotonic()
         payload = pack_container(
             blobs,
             extra={"part_id": part_id, "rows": table.num_rows, "sort_key": sort_cols},
         )
         path = os.path.join(self.out_dir, f"part-{part_id:05d}.pcc")
         write_container_atomic(path, payload)
+        timings = {
+            "in_chunks": n_chunks,
+            "combine": round(t_comb - t0, 2),
+            "sort": round(t_sort - t_comb, 2),
+            "encode": round(t_enc - t_sort, 2),
+            "write": round(time.monotonic() - t_enc, 2),
+        }
         rec = mf.LineageRecord(
             part_id=part_id,
             rows=table.num_rows,
@@ -82,6 +113,7 @@ class EncodePartition:
             crc32=zlib.crc32(payload) & 0xFFFFFFFF,
             wall_s=time.monotonic() - t0,
             path=path,
+            timings=timings,
         )
         mf.write_record(self.out_dir, rec)
         import json
@@ -117,24 +149,27 @@ def encode_dataset(
     (partition assignment is a pure function of row content, so a resumed run
     reproduces the remaining partitions byte-for-byte).
     """
-    ds = source
-    if isinstance(source, (str, list)):
-        ds = ray.data.read_parquet(source)
     os.makedirs(out_dir, exist_ok=True)
-
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    if n_parts is None:
-        # partitions bound the per-encoder working set (bytes-driven at scale)
-        # and must at least cover the CPUs so no encoder slot starves
-        est = ds.size_bytes() or (64 << 20)
-        n_parts = max(cpus, int(est * 3 // TARGET_PART_BYTES))
-    # the sort-shuffle's map-side parallelism follows the upstream block
-    # count; coarse input files would serialize the exchange (measured 8x
-    # slower at 64 vs 6 blocks on 200 MB), so split blocks first
-    ds = ds.repartition(max(2 * cpus, n_parts))
+    if isinstance(source, (str, list)):
+        est = ray.data.read_parquet(source).size_bytes() or (64 << 20)
+        if n_parts is None:
+            # partitions bound the per-encoder working set (bytes-driven at
+            # scale) and must at least cover the CPUs so no encoder starves
+            n_parts = max(cpus, int(est * 3 // TARGET_PART_BYTES))
+        # the sort-shuffle's map-side parallelism follows the upstream block
+        # count: coarse input files serialize the exchange (measured ~8x
+        # slower), so split at the READ (a driver-side repartition would cost
+        # a second exchange)
+        ds = ray.data.read_parquet(source, override_num_blocks=max(2 * cpus, n_parts))
+    else:
+        ds = source
+        if n_parts is None:
+            est = ds.size_bytes() or (64 << 20)
+            n_parts = max(cpus, int(est * 3 // TARGET_PART_BYTES))
 
     def _assign(batch: pa.Table) -> pa.Table:
         return assign_part_id(

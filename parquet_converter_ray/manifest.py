@@ -25,6 +25,7 @@ class LineageRecord:
     crc32: int = 0  # crc of the container payload
     wall_s: float = 0.0
     path: str = ""
+    timings: dict = field(default_factory=dict)  # phase -> seconds (observability)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self))

@@ -31,7 +31,7 @@ import ray
 import ray.data
 
 from ._util import sql_round
-from .text import hash_str64
+from .text import hash_str64, hash_tokens, rolling_gram_hashes
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -61,12 +61,12 @@ def dedup_exact(sf_dir: str) -> pa.Table:
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    toks = text.lower().split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(np.array([hash_str64(g) for g in grams], dtype=np.uint64))
+    """Token k-gram shingle hashes — vectorized (token hashes via pandas
+    siphash, gram combine via rolling mix; no per-gram Python strings)."""
+    ht = hash_tokens(text.lower().split())
+    if len(ht) == 0:
+        return np.zeros(1, dtype=np.uint64)
+    return np.unique(rolling_gram_hashes(ht, k))
 
 
 class MinHasher:
@@ -171,7 +171,7 @@ class SimHasher:
         toks = text.lower().split()
         if not toks:
             return 0
-        hs = np.array([hash_str64(t) for t in toks], dtype=np.uint64)
+        hs = hash_tokens(toks)
         bits = ((hs[:, None] >> self.shifts[None, :]) & np.uint64(1)).astype(np.int32)
         acc = (2 * bits - 1).sum(axis=0)
         return int(((acc > 0).astype(np.uint64) << self.shifts).sum())
@@ -224,10 +224,12 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 
 
 def _char_ngrams(text: str, n: int = 4) -> np.ndarray:
+    """Character n-gram hashes via rolling mix over code points (vectorized)."""
     t = text.lower()
-    if len(t) < n:
-        return np.unique(np.array([hash_str64(t)], dtype=np.uint64))
-    return np.unique(np.array([hash_str64(t[i : i + n]) for i in range(len(t) - n + 1)], dtype=np.uint64))
+    if not t:
+        return np.zeros(1, dtype=np.uint64)
+    cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    return np.unique(rolling_gram_hashes(cps, min(n, len(cps))))
 
 
 def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5) -> pa.Table:

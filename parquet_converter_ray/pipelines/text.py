@@ -140,8 +140,7 @@ def winnow_fingerprints(sf_dir: str, k: int = 5, w: int = 4) -> pa.Table:
                 out_ids.append(doc_id)
                 out_fps.append([])
                 continue
-            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-            hs = np.array([hash_str64(g) for g in grams], dtype=np.uint64)
+            hs = rolling_gram_hashes(hash_tokens(toks), k)
             if len(hs) >= w:
                 win = np.lib.stride_tricks.sliding_window_view(hs, w)
                 fps = np.unique(win.min(axis=1))
@@ -158,3 +157,32 @@ def winnow_fingerprints(sf_dir: str, k: int = 5, w: int = 4) -> pa.Table:
 def hash_str64(s: str) -> int:
     """Stable 64-bit string hash (md5-derived — process-independent)."""
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+def hash_tokens(tokens: list[str]) -> np.ndarray:
+    """Vectorized stable uint64 hash per token (pandas siphash, fixed key —
+    process-independent). C-speed; use instead of per-token md5 in hot paths."""
+    if not tokens:
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
+
+
+_G1, _G2, _G3 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F), np.uint64(0x165667B19E3779F9)
+
+
+def rolling_gram_hashes(tok_hashes: np.ndarray, k: int) -> np.ndarray:
+    """k-gram hashes from token hashes via a positional mix — no string joins.
+
+    Vectorized rolling combine: gram_i = mix(h[i], h[i+1], ..., h[i+k-1])."""
+    n = len(tok_hashes)
+    if n < k:
+        if n == 0:
+            return np.zeros(0, dtype=np.uint64)
+        acc = np.zeros(1, dtype=np.uint64)
+        for j in range(n):
+            acc = acc * _G1 + tok_hashes[j : j + 1]
+        return acc
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _G1 + tok_hashes[j : n - k + 1 + j] * _G2
+    return acc ^ (acc >> np.uint64(29))

@@ -25,7 +25,7 @@ _CACHE = "/tmp/pcr_cache"
 def _scale_rows(sf_dir: str | None) -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir or "")
     sf = float(m.group(1)) if m else 0.001
-    return max(20_000, int(sf * 6_000_000))  # sf0.01 -> 60k, sf0.1 -> 600k
+    return max(20_000, int(sf * 24_000_000))  # sf0.01 -> 240k, sf0.1 -> 2.4M
 
 
 def _input_dir(n_turns: int) -> str:
@@ -40,8 +40,7 @@ def encode_transcripts(sf_dir: str | None = None, out_dir: str | None = None, **
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
-    ds = ray.data.read_parquet(inp)
-    return encode_dataset(ds, out, salt_rows=kw.pop("salt_rows", 50_000), **kw)
+    return encode_dataset(inp, out, salt_rows=kw.pop("salt_rows", 50_000), **kw)
 
 
 def transcript_roundtrip(sf_dir: str | None = None) -> pa.Table:
