@@ -1,0 +1,142 @@
+"""CLI: encode | decode | verify | analyze | convert | stats | bench.
+
+Reference CLI had modes convert/analyze (reference cli.py:70-76); the new
+engine adds the north-star codec commands. Runnable standalone (owns its Ray
+session) or under `ray job submit -- python -m parquet_converter_ray.cli ...`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import logging
+
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="parquet-converter-ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--config", default=None, help="JSON/YAML config file")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("encode", help="encode parquet table(s) into codec containers")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--n-parts", type=int, default=None)
+    p.add_argument("--codec", default="auto")
+    p.add_argument("--salt-rows", type=int, default=100_000)
+    p.add_argument("--resume", action="store_true")
+
+    p = sub.add_parser("decode", help="decode containers back to parquet")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--columns", nargs="*", default=None)
+
+    p = sub.add_parser("verify", help="decode + compare bit-identical vs original parquet")
+    p.add_argument("encoded_dir")
+    p.add_argument("original")
+
+    p = sub.add_parser("analyze", help="profile parquet files (reference analyzer parity)")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("--report", default=None)
+    p.add_argument("--plan", action="store_true", help="also print a codec plan preview")
+
+    p = sub.add_parser("convert", help="csv/txt -> parquet (reference converter parity)")
+    p.add_argument("input")
+    p.add_argument("output")
+
+    p = sub.add_parser("stats", help="actor-pool codec stats pass over a parquet table")
+    p.add_argument("input")
+
+    args = ap.parse_args(argv)
+    from .config import EngineConfig
+
+    cfg = EngineConfig.load(args.config)
+    _init_ray(args.num_cpus)
+    import ray
+    import ray.data
+
+    try:
+        if args.cmd == "encode":
+            from .encode import encode_dataset
+
+            summary = encode_dataset(
+                args.input,
+                args.output,
+                n_parts=args.n_parts,
+                codec=args.codec if args.codec == "auto" else args.codec,
+                salt_rows=args.salt_rows,
+                resume=args.resume,
+            )
+            print(json.dumps(summary))
+        elif args.cmd == "decode":
+            from .decode import decode_dataset
+
+            ds = decode_dataset(args.input, columns=args.columns)
+            ds.write_parquet(args.output, compression=cfg.compression)
+            print(json.dumps({"rows": ray.data.read_parquet(args.output).count()}))
+        elif args.cmd == "verify":
+            import pyarrow.parquet as pq
+
+            from .decode import roundtrip_table
+
+            orig = pq.read_table(args.original)
+            ok, msg = roundtrip_table(orig, args.encoded_dir)
+            print(json.dumps({"bit_identical": ok, "detail": msg}))
+            return 0 if ok else 1
+        elif args.cmd == "analyze":
+            from .profile import analyze_files, format_report
+
+            results = analyze_files(args.inputs, column_limit=cfg.profiling_column_limit)
+            report = format_report(results)
+            if args.report:
+                with open(args.report, "w") as f:
+                    f.write(report)
+            print(report)
+            if args.plan:
+                from .stats import collect_column_stats, plan_codecs
+
+                for path in args.inputs:
+                    ds = ray.data.read_parquet(path)
+                    st = collect_column_stats(ds)
+                    print(f"\ncodec plan for {path}:")
+                    print(json.dumps(plan_codecs(st, ds.schema().base_schema), indent=2))
+        elif args.cmd == "convert":
+            import os
+
+            from .convert import convert_directory, convert_file, save_conversion_report
+
+            if os.path.isdir(args.input):
+                stats = convert_directory(args.input, args.output, cfg)
+            else:
+                stats = [convert_file(args.input, args.output, cfg)]
+            save_conversion_report(stats, args.output, cfg)
+            print(json.dumps({"files": len(stats), "failed": sum(1 for s in stats if s.errors)}))
+            return 1 if any(s.errors for s in stats) else 0
+        elif args.cmd == "stats":
+            from .stats import collect_column_stats
+
+            ds = ray.data.read_parquet(args.input)
+            print(json.dumps(collect_column_stats(ds), indent=2, default=str))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

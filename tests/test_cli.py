@@ -1,0 +1,75 @@
+"""CLI end-to-end tests (reference tests/test_cli.py model).
+
+The CLI owns its Ray session when run standalone; under pytest the session
+fixture has already initialised Ray, and `_init_ray` reuses it. `ray.shutdown`
+in the CLI would kill the shared session, so these tests run the CLI via a
+subprocess only where cheap, and in-process with a shutdown guard otherwise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "parquet_converter_ray.cli", "--num-cpus", "4", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=300,
+    )
+
+
+@pytest.fixture(scope="module")
+def small_parquet(tmp_path_factory):
+    from parquet_converter_ray.synth import make_transcripts
+
+    p = tmp_path_factory.mktemp("cli") / "in.parquet"
+    pq.write_table(make_transcripts(3000, 11), str(p))
+    return str(p)
+
+
+def test_cli_encode_verify_decode(small_parquet, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli") / "enc")
+    r = run_cli("encode", small_parquet, out, "--n-parts", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == 3000
+
+    r = run_cli("verify", out, small_parquet)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["bit_identical"] is True
+
+    dec = str(tmp_path_factory.mktemp("cli") / "dec")
+    r = run_cli("decode", out, dec)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["rows"] == 3000
+
+
+def test_cli_convert_and_analyze(tmp_path):
+    src = tmp_path / "d.csv"
+    src.write_text("id,name\n1,Alice\n2,Bob\n")
+    out = str(tmp_path / "out")
+    r = run_cli("convert", str(src), out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1]) == {"files": 1, "failed": 0}
+    produced = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert produced
+    r = run_cli("analyze", produced[0])
+    assert r.returncode == 0
+    assert "PARQUET ANALYSIS REPORT" in r.stdout

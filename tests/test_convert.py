@@ -1,0 +1,132 @@
+"""Conversion parity tests (reference tests/test_converter.py + test_cli.py model)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from parquet_converter_ray.config import EngineConfig
+from parquet_converter_ray.convert import (
+    ConversionStats,
+    convert_directory,
+    convert_file,
+    infer_parse_plan,
+    resolve_options,
+    save_conversion_report,
+)
+
+
+@pytest.fixture
+def csv_file(tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("col1,col2\n1,a\n2,b\n3,c\n")
+    return str(p)
+
+
+@pytest.fixture
+def txt_file(tmp_path):
+    p = tmp_path / "data.txt"
+    p.write_text("col1\tcol2\n1\ta\n2\tb\n3\tc\n")
+    return str(p)
+
+
+def test_csv_roundtrip(ray_session, csv_file, tmp_path):
+    """Reference test_converter.py:66-99: 3 rows, round-trip read-back."""
+    stats = convert_file(csv_file, str(tmp_path / "out"))
+    assert stats.errors == []
+    assert stats.rows_processed == 3
+    df = pd.read_parquet(stats.output_path).sort_values("col1").reset_index(drop=True)
+    assert df["col1"].tolist() == [1, 2, 3]
+    assert df["col2"].tolist() == ["a", "b", "c"]
+
+
+def test_txt_roundtrip(ray_session, txt_file, tmp_path):
+    stats = convert_file(txt_file, str(tmp_path / "out"))
+    assert stats.errors == []
+    assert stats.rows_processed == 3
+    df = pd.read_parquet(stats.output_path)
+    assert sorted(df["col2"].tolist()) == ["a", "b", "c"]
+
+
+def test_unsupported_extension_yields_error_stats(ray_session, tmp_path):
+    """Reference test_converter.py:102-113: unsupported file -> error stats, no raise."""
+    p = tmp_path / "data.json"
+    p.write_text("{}")
+    stats = convert_file(str(p), str(tmp_path / "out"))
+    assert stats.errors
+    assert stats.rows_converted == 0
+
+
+def test_convert_directory_isolates_failures(ray_session, tmp_path):
+    """Reference test_converter.py:116-158: 2 valid + 1 invalid -> 2 outputs."""
+    (tmp_path / "a.csv").write_text("x,y\n1,p\n")
+    (tmp_path / "b.txt").write_text("x\ty\n2\tq\n")
+    (tmp_path / "c.xml").write_text("<x/>")
+    out = str(tmp_path / "out")
+    stats = convert_directory(str(tmp_path), out)
+    ok = [s for s in stats if not s.errors]
+    assert len(ok) == 2
+    report = save_conversion_report(stats, out, EngineConfig())
+    assert os.path.exists(report)
+
+
+def test_empty_directory(ray_session, tmp_path):
+    assert convert_directory(str(tmp_path), str(tmp_path / "out")) == []
+
+
+def test_inference_precedence():
+    """Reference parser.py:154-268 precedence on the F5 fixture shape."""
+    df = pd.DataFrame(
+        {
+            "id": ["1", "2", "3"],
+            "name": ["Alice", "Bob", "Carol"],
+            "salary": ["55000.5", "48000.0", "61000.1"],
+            "joined_date": ["2023-01-15", "2023-02-20", "2023-03-10"],
+            "is_active": ["true", "false", "TRUE"],
+            "flag01": ["1", "0", "1"],
+            "mixed": ["1", "x", "2"],
+            "empty": [None, None, None],
+        }
+    )
+    plan = infer_parse_plan(df, ["%Y-%m-%d"])
+    assert plan["id"] == ("int64",)
+    assert plan["name"] == ("string",)
+    assert plan["salary"] == ("float64",)
+    assert plan["joined_date"][0] == "datetime"
+    assert plan["is_active"] == ("boolean",)
+    assert plan["flag01"] == ("int64",)  # numeric wins over boolean for 0/1
+    assert plan["mixed"] == ("string",)
+    assert plan["empty"] == ("string",)
+
+
+def test_na_tokens(ray_session, tmp_path):
+    """["", "NA", "NULL"] -> null (reference config.py:55)."""
+    p = tmp_path / "na.csv"
+    p.write_text("v,s\n1,x\nNA,NULL\n3,\n")
+    stats = convert_file(str(p), str(tmp_path / "out"))
+    df = pd.read_parquet(stats.output_path).sort_values("v", na_position="last")
+    assert df["v"].isna().sum() == 1
+    assert df["s"].isna().sum() == 2
+    assert str(df["v"].dtype) in ("Int64", "int64", "float64")
+
+
+def test_explicit_dtype_override():
+    df = pd.DataFrame({"zip": ["01234", "05678"]})
+    plan = infer_parse_plan(df, [], dtypes={"zip": "string"})
+    assert plan["zip"] == ("dtype", "string")
+
+
+def test_resolve_options_dispatch():
+    cfg = EngineConfig()
+    assert resolve_options("x.csv", cfg).delimiter == ","
+    assert resolve_options("x.txt", cfg).delimiter == "\t"
+    with pytest.raises(ValueError):
+        resolve_options("x.parquet", cfg)
+
+
+def test_stats_serializable():
+    s = ConversionStats(input_path="a.csv", rows_processed=5)
+    d = s.to_dict()
+    assert d["input_path"] == "a.csv" and d["rows_processed"] == 5
