@@ -225,12 +225,25 @@ def compress(data: bytes, table: FsstTable, slab_size: int = _SLAB) -> bytes:
     a boundary)."""
     if len(data) == 0:
         return b""
+    payload, _ = compress_slabbed(data, table, slab_size)
+    return payload
+
+
+def compress_slabbed(
+    data: bytes, table: FsstTable, slab_size: int = _SLAB
+) -> tuple[bytes, list[list[int]]]:
+    """Slab-wise encode returning (payload, [[enc_len, dec_len], ...]) so
+    decode can also work slab-by-slab (cache-resident both ways)."""
+    if len(data) == 0:
+        return b"", []
     pm = _pairmap(table.merges)
     lit = _lit_table(pm)
     raw = np.frombuffer(data, dtype=np.uint8)
     parts = []
+    slabs: list[list[int]] = []
     for off in range(0, len(raw), slab_size):
-        seq = raw[off : off + slab_size].astype(np.uint16)
+        chunk = raw[off : off + slab_size]
+        seq = chunk.astype(np.uint16)
         seq = _replace_pass0(seq, lit)
         seq = _replace_all(seq, pm)
         codes = table.code_map[seq]
@@ -242,10 +255,41 @@ def compress(data: bytes, table: FsstTable, slab_size: int = _SLAB) -> bytes:
         out[starts] = np.where(esc, _ESCAPE, codes).astype(np.uint8)
         out[starts[esc] + 1] = seq[esc].astype(np.uint8)
         parts.append(out.tobytes())
-    return b"".join(parts)
+        slabs.append([len(parts[-1]), len(chunk)])
+    return b"".join(parts), slabs
 
 
-def decompress(payload: bytes, code_syms: list[bytes]) -> bytes:
+def decompress(payload: bytes, code_syms: list[bytes], slabs: list[list[int]] | None = None) -> bytes:
+    """Decode a payload; with ``slabs`` metadata, decode slab-by-slab so the
+    unit/gather working set stays cache-resident (same scaling rationale as
+    ``compress_slabbed``)."""
+    if slabs:
+        tables = _expansion_tables(code_syms)
+        parts = []
+        off = 0
+        for enc_len, _dec_len in slabs:
+            parts.append(_decompress_one(payload[off : off + enc_len], tables))
+            off += enc_len
+        return b"".join(parts)
+    return _decompress_one(payload, _expansion_tables(code_syms))
+
+
+def _expansion_tables(code_syms: list[bytes]):
+    flat = b"".join(code_syms) + bytes(range(256))
+    lens = np.zeros(511, dtype=np.int64)
+    starts = np.zeros(511, dtype=np.int64)
+    off = 0
+    for i, s in enumerate(code_syms):
+        starts[i] = off
+        lens[i] = len(s)
+        off += len(s)
+    starts[255:511] = off + np.arange(256)
+    lens[255:511] = 1
+    return np.frombuffer(flat, dtype=np.uint8), starts, lens
+
+
+def _decompress_one(payload: bytes, tables) -> bytes:
+    flat_np, starts, lens = tables
     b = np.frombuffer(payload, dtype=np.uint8)
     if len(b) == 0:
         return b""
@@ -269,19 +313,7 @@ def decompress(payload: bytes, code_syms: list[bytes]) -> bytes:
         ids = ids[np.argsort(allpos, kind="stable")]
     else:
         ids = b.astype(np.int32)
-    # expansion tables: ids 0..254 -> code_syms, ids 255..510 -> literal byte (id-255)
-    k = len(code_syms)
-    flat = b"".join(code_syms) + bytes(range(256))
-    lens = np.zeros(511, dtype=np.int64)
-    starts = np.zeros(511, dtype=np.int64)
-    off = 0
-    for i, s in enumerate(code_syms):
-        starts[i] = off
-        lens[i] = len(s)
-        off += len(s)
-    starts[255:511] = off + np.arange(256)
-    lens[255:511] = 1
-    flat_np = np.frombuffer(flat, dtype=np.uint8)
+    # expansion: ids 0..254 -> code_syms, ids 255..510 -> literal byte (id-255)
     l = lens[ids]
     total = int(l.sum())
     out_ends = np.cumsum(l)
@@ -299,10 +331,10 @@ def enc_fsst(arr: pa.Array, table: FsstTable | None = None):
     lens, data = str_parts(arr)
     if table is None:
         table = train(data)
-    payload = compress(data, table)
+    payload, slabs = compress_slabbed(data, table)
     lmeta, lbufs = enc_for(lens)
     sym_lens = [len(s) for s in table.code_syms]
-    meta = {"lmeta": lmeta, "sym_lens": sym_lens}
+    meta = {"lmeta": lmeta, "sym_lens": sym_lens, "slabs": slabs}
     sym_flat = b"".join(table.code_syms)
     return meta, [lbufs[0], sym_flat, payload]
 
@@ -315,5 +347,5 @@ def dec_fsst(meta, bufs, n):
     for sl in meta["sym_lens"]:
         code_syms.append(sym_flat[off : off + sl])
         off += sl
-    data = decompress(bufs[2], code_syms)
+    data = decompress(bufs[2], code_syms, slabs=meta.get("slabs"))
     return str_build(lens, data)
