@@ -56,15 +56,26 @@ def run_bench() -> dict:
     n_turns = _scale_rows(SF_DIR)
     inp = _input_dir(n_turns)  # cached deterministic synth
 
-    # reference size: plain parquet+snappy of the same table (what the
-    # reference converter would emit) — cached
-    ref_path = os.path.join(CACHE, f"reference-{n_turns}.parquet")
-    if not os.path.exists(ref_path):
-        import pyarrow as pa
-
-        tbls = [pq.read_table(os.path.join(inp, f)) for f in sorted(os.listdir(inp)) if f.endswith(".parquet")]
-        pq.write_table(pa.concat_tables(tbls), ref_path, compression="snappy")
-    ref_bytes = os.path.getsize(ref_path)
+    # reference size: parquet+snappy of the same table, one output per input
+    # file exactly like the reference converter (converter.py:222) — cached
+    ref_dir = os.path.join(CACHE, f"reference-{n_turns}")
+    marker = os.path.join(ref_dir, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(ref_dir, ignore_errors=True)
+        os.makedirs(ref_dir)
+        for f in sorted(os.listdir(inp)):
+            if f.endswith(".parquet"):
+                pq.write_table(
+                    pq.read_table(os.path.join(inp, f)),
+                    os.path.join(ref_dir, f),
+                    compression="snappy",
+                )
+        open(marker, "w").close()
+    ref_bytes = sum(
+        os.path.getsize(os.path.join(ref_dir, f))
+        for f in os.listdir(ref_dir)
+        if f.endswith(".parquet")
+    )
 
     # warm page cache (measure compute+shuffle, not first disk read)
     ray.data.read_parquet(inp).count()

@@ -28,14 +28,25 @@ GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 def stable_hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """Per-row stable uint64 hash of a string column (crc32 over uniques)."""
-    uniq = pc.unique(arr)
-    hashes = np.array(
-        [zlib.crc32(u.encode() if isinstance(u, str) else u) for u in uniq.to_pylist()],
-        dtype=np.uint64,
-    )
-    idx = pc.index_in(arr, value_set=uniq).to_numpy(zero_copy_only=False).astype(np.int64)
-    return hashes[idx]
+    """Per-row stable uint64 hash of a string column.
+
+    Fast path: polars ``hash`` (vectorized Rust, zero-copy from Arrow,
+    seed-stable across processes within a polars version — sufficient for
+    resume in one environment). Fallback: crc32 over the column's uniques
+    scattered back with ``index_in`` (version-independent, slower)."""
+    try:
+        import polars as pl
+
+        s = pl.from_arrow(arr if isinstance(arr, pa.Array) else arr.combine_chunks())
+        return s.hash(seed=0).to_numpy().astype(np.uint64)
+    except ImportError:
+        uniq = pc.unique(arr)
+        hashes = np.array(
+            [zlib.crc32(u.encode() if isinstance(u, str) else u) for u in uniq.to_pylist()],
+            dtype=np.uint64,
+        )
+        idx = pc.index_in(arr, value_set=uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+        return hashes[idx]
 
 
 def assign_part_id(

@@ -25,7 +25,7 @@ _CACHE = "/tmp/pcr_cache"
 def _scale_rows(sf_dir: str | None) -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir or "")
     sf = float(m.group(1)) if m else 0.001
-    return max(20_000, int(sf * 24_000_000))  # sf0.01 -> 240k, sf0.1 -> 2.4M
+    return max(20_000, int(sf * 96_000_000))  # sf0.01 -> 960k, sf0.1 -> 9.6M
 
 
 def _input_dir(n_turns: int) -> str:

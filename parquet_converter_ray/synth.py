@@ -53,8 +53,11 @@ def _vocab(rng: np.random.Generator, size: int = 800) -> np.ndarray:
     return np.array(words)
 
 
-def make_transcripts(n_turns: int, seed: int = 42) -> pa.Table:
-    """Build a deterministic transcript table with exactly ``n_turns`` rows."""
+def make_transcripts(n_turns: int, seed: int = 42, conv_offset: int = 0) -> pa.Table:
+    """Build a deterministic transcript table with exactly ``n_turns`` rows.
+
+    ``conv_offset`` shifts the conversation-id numbering so independently
+    generated chunks (write_transcripts at >2M rows) never collide."""
     rng = np.random.default_rng(seed)
 
     # --- conversation lengths: Zipf-ish tail + one mega-conversation ---
@@ -81,7 +84,7 @@ def make_transcripts(n_turns: int, seed: int = 42) -> pa.Table:
     conv_idx = np.repeat(np.arange(n_conv), lens)
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     turn_idx = (np.arange(n_turns) - np.repeat(starts, lens)).astype(np.int32)
-    conv_names = np.array([f"conv-{i:08d}" for i in range(n_conv)])
+    conv_names = np.array([f"conv-{conv_offset + i:08d}" for i in range(n_conv)])
     conv_id = conv_names[conv_idx]
 
     # --- roles: system at turn 0, then user/assistant alternation + tool turns ---
@@ -158,9 +161,18 @@ def write_transcripts(path: str, n_turns: int, seed: int = 42, rows_per_file: in
         if m.get("n_turns") == n_turns and m.get("seed") == seed:
             return path
     os.makedirs(path, exist_ok=True)
-    t = make_transcripts(n_turns, seed)
-    for i in range(0, max(t.num_rows, 1), rows_per_file):
-        pq.write_table(t.slice(i, rows_per_file), os.path.join(path, f"input-{i // rows_per_file:05d}.parquet"))
+    # generate in <=2M-row chunks (Arrow 2 GB string-array limit) with
+    # disjoint conversation-id ranges; deterministic per (n_turns, seed)
+    chunk_rows = 2_000_000
+    file_idx = 0
+    for c, start in enumerate(range(0, n_turns, chunk_rows)):
+        n = min(chunk_rows, n_turns - start)
+        t = make_transcripts(n, seed + c, conv_offset=c * 10_000_000)
+        for i in range(0, max(t.num_rows, 1), rows_per_file):
+            pq.write_table(
+                t.slice(i, rows_per_file), os.path.join(path, f"input-{file_idx:05d}.parquet")
+            )
+            file_idx += 1
     import json
 
     with open(meta_file, "w") as f:
