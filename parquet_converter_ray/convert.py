@@ -65,6 +65,11 @@ def resolve_options(path: str, cfg: EngineConfig) -> ReaderOptions:
 
 
 def _read_sample(path: str, opts: ReaderOptions, sample_rows: int) -> pd.DataFrame:
+    kwargs: dict = {"nrows": sample_rows}
+    if opts.skip_footer > 0:
+        # pandas python engine forbids nrows with skipfooter; the footer path
+        # is eager/legacy anyway, so sample = whole file minus footer
+        kwargs = {"skipfooter": opts.skip_footer}
     return pd.read_csv(
         path,
         sep=opts.delimiter,
@@ -74,9 +79,9 @@ def _read_sample(path: str, opts: ReaderOptions, sample_rows: int) -> pd.DataFra
         na_values=opts.na_values,
         keep_default_na=False,
         skiprows=opts.skip_rows,
-        nrows=sample_rows,
         dtype=str,
         engine="python",
+        **kwargs,
     )
 
 
@@ -231,7 +236,25 @@ def convert_file(
         opts = resolve_options(input_path, cfg)
         sample = _read_sample(input_path, opts, cfg.sample_rows)
         plan = infer_parse_plan(sample, cfg.datetime_formats, opts.dtypes)
-        ds = read_delimited(input_path, opts)
+        if opts.skip_footer > 0:
+            # Arrow CSV has no skip-footer; use the legacy eager path for this
+            # rarely-used option (reference parser.py:98,144 pandas semantics)
+            df = pd.read_csv(
+                input_path,
+                sep=opts.delimiter,
+                encoding=opts.encoding,
+                header=0 if opts.header else None,
+                names=opts.column_names,
+                na_values=opts.na_values,
+                keep_default_na=False,
+                skiprows=opts.skip_rows,
+                skipfooter=opts.skip_footer,
+                dtype=str,
+                engine="python",
+            )
+            ds = ray.data.from_pandas(df)
+        else:
+            ds = read_delimited(input_path, opts)
         ds = ds.map_batches(ApplyParsePlan(plan), batch_format="pandas")
         stem = os.path.splitext(os.path.basename(input_path))[0]
         out = os.path.join(output_dir, stem)

@@ -130,3 +130,17 @@ def test_stats_serializable():
     s = ConversionStats(input_path="a.csv", rows_processed=5)
     d = s.to_dict()
     assert d["input_path"] == "a.csv" and d["rows_processed"] == 5
+
+
+def test_skip_footer_legacy_path(ray_session, tmp_path):
+    p = tmp_path / "f.csv"
+    p.write_text("a,b\n1,x\n2,y\nTOTAL,2\n")
+    from parquet_converter_ray.config import EngineConfig
+
+    cfg = EngineConfig()
+    cfg.csv.skip_footer = 1
+    stats = convert_file(str(p), str(tmp_path / "out"), cfg)
+    assert stats.errors == []
+    df = pd.read_parquet(stats.output_path)
+    assert len(df) == 2
+    assert str(df["a"].dtype) in ("Int64", "int64")
