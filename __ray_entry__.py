@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": relational.orders_by_month,
         "events_hourly_window": relational.events_hourly_window,
         "segment_revenue": relational.segment_revenue,
+        "customers_without_orders": relational.customers_without_orders,
+        "events_sessionize": relational.events_sessionize,
+        "events_json_mean": relational.events_json_mean,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "char_stats": text.char_stats,
@@ -151,6 +154,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """,
+        "events_sessionize": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS ns
+                FROM events),
+            s AS (SELECT user_id, ts,
+                         sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM e)
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+        "events_json_mean": """
+            SELECT event_type,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)),4) AS mean_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "token_counts": r"""
             SELECT doc_id,

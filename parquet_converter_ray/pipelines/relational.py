@@ -268,3 +268,89 @@ def segment_revenue(sf_dir: str) -> pa.Table:
     out["total"] = sql_round(out["total"], 2)
     out["n_orders"] = out["n_orders"].astype("int64")
     return pa.Table.from_pandas(out.sort_values("c_mktsegment"), preserve_index=False)
+
+
+# --- anti-join (broadcast key set, vectorized filter) ------------------------
+
+
+def customers_without_orders(sf_dir: str) -> pa.Table:
+    """Customers with no order above $400k — anti-join via a broadcast key
+    set + vectorized ``is_in`` filter (no shuffle of either side beyond the
+    tiny key set; the Bloom-filter variant at 10^12 scale is the same shape)."""
+    big_orders = (
+        _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["o_totalprice"], 400_000.0)).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    keys = pa.array(np.unique(big_orders["o_custkey"].to_numpy()))
+    ref = ray.put(keys)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = pc.invert(pc.is_in(batch["c_custkey"], value_set=ks))
+        return batch.filter(mask).select(["c_custkey"])
+
+    out = _t(sf_dir, "customer", columns=["c_custkey"]).map_batches(anti, batch_format="pyarrow")
+    return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow"))).sort_by("c_custkey")
+
+
+# --- session windows (gap-based, per-key map_groups over sorted groups) ------
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Gap-based session windows per user: groupby(user_id).map_groups sorts
+    each user's events by ts and cuts sessions at gaps > ``gap_minutes``.
+    Partitioning assumption: one user's events fit one group (holds at
+    10^12 scale for bounded per-user activity; hot users would salt by day)."""
+    gap = np.timedelta64(gap_minutes * 60_000_000, "us")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy()
+        new_s = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new_s[1:] = (np.diff(ts) > gap).astype(np.int64)
+        sid = np.cumsum(new_s)
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "sid": sid, "ts": ts})
+        return out.groupby(["user_id", "sid"], as_index=False).agg(
+            session_start=("ts", "min"), n_events=("ts", "size")
+        )[["user_id", "session_start", "n_events"]]
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"])
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["session_start"] = out["session_start"].astype("datetime64[us]")
+    return pa.Table.from_pandas(out.sort_values(["user_id", "session_start"]), preserve_index=False)
+
+
+# --- JSON scalar extraction --------------------------------------------------
+
+
+def events_json_mean(sf_dir: str) -> pa.Table:
+    """Extract props->'k' (JSON) per event, average per event_type — the JSON
+    scalar-function family (reference uses JSON only for config/report I/O;
+    this is the data-plane variant a transcript pipeline needs)."""
+    import json as _json
+
+    def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = batch["props"].map(lambda s: _json.loads(s).get("k"))
+        df = pd.DataFrame({"event_type": batch["event_type"], "k": ks.astype("float64")})
+        return df.groupby("event_type", as_index=False).agg(k_sum=("k", "sum"), n=("k", "size"))
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _t(sf_dir, "events", columns=["event_type", "props"])
+        .map_batches(extract, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("k_sum", alias_name="k_sum"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["mean_k"] = sql_round(out["k_sum"] / out["n"], 4)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["event_type", "mean_k", "n"]].sort_values("event_type"), preserve_index=False
+    )

@@ -52,6 +52,9 @@ SQL_CHECKED = [
     "orders_by_month",
     "events_hourly_window",
     "segment_revenue",
+    "customers_without_orders",
+    "events_sessionize",
+    "events_json_mean",
     "token_counts",
     "char_stats",
     "doc_fingerprint",
