@@ -106,29 +106,58 @@ def minhash_candidates(
     )
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        out_band, out_hash, out_doc = [], [], []
-        for doc_id, sig in zip(batch["doc_id"], batch["sig"]):
-            s = np.asarray(sig, dtype=np.uint64).reshape(bands, rows)
-            for b in range(bands):
-                out_band.append(b)
-                out_hash.append(int(hash_str64("-".join(map(str, s[b])))))
-                out_doc.append(doc_id)
-        return pd.DataFrame({"band": out_band, "bhash": out_hash, "doc_id": out_doc})
+        # bucket key = mix of band id and the band's signature rows, fully
+        # vectorized over (docs x bands); collisions only add candidate pairs
+        # (verified later), never lose true ones within a band
+        sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in batch["sig"]])
+        s3 = sigs.reshape(len(sigs), bands, rows)
+        acc = np.full((len(sigs), bands), 0x9E3779B97F4A7C15, dtype=np.uint64)
+        for r in range(rows):
+            acc = (acc ^ s3[:, :, r]) * np.uint64(0x100000001B3)
+        acc = acc * np.uint64(bands) + np.arange(bands, dtype=np.uint64)[None, :]
+        return pd.DataFrame(
+            {
+                "key": acc.reshape(-1).astype(np.int64),
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
+            }
+        )
 
-    buckets = ds.map_batches(explode, batch_format="pandas")
+    # (key, doc_id) pairs are tiny (16 ints/doc) — materialize so the two
+    # consumers below don't re-execute the signature stage
+    buckets = ds.map_batches(explode, batch_format="pandas").materialize()
+    # LSH guarantees hot buckets are rare. Detect them with per-batch partial
+    # (key, count) rows merged on the driver — mergeable-sketch pattern; a
+    # distributed groupby would also work but Ray's per-key groupby overhead
+    # dwarfs this data size (measured 80s for 80k rows vs <1s here).
+    def key_counts(batch: pa.Table) -> pa.Table:
+        k, c = np.unique(batch["key"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"key": k, "cnt": c.astype(np.int64)})
 
-    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].tolist())[:50]  # cap giant buckets
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+    parts = pa.concat_tables(
+        list(buckets.map_batches(key_counts, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    ).to_pandas()
+    counts = parts.groupby("key", as_index=False)["cnt"].sum()
+    hot = counts[counts["cnt"] > 1]["key"]
+    if len(hot) == 0:
+        return pa.table({"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())})
+    hot_arr = pa.array(hot.to_numpy(), type=pa.int64())
 
-    cand = buckets.groupby(["band", "bhash"]).map_groups(pairs_of, batch_format="pandas")
-    pdf = cand.to_pandas().drop_duplicates().sort_values(["id_a", "id_b"])
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    def only_hot(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch["key"], value_set=hot_arr))
+
+    members = buckets.map_batches(only_hot, batch_format="pyarrow").to_pandas()
+    pairs = []
+    for _, grp in members.groupby("key"):
+        ids = np.sort(grp["doc_id"].unique())[:50]  # cap giant buckets
+        if len(ids) > 1:
+            ii, jj = np.triu_indices(len(ids), 1)
+            pairs.append(np.stack([ids[ii], ids[jj]], axis=1))
+    if not pairs:
+        return pa.table({"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())})
+    allp = np.unique(np.concatenate(pairs), axis=0)
+    return pa.table({"id_a": pa.array(allp[:, 0], type=pa.int64()), "id_b": pa.array(allp[:, 1], type=pa.int64())})
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.7) -> pa.Table:
