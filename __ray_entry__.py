@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "events_sessionize": relational.events_sessionize,
         "events_json_mean": relational.events_json_mean,
+        "user_event_sequence": relational.user_event_sequence,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "char_stats": text.char_stats,
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_roundtrip": transcripts.transcript_roundtrip,
         "transcript_codec_plan": transcripts.transcript_codec_plan,
         "convert_csv_roundtrip": transcripts.convert_csv_roundtrip,
+        "lineitem_codec_roundtrip": transcripts.lineitem_codec_roundtrip,
         # --- multimodal plumbing (stubbed decode) ---
         "multimodal_features": multimodal.multimodal_features,
     }
@@ -179,6 +181,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY event_type
         """,
+        "user_event_sequence": """
+            SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        """,
+        "lineitem_codec_roundtrip": "SELECT * FROM lineitem",
         "token_counts": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

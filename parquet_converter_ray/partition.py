@@ -49,6 +49,14 @@ def stable_hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
         return hashes[idx]
 
 
+def stable_hash_ints(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Per-row stable uint64 hash of an integer column (splitmix64 finalizer)."""
+    v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return v ^ (v >> np.uint64(31))
+
+
 def assign_part_id(
     batch: pa.Table,
     n_parts: int,
@@ -57,7 +65,11 @@ def assign_part_id(
     salt_rows: int = 100_000,
 ) -> pa.Table:
     """Append a ``part_id`` column. Pure function of row content — resume-stable."""
-    h = stable_hash_strings(batch[conv_col])
+    key = batch[conv_col]
+    if pa.types.is_integer(key.type if not isinstance(key, pa.ChunkedArray) else key.type):
+        h = stable_hash_ints(key)
+    else:
+        h = stable_hash_strings(key)
     if salt_rows and order_col in batch.column_names:
         salt = (
             batch[order_col].cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)

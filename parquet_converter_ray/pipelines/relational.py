@@ -354,3 +354,23 @@ def events_json_mean(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["event_type", "mean_k", "n"]].sort_values("event_type"), preserve_index=False
     )
+
+
+# --- per-key event sequences (ordered aggregation within groups) -------------
+
+
+def user_event_sequence(sf_dir: str) -> pa.Table:
+    """Event-type sequence per user, ordered by (ts, event_id) — the ordered
+    string-aggregation shape of conversation reassembly (groupby + sorted
+    within-group join). Oracle: string_agg(... ORDER BY ts, event_id)."""
+
+    def seq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "seq": [",".join(g["event_type"])]}
+        )
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    out = ds.groupby("user_id").map_groups(seq, batch_format="pandas").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values("user_id"), preserve_index=False)

@@ -111,3 +111,25 @@ def convert_csv_roundtrip(sf_dir: str | None = None) -> pa.Table:
         .to_pandas()
     )
     return pa.Table.from_pandas(tbl, preserve_index=False)
+
+
+def lineitem_codec_roundtrip(sf_dir: str) -> pa.Table:
+    """Generic-table codec roundtrip: the container engine is not transcript-
+    specific — encode the TPC-H lineitem table (ints, floats, strings,
+    timestamps) keyed on l_orderkey and decode it back bit-identically.
+    Oracle: SELECT * FROM lineitem (order-insensitive value compare)."""
+    import shutil
+
+    out = os.path.join(_CACHE, "encoded-lineitem")
+    shutil.rmtree(out, ignore_errors=True)
+    encode_dataset(
+        f"{sf_dir}/lineitem.parquet",
+        out,
+        conv_col="l_orderkey",
+        order_col="l_linenumber",
+        sort_key=("l_orderkey", "l_linenumber"),
+        salt_rows=100_000,
+    )
+    decoded = decode_dataset(out)
+    tbl = pa.concat_tables(list(decoded.iter_batches(batch_format="pyarrow")))
+    return tbl.sort_by([("l_orderkey", "ascending"), ("l_linenumber", "ascending")])

@@ -55,6 +55,8 @@ SQL_CHECKED = [
     "customers_without_orders",
     "events_sessionize",
     "events_json_mean",
+    "user_event_sequence",
+    "lineitem_codec_roundtrip",
     "token_counts",
     "char_stats",
     "doc_fingerprint",

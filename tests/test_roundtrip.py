@@ -135,3 +135,23 @@ def test_mega_conversation_salting(ray_session, transcripts, tmp_path):
         if pc.any(pc.equal(tbl["conv_id"], mega)).as_py():
             hits += 1
     assert hits >= 2, "mega-conversation should be split across partitions"
+
+
+def test_distributed_fingerprint_verify(ray_session, transcripts, tmp_path):
+    import ray.data
+
+    from parquet_converter_ray.decode import dataset_fingerprint, verify_distributed
+
+    out = str(tmp_path / "enc")
+    encode_dataset(ray.data.from_arrow(transcripts), out, n_parts=4)
+    ok, detail = verify_distributed(ray.data.from_arrow(transcripts), out)
+    assert ok, detail
+    # a corrupted decode must NOT match
+    broken = transcripts.set_column(
+        transcripts.schema.get_field_index("turn_idx"),
+        "turn_idx",
+        pa.array([0] * transcripts.num_rows, type=pa.int32()),
+    )
+    fp_bad = dataset_fingerprint(ray.data.from_arrow(broken))
+    fp_good = dataset_fingerprint(ray.data.from_arrow(transcripts))
+    assert fp_bad != fp_good
