@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_embedding": dedup.dedup_embedding,
+        "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
         # --- similarity search ---
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,

@@ -50,6 +50,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("verify", help="decode + compare bit-identical vs original parquet")
     p.add_argument("encoded_dir")
     p.add_argument("original")
+    p.add_argument("--distributed", action="store_true",
+                   help="streaming order-insensitive fingerprint compare (no driver materialization)")
 
     p = sub.add_parser("analyze", help="profile parquet files (reference analyzer parity)")
     p.add_argument("inputs", nargs="+")
@@ -91,13 +93,19 @@ def main(argv: list[str] | None = None) -> int:
             ds.write_parquet(args.output, compression=cfg.compression)
             print(json.dumps({"rows": ray.data.read_parquet(args.output).count()}))
         elif args.cmd == "verify":
-            import pyarrow.parquet as pq
+            if args.distributed:
+                from .decode import verify_distributed
 
-            from .decode import roundtrip_table
+                ok, detail = verify_distributed(args.original, args.encoded_dir)
+                print(json.dumps({"bit_identical": ok, "detail": detail}))
+            else:
+                import pyarrow.parquet as pq
 
-            orig = pq.read_table(args.original)
-            ok, msg = roundtrip_table(orig, args.encoded_dir)
-            print(json.dumps({"bit_identical": ok, "detail": msg}))
+                from .decode import roundtrip_table
+
+                orig = pq.read_table(args.original)
+                ok, msg = roundtrip_table(orig, args.encoded_dir)
+                print(json.dumps({"bit_identical": ok, "detail": msg}))
             return 0 if ok else 1
         elif args.cmd == "analyze":
             from .profile import analyze_files, format_report

@@ -330,3 +330,36 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.45) -> pa.Table:
         )
     out = out.sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.45, n_planes: int = 6) -> pa.Table:
+    """LSH-bucketed cosine near-dup — the 10^12-scale path for
+    ``dedup_embedding``: random-hyperplane sign buckets, candidate pairs only
+    within a bucket or Hamming-1 neighbour buckets, exact cosine verify.
+    Approximate (recall < 1 by design); rows-only check."""
+    from .similarity import LshIndexer
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = emb.map_batches(
+        LshIndexer, fn_constructor_kwargs={"n_planes": n_planes},
+        batch_format="pandas", batch_size=4096, concurrency=2,
+    )
+
+    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("vec_id").head(200)
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cos = m @ m.T
+        ii, jj = np.nonzero(np.triu(cos >= threshold, 1))
+        return pd.DataFrame(
+            {"id_a": ids[ii].astype("int64"), "id_b": ids[jj].astype("int64"), "cos": sql_round(cos[ii, jj], 4)}
+        )
+
+    out = ds.groupby("bucket").map_groups(pairs_of, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return pa.table({"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64()), "cos": pa.array([], type=pa.float64())})
+    out = out.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -85,6 +85,7 @@ def test_all_queries_have_oracle_or_are_documented(ray_session):
         "dedup_minhash",
         "dedup_simhash",
         "dedup_ngram_jaccard",
+        "dedup_embedding_lsh",
         "knn_lsh",
         "transcript_roundtrip",
         "transcript_codec_plan",
