@@ -5,11 +5,12 @@ then a streaming ``read_csv -> map_batches(cast) -> write_parquet`` pipeline —
 Ray Data's streaming executor replaces the polars sink
 (reference converter.py:514-589) and parallelises across files and blocks.
 
-Schema inference reproduces the reference's pandas-path precedence exactly
-(reference parser.py:154-268): datetime (default parse, then each configured
-format, lenient any-parse-accepts with coerce-to-null) -> integer (nullable
-Int64 when all values integral) -> float64 -> boolean ({"true","false","1","0"}
-case-insensitive) -> string. The inference runs ONCE on a driver-side sample of
+Schema inference follows the reference's precedence (parser.py:154-268) with
+the DEFAULT engine's sample-schema semantics (converter.py:453-511): numeric
+guard first (all-numeric columns are Int64/float64, never datetime), then
+datetime (default mixed parse, then each configured format; strict all-parse
+sample commit, later rows coerce to null), then boolean
+({"true","false","1","0"} case-insensitive), then string. The inference runs ONCE on a driver-side sample of
 ``sample_rows`` rows (pandas — identical semantics to the reference legacy
 engine); the committed plan is then applied VECTORIZED per batch in
 ``map_batches`` across the cluster. NA tokens ["", "NA", "NULL"]
@@ -21,7 +22,6 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.csv as pacsv

@@ -31,7 +31,7 @@ import ray
 import ray.data
 
 from ._util import sql_round
-from .text import hash_str64, hash_tokens, rolling_gram_hashes
+from .text import hash_tokens, rolling_gram_hashes
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
