@@ -205,6 +205,15 @@ def choose_codec(kind: str, vals, n: int) -> tuple[str, dict]:
 
 
 def encode_array(arr, codec: str = "auto") -> ColumnBlob:
+    """Encode one column; ``codec="auto"`` runs the sampled cost model.
+
+    Examples
+    --------
+    >>> import pyarrow as pa
+    >>> blob = encode_array(pa.array(["a", "b", "a", None]), codec="dict")
+    >>> decode_array(blob).to_pylist()
+    ['a', 'b', 'a', None]
+    """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type

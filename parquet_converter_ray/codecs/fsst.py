@@ -35,7 +35,7 @@ from .numeric import dec_for, enc_for
 from .strings import str_build, str_parts
 
 _MAX_SYMBOL_LEN = 8
-_MAX_MERGES = 192
+_MAX_MERGES = 128
 _ESCAPE = 255
 _ALPHA = 512  # working alphabet: 0..255 literals, 256..511 merge codes
 
@@ -213,6 +213,17 @@ _SLAB = 256 << 10  # compress in ~256 KB slabs: intermediates stay cache-residen
 
 def compress(data: bytes, table: FsstTable, slab_size: int = _SLAB) -> bytes:
     """Slab-wise FSST encode.
+
+    Examples
+    --------
+    >>> data = b"the quick brown fox " * 100
+    >>> t = train(data)
+    >>> enc = compress(data, t)
+    >>> len(enc) < len(data) // 2
+    True
+    >>> decompress(enc, t.code_syms) == data
+    True
+    
 
     The pair-replacement passes amplify memory traffic ~25x (uint16 working
     array, int32 keys/codes, masks, compaction). Processed whole, a 20 MB

@@ -44,7 +44,13 @@ def unwrap_buf(buf: bytes) -> bytes:
 
 
 def bit_width(max_val: int) -> int:
-    """Bits needed to represent max_val (0 -> 0 bits)."""
+    """Bits needed to represent max_val (0 -> 0 bits).
+
+    Examples
+    --------
+    >>> bit_width(0), bit_width(1), bit_width(255), bit_width(256)
+    (0, 1, 8, 9)
+    """
     return int(max_val).bit_length()
 
 
@@ -73,7 +79,14 @@ def bitunpack(buf: bytes, width: int, n: int) -> np.ndarray:
 
 
 def rle_split(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Split array into (run_values, run_lengths). Works for any comparable dtype."""
+    """Split array into (run_values, run_lengths). Works for any comparable dtype.
+
+    Examples
+    --------
+    >>> v, l = rle_split(np.array([7, 7, 7, 2, 2, 9]))
+    >>> v.tolist(), l.tolist()
+    ([7, 2, 9], [3, 2, 1])
+    """
     n = len(a)
     if n == 0:
         return a[:0], np.zeros(0, dtype=np.int64)
@@ -91,7 +104,13 @@ def rle_join(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
 
 
 def zigzag(a: np.ndarray) -> np.ndarray:
-    """int64 -> uint64 zigzag: 0,-1,1,-2,2 ... -> 0,1,2,3,4."""
+    """int64 -> uint64 zigzag: 0,-1,1,-2,2 ... -> 0,1,2,3,4.
+
+    Examples
+    --------
+    >>> zigzag(np.array([0, -1, 1, -2, 2])).tolist()
+    [0, 1, 2, 3, 4]
+    """
     v = a.astype(np.int64)
     return ((v << 1) ^ (v >> 63)).view(np.uint64)
 
