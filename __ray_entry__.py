@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top5_orderpriority": relational.top5_orderpriority,
         "value_counts_returnflag": relational.value_counts_returnflag,
         "head_lineitem": relational.head_lineitem,
+        "tail_lineitem": relational.tail_lineitem,
+        "ts_range_orders": relational.ts_range_orders,
         "pricing_summary": relational.pricing_summary,
         "orders_by_month": relational.orders_by_month,
         "events_hourly_window": relational.events_hourly_window,
@@ -131,6 +133,13 @@ def oracle_sql() -> dict[str, str]:
         "head_lineitem": """
             SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
             ORDER BY l_orderkey, l_linenumber LIMIT 10
+        """,
+        "tail_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 5
+        """,
+        "ts_range_orders": """
+            SELECT min(o_orderdate) AS min_ts, max(o_orderdate) AS max_ts FROM orders
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

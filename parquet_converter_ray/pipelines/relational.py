@@ -374,3 +374,24 @@ def user_event_sequence(sf_dir: str) -> pa.Table:
     out = ds.groupby("user_id").map_groups(seq, batch_format="pandas").to_pandas()
     out["user_id"] = out["user_id"].astype("int64")
     return pa.Table.from_pandas(out.sort_values("user_id"), preserve_index=False)
+
+
+def tail_lineitem(sf_dir: str) -> pa.Table:
+    """T2: tail via descending sort + limit (reference analyzer.py:344)."""
+    ds = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    rows = ds.sort(["l_orderkey", "l_linenumber"], descending=[True, True]).take(5)
+    return pa.Table.from_pylist(rows)
+
+
+def ts_range_orders(sf_dir: str) -> pa.Table:
+    """Timestamp min/max profiling (profile_dataset ts path)."""
+    from ..profile import profile_dataset
+
+    prof = profile_dataset(_t(sf_dir, "orders", columns=["o_orderdate"]))
+    c = prof["columns"]["o_orderdate"]
+    return pa.table(
+        {
+            "min_ts": pa.array([np.datetime64(c["min"], "us")], type=pa.timestamp("us")),
+            "max_ts": pa.array([np.datetime64(c["max"], "us")], type=pa.timestamp("us")),
+        }
+    )

@@ -48,6 +48,8 @@ SQL_CHECKED = [
     "top5_orderpriority",
     "value_counts_returnflag",
     "head_lineitem",
+    "tail_lineitem",
+    "ts_range_orders",
     "pricing_summary",
     "orders_by_month",
     "events_hourly_window",
