@@ -53,7 +53,7 @@ def run_bench() -> dict:
     from parquet_converter_ray.pipelines import dedup, relational, similarity, text
     from parquet_converter_ray.pipelines.transcripts import _input_dir, _scale_rows
 
-    n_turns = _scale_rows(SF_DIR)
+    n_turns = int(os.environ.get("PCR_BENCH_ROWS", 0)) or _scale_rows(SF_DIR)
     inp = _input_dir(n_turns)  # cached deterministic synth
 
     # reference size: parquet+snappy of the same table, one output per input
@@ -133,6 +133,39 @@ def run_bench() -> dict:
     return result
 
 
+def run_weak_scaling() -> dict:
+    """Weak scaling: fixed work PER CPU (8 CPUs @ 2.4M turns vs 32 CPUs @
+    9.6M turns) — the regime a real cluster grows in (4x nodes, 4x data).
+    Efficiency = T(N, W) / T(4N, 4W)."""
+
+    def one(ncpu: int, rows: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            PCR_BENCH_ROWS=str(rows),
+            PCR_BENCH_HEADLINE_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    base_rows = 2_400_000
+    r_lo = min((one(8, base_rows) for _ in range(2)), key=lambda r: r["value"])
+    r_hi = min((one(32, base_rows * 4) for _ in range(2)), key=lambda r: r["value"])
+    return {
+        "metric": "weak-scaling efficiency (4x CPUs, 4x data), fresh ray sessions",
+        "sec_lo_8cpu": r_lo["value"],
+        "sec_hi_32cpu": r_hi["value"],
+        "turns_per_sec_lo": r_lo["turns_per_sec"],
+        "turns_per_sec_hi": r_hi["turns_per_sec"],
+        "weak_scaling_efficiency": round(r_lo["value"] / r_hi["value"], 3),
+        "throughput_ratio_vs_4x": round(r_hi["turns_per_sec"] / (4 * r_lo["turns_per_sec"]), 3),
+    }
+
+
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PCR_BENCH_HEADLINE_ONLY="1")
@@ -170,7 +203,9 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--weak-scaling" in sys.argv:
+        print(json.dumps(run_weak_scaling()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
