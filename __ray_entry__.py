@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": relational.events_sessionize,
         "events_json_mean": relational.events_json_mean,
         "user_event_sequence": relational.user_event_sequence,
+        "order_lineitem_join": relational.order_lineitem_join,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "char_stats": text.char_stats,
@@ -190,6 +191,13 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)),4) AS mean_k,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "order_lineitem_join": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
         """,
         "user_event_sequence": """
             SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS seq

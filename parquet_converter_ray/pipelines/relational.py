@@ -395,3 +395,42 @@ def ts_range_orders(sf_dir: str) -> pa.Table:
             "max_ts": pa.array([np.datetime64(c["max"], "us")], type=pa.timestamp("us")),
         }
     )
+
+
+# --- large-large hash join (native Dataset.join, Ray >= 2.46) ---------------
+
+
+def order_lineitem_join(sf_dir: str) -> pa.Table:
+    """Revenue per order priority via a LARGE-LARGE hash join
+    (``Dataset.join`` — hash-partitioned on the key, both sides shuffle).
+    Contrast with ``segment_revenue``'s broadcast join for small sides."""
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    items = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+
+    items = items.map_batches(revenue, batch_format="pyarrow")
+    joined = orders.join(
+        items, join_type="inner", num_partitions=16,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"o_orderpriority": batch["o_orderpriority"].to_pandas(), "rev": batch["rev"].to_pandas()}
+        )
+        return df.groupby("o_orderpriority", as_index=False).agg(revenue=("rev", "sum"), n=("rev", "size"))
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["revenue"] = sql_round(out["revenue"], 2)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values("o_orderpriority"), preserve_index=False)

@@ -58,6 +58,7 @@ SQL_CHECKED = [
     "events_sessionize",
     "events_json_mean",
     "user_event_sequence",
+    "order_lineitem_join",
     "lineitem_codec_roundtrip",
     "token_counts",
     "char_stats",
