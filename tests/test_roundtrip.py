@@ -170,3 +170,26 @@ def test_row_shuffle_path_equivalent(ray_session, transcripts, tmp_path):
     assert [os.path.basename(p) for p in fa] == [os.path.basename(p) for p in fb]
     for pa_, pb_ in zip(fa, fb):
         assert open(pa_, "rb").read() == open(pb_, "rb").read()
+
+
+def test_partition_assignment_cross_process_stable(transcripts):
+    """Resume depends on part_id being a pure, process-stable function of row
+    content — verify in a fresh interpreter."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from parquet_converter_ray.partition import assign_part_id
+
+    local = assign_part_id(transcripts.slice(0, 500), 16, salt_rows=2000)["part_id"].to_numpy()
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "from parquet_converter_ray.synth import make_transcripts;"
+        "from parquet_converter_ray.partition import assign_part_id;"
+        f"t = make_transcripts({N_TURNS}, seed=42).slice(0, 500);"
+        "print(','.join(map(str, assign_part_id(t, 16, salt_rows=2000)['part_id'].to_pylist())))"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, check=True)
+    remote = np.array([int(x) for x in out.stdout.strip().split(",")])
+    assert (local == remote).all()
