@@ -239,6 +239,13 @@ def encode_dataset(
             est = ds.size_bytes() or (64 << 20)
             n_parts = max(cpus, int(est * 3 // TARGET_PART_BYTES))
 
+    schema_names = ds.schema().names
+    if conv_col not in schema_names:
+        raise ValueError(
+            f"partition key column {conv_col!r} not in schema {schema_names}; "
+            "pass conv_col= (string or integer column)"
+        )
+
     if page_shuffle:
         ds = ds.map_batches(
             make_page_packer(n_parts, conv_col, order_col, salt_rows),

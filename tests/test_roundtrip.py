@@ -193,3 +193,42 @@ def test_partition_assignment_cross_process_stable(transcripts):
     out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, check=True)
     remote = np.array([int(x) for x in out.stdout.strip().split(",")])
     assert (local == remote).all()
+
+
+def test_edge_cases(ray_session, tmp_path):
+    """Empty dataset, single row, missing key column, giant string payloads."""
+    import ray.data
+
+    from parquet_converter_ray.codecs import decode_array, encode_array
+
+    empty = make_transcripts(20, 1).slice(0, 0)
+    s = encode_dataset(ray.data.from_arrow(empty), str(tmp_path / "e"), n_parts=2)
+    assert s["rows"] == 0 and s["partitions"] == 0
+
+    one = make_transcripts(20, 1).slice(0, 1)
+    s = encode_dataset(ray.data.from_arrow(one), str(tmp_path / "o"), n_parts=2)
+    assert s["rows"] == 1
+    ok, msg = roundtrip_table(one, str(tmp_path / "o"))
+    assert ok, msg
+
+    with pytest.raises(ValueError, match="partition key column"):
+        encode_dataset(
+            ray.data.from_arrow(pa.table({"x": [1]})), str(tmp_path / "m"), n_parts=2
+        )
+
+    # a single 2.1 MB string spans many FSST slabs
+    big = pa.array(["x", "ab " * 700_000, "tail"])
+    assert decode_array(encode_array(big, codec="fsst")).equals(big)
+
+
+def test_corruption_detected(ray_session, transcripts, tmp_path):
+    """A flipped byte in a container buffer must fail the crc check."""
+    import ray.data
+
+    out = str(tmp_path / "enc")
+    encode_dataset(ray.data.from_arrow(transcripts), out, n_parts=2)
+    f = container_files(out)[0]
+    blob = bytearray(open(f, "rb").read())
+    blob[len(blob) // 3] ^= 0xFF  # corrupt a data buffer byte
+    with pytest.raises(ValueError, match="crc mismatch"):
+        decode_table(bytes(blob), verify_crc=True)
