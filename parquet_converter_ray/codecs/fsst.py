@@ -6,21 +6,26 @@ Access String Compression", VLDB 2020, public paper): replace frequent substring
 not covered by the 255-entry symbol table.
 
 This implementation trains the table with a byte-pair-merge scheme (BPE-like
-greedy merging on a bounded sample, which naturally grows 2..8-byte symbols from
-frequent pairs), then *replays* the merge sequence over the full payload with
-vectorized numpy pair-replacement — no per-byte Python loops anywhere:
+greedy merging on a bounded sample, which naturally grows 2..8-byte symbols
+from frequent pairs), then applies ALL merges to the full payload with
+generation-parallel vectorized numpy pair replacement — no per-byte Python
+loops anywhere:
 
   train:   sample bytes -> uint16 working array; repeatedly bincount adjacent
            pairs, merge the most frequent pair into a new code (256+i), cap
-           symbol length at 8, stop at <=192 merges (leaves >=63 codes for
+           symbol length at 8, stop at <=128 merges (leaves >=127 codes for
            frequent single bytes).
-  encode:  replay merges over the full concatenated string payload, then map
-           working values to output codes; uncovered literals get escape(255)+byte.
-  decode:  parse escapes via run-parity over runs of 255-bytes (a 255 run's
-           even offsets are escape controls), then expand codes to symbol bytes
-           with a flat-buffer gather (np.repeat + arange) — vectorized.
+  encode:  slab-wise (256 KB — cache-resident working set): one uint16-key
+           pass applies every first-generation merge simultaneously, then up
+           to 8 full-pairmap passes apply deeper generations (any greedy
+           segmentation decodes correctly, so replay order is free); map
+           working values to output codes; uncovered literals get
+           escape(255)+byte.
+  decode:  slab-wise; parse escapes via run-parity over runs of 255-bytes (a
+           255 run's even offsets are escape controls), then expand codes to
+           symbol bytes with a flat-buffer gather (np.repeat + arange).
 
-The whole column payload is encoded as ONE byte stream (symbols may span string
+The column payload is one concatenated byte stream of slab streams (symbols may span string
 boundaries); original string lengths are stored FOR-bit-packed so offsets are
 reconstructed exactly. Strings round-trip bit-identical, including empty strings
 (nulls are handled above the codec layer; see codecs/__init__.py).

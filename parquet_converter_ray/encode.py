@@ -3,7 +3,7 @@
 Ray-Data-first shape (SURVEY.md §7.2 step 5-7):
 
     read_parquet(input)
-      -> map_batches(assign_part_id)            # vectorized, stable crc32 hash + salt
+      -> map_batches(assign_part_id)            # vectorized stable hash + salt
       -> [resume filter]                        # broadcast done-set, vectorized is_in
       -> groupby("part_id").map_groups(encode)  # THE one all-to-all shuffle;
                                                 #   each partition encoded atomically:
