@@ -208,13 +208,23 @@ def read_delimited(path: str | list[str], opts: ReaderOptions) -> "ray.data.Data
         strings_can_be_null=True,
     )
     parse = pacsv.ParseOptions(delimiter=opts.delimiter)
-    read = pacsv.ReadOptions(
-        skip_rows=opts.skip_rows,
-        column_names=None if opts.header else names,
-        encoding=opts.encoding,
-    )
-    if not opts.header:
-        read.column_names = names
+    if opts.header and opts.column_names:
+        # explicit replacement for header-derived column names (reference
+        # parser semantics: pandas header=0 + names): give Arrow the
+        # replacement names and consume the file's header row via skip_rows —
+        # otherwise batches would carry the file's header names while the
+        # parse plan is keyed by the replacements, silently dropping columns
+        read = pacsv.ReadOptions(
+            skip_rows=opts.skip_rows + 1,
+            column_names=names,
+            encoding=opts.encoding,
+        )
+    else:
+        read = pacsv.ReadOptions(
+            skip_rows=opts.skip_rows,
+            column_names=None if opts.header else names,
+            encoding=opts.encoding,
+        )
     return ray.data.read_csv(
         path, convert_options=convert, parse_options=parse, read_options=read
     )

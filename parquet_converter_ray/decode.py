@@ -23,6 +23,37 @@ from .container import decode_table
 
 
 def container_files(out_dir: str) -> list[str]:
+    """Container files to decode — manifest-driven when a manifest exists.
+
+    The per-partition lineage records are the source of truth: a re-encode of
+    a smaller dataset into a reused out_dir (or a crashed run) can leave stale
+    ``part-*.pcc`` files that a bare glob would silently mix into the result.
+    Falls back to the glob only when no manifest was written at all."""
+    from . import manifest as mf
+
+    recs = mf.load_records(out_dir)
+    if recs:
+        files = []
+        for r in sorted(recs, key=lambda r: r["part_id"]):
+            path = r["path"]
+            if not os.path.isfile(path):
+                # manifest written on another host/mount: resolve by basename
+                local = os.path.join(out_dir, os.path.basename(path))
+                if not os.path.isfile(local):
+                    raise FileNotFoundError(
+                        f"manifest records partition {r['part_id']} at {path} "
+                        "but the container file is missing"
+                    )
+                path = local
+            files.append(path)
+        stray = set(glob.glob(os.path.join(out_dir, "part-*.pcc"))) - set(files)
+        if stray:
+            raise ValueError(
+                f"{len(stray)} container file(s) in {out_dir} are not in the "
+                f"manifest (stale leftovers from a previous run?): "
+                f"{sorted(stray)[:3]}... — re-encode with resume=False to clean"
+            )
+        return files
     return sorted(glob.glob(os.path.join(out_dir, "part-*.pcc")))
 
 
@@ -119,7 +150,12 @@ def _row_hashes(batch: pa.Table, columns: list[str]) -> "np.ndarray":
         nulls = None
         if col.null_count:
             nulls = ~col.is_valid().to_numpy(zero_copy_only=False)
-        if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+        if (
+            pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+        ):
             ch = stable_hash_strings(col)
         elif pa.types.is_floating(t):
             import pyarrow.compute as pc

@@ -40,6 +40,21 @@ TARGET_PART_BYTES = 64 << 20  # in-memory arrow bytes per partition
 _ARROW_PINNED = False
 
 
+def _clean_output_dir(out_dir: str) -> None:
+    """Remove stale encode outputs (containers, manifests, run record) so a
+    fresh run never mixes with a previous one's leftovers."""
+    import glob
+    import shutil
+
+    for f in glob.glob(os.path.join(out_dir, "part-*.pcc")):
+        os.remove(f)
+    shutil.rmtree(mf.manifest_dir(out_dir), ignore_errors=True)
+    for name in ("manifest.jsonl", "_run.json"):
+        p = os.path.join(out_dir, name)
+        if os.path.exists(p):
+            os.remove(p)
+
+
 def pin_arrow_threads(n: int = 1) -> None:
     """Pin pyarrow's per-process thread pools inside Ray workers.
 
@@ -218,6 +233,18 @@ def encode_dataset(
     and the default stays row-wise.
     """
     os.makedirs(out_dir, exist_ok=True)
+    from .partition import HASH_VERSION
+
+    prior = mf.load_run_record(out_dir)
+    if not resume and (prior is not None or mf.completed_parts(out_dir)):
+        # a fresh (non-resume) encode into a previously used out_dir would
+        # otherwise leave stale containers that decode silently mixes in
+        _clean_output_dir(out_dir)
+        prior = None
+    if resume and prior is not None and n_parts is None:
+        # the default n_parts is a function of cluster size + size estimate;
+        # a resume MUST reuse the original partitioning or rows silently move
+        n_parts = int(prior["n_parts"])
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
@@ -238,6 +265,31 @@ def encode_dataset(
         if n_parts is None:
             est = ds.size_bytes() or (64 << 20)
             n_parts = max(cpus, int(est * 3 // TARGET_PART_BYTES))
+
+    run_params = {
+        "n_parts": int(n_parts),
+        "salt_rows": int(salt_rows),
+        "conv_col": conv_col,
+        "order_col": order_col,
+        "sort_key": list(sort_key),
+        "hash_version": HASH_VERSION,
+    }
+    if resume and prior is not None:
+        mismatch = {
+            k: (prior.get(k), run_params[k])
+            for k in mf.RUN_PARAM_KEYS
+            if prior.get(k) != run_params[k]
+        }
+        if mismatch:
+            raise ValueError(
+                f"resume=True but partitioning parameters differ from the "
+                f"original run recorded in {mf.run_record_path(out_dir)}: "
+                f"{mismatch} — resuming would reassign rows to different "
+                f"partitions while skipping 'completed' ones (silent row "
+                f"duplication/loss). Re-run with the recorded parameters or "
+                f"start fresh with resume=False."
+            )
+    mf.write_run_record(out_dir, run_params)
 
     schema_names = ds.schema().names
     if conv_col not in schema_names:

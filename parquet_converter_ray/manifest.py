@@ -35,6 +35,32 @@ def manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest")
 
 
+# --- run-level record: the partitioning parameters a resume MUST reuse -------
+
+RUN_PARAM_KEYS = ("n_parts", "salt_rows", "conv_col", "order_col", "sort_key", "hash_version")
+
+
+def run_record_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_run.json")
+
+
+def write_run_record(out_dir: str, params: dict) -> None:
+    """Persist the partitioning parameters on first run (atomic)."""
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = run_record_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(params, f, indent=2)
+    os.replace(tmp, run_record_path(out_dir))
+
+
+def load_run_record(out_dir: str) -> dict | None:
+    try:
+        with open(run_record_path(out_dir)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def record_path(out_dir: str, part_id: int) -> str:
     return os.path.join(manifest_dir(out_dir), f"part-{part_id:05d}.json")
 

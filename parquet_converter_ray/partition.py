@@ -1,60 +1,158 @@
 """Conversation-aware partitioning: stable hash + salted-key splitting.
 
-``part_id = mix(crc32(conv_id), turn_idx // salt_rows) % n_parts``
+``part_id = mix(poly_hash(conv_id), turn_idx // salt_rows) % n_parts``
 
- - crc32 is process/version-stable (unlike Python's salted ``hash``), so a
-   resumed run in a fresh process assigns every row to the same partition —
-   a hard requirement for checkpoint/resume.
+ - The hash is a SELF-CONTAINED vectorized numpy polynomial hash over the
+   column's Arrow byte buffers — no dependency on Python's salted ``hash``,
+   polars' per-version seed, or any library whose upgrade between an
+   interrupted run and its resume would silently re-partition rows. The
+   partition assignment is a pure, version-independent function of row
+   content — a hard requirement for checkpoint/resume.
+ - Null keys map to a fixed sentinel (never crash, never collide with real
+   content except adversarially).
  - The salt term splits mega-conversations into chunks of ``salt_rows`` turns
    across different partitions (skew handling per SURVEY.md §7.4/§7.5); within
    a chunk, order is restored by the within-partition sort on
    (conv_id, turn_idx), and across chunks by the global sort key at read time —
    the north rule's invariant is per-turn equality UNDER stable turn ordering,
    which a (conv_id, turn_idx) sort re-establishes regardless of chunking.
- - Hashing is vectorized over the *unique* conv_ids of each batch (Python
-   crc32 only touches each distinct conversation once), then scattered back
-   with ``pc.index_in`` — no per-row Python in the hot path.
+
+``HASH_VERSION`` is recorded in the run manifest (encode.py); a resume under a
+different hash scheme fails loudly instead of silently mispartitioning.
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+HASH_VERSION = "poly64-v2"
+
+_P = np.uint64(0x100000001B3)  # polynomial base (FNV prime)
+_EMPTY = np.uint64(0xCBF29CE484222325)
+_NULL_SENT = np.uint64(0x27D4EB2F165667C5)
+
+# power table P^k mod 2^64, grown lazily to the longest row seen
+_pows = np.array([1], dtype=np.uint64)
 
 
-def stable_hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """Per-row stable uint64 hash of a string column.
-
-    Fast path: polars ``hash`` (vectorized Rust, zero-copy from Arrow,
-    seed-stable across processes within a polars version — sufficient for
-    resume in one environment). Fallback: crc32 over the column's uniques
-    scattered back with ``index_in`` (version-independent, slower)."""
-    try:
-        import polars as pl
-
-        s = pl.from_arrow(arr if isinstance(arr, pa.Array) else arr.combine_chunks())
-        return s.hash(seed=0).to_numpy().astype(np.uint64)
-    except ImportError:
-        uniq = pc.unique(arr)
-        hashes = np.array(
-            [zlib.crc32(u.encode() if isinstance(u, str) else u) for u in uniq.to_pylist()],
-            dtype=np.uint64,
-        )
-        idx = pc.index_in(arr, value_set=uniq).to_numpy(zero_copy_only=False).astype(np.int64)
-        return hashes[idx]
+def _pow_table(maxlen: int) -> np.ndarray:
+    global _pows
+    if len(_pows) <= maxlen:
+        n = max(maxlen + 1, 2 * len(_pows))
+        t = np.empty(n, dtype=np.uint64)
+        t[0] = 1
+        np.cumprod(np.full(n - 1, _P, dtype=np.uint64), out=t[1:])  # wraps mod 2^64
+        _pows = t
+    return _pows
 
 
-def stable_hash_ints(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """Per-row stable uint64 hash of an integer column (splitmix64 finalizer)."""
-    v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+def _mix64(v: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain constant schedule) — avalanche."""
     v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return v ^ (v >> np.uint64(31))
+
+
+def hash_byte_rows(flat: np.ndarray, lens: np.ndarray, slab_bytes: int = 4 << 20) -> np.ndarray:
+    """Per-row hash of variable-length byte rows stored concatenated in ``flat``.
+
+    h_i = mix( sum_j flat[i][j] * P^(L_i-1-j)  ^  L_i * GOLDEN )   (mod 2^64)
+
+    Fully vectorized (pow-table lookup + add.reduceat); processes rows in
+    slabs bounded by ``slab_bytes`` of payload so the int64 temporaries stay
+    small regardless of batch size.
+    """
+    n = len(lens)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = lens.astype(np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    _pow_table(int(lens.max()))
+    row = 0
+    while row < n:
+        # grow the row slab until its payload exceeds slab_bytes
+        hi = int(np.searchsorted(ends, ends[row] - lens[row] + slab_bytes, side="right"))
+        hi = max(hi, row + 1)
+        ls, le = starts[row], ends[hi - 1]
+        sl_lens = lens[row:hi]
+        sl_flat = flat[ls:le].astype(np.uint64)
+        # exponent of each byte: (row_end - 1 - flat_pos)
+        epos = np.repeat(ends[row:hi] - 1, sl_lens) - np.arange(ls, le)
+        terms = sl_flat * _pows[epos]
+        # reduceat over NON-EMPTY rows only (empty rows would otherwise
+        # corrupt segment boundaries / index past the end), scatter back
+        hsum = np.full(hi - row, _EMPTY, dtype=np.uint64)
+        nz = sl_lens > 0
+        if nz.any():
+            hsum[nz] = np.add.reduceat(terms, starts[row:hi][nz] - ls)
+        out[row:hi] = _mix64(hsum ^ (sl_lens.astype(np.uint64) * GOLDEN))
+        row = hi
+    return out
+
+
+def stable_hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Per-row stable uint64 hash of a string/binary column.
+
+    Version-independent (pure numpy over the Arrow buffers); nulls map to a
+    fixed sentinel. Works for string / large_string / binary / large_binary.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    null_mask = None
+    if arr.null_count:
+        null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        fill = "" if (pa.types.is_string(t) or pa.types.is_large_string(t)) else b""
+        arr = pc.fill_null(arr, fill)
+    # low-cardinality fast path (the partition-key case: few conversations per
+    # batch): hash each distinct value once, scatter back with index_in
+    if len(arr) > 4096:
+        uniq = pc.unique(arr)
+        if len(uniq) <= len(arr) // 2:
+            uh = stable_hash_strings(uniq)
+            idx = pc.index_in(arr, value_set=uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+            out = uh[idx]
+            if null_mask is not None:
+                out[null_mask] = _NULL_SENT
+            return out
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        odt = np.int32
+    elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        odt = np.int64
+    else:
+        raise TypeError(f"stable_hash_strings: unsupported type {t}")
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    lens = np.diff(offsets)
+    flat = data[offsets[0] : offsets[-1]]
+    out = hash_byte_rows(flat, lens)
+    if null_mask is not None:
+        out[null_mask] = _NULL_SENT
+    return out
+
+
+def stable_hash_ints(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Per-row stable uint64 hash of an integer column (splitmix64 finalizer).
+
+    Nulls map to a fixed sentinel (an int column with nulls would otherwise
+    round-trip through float NaN and hash garbage)."""
+    null_mask = None
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        arr = pc.fill_null(arr, 0)
+    v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+    out = _mix64(v)
+    if null_mask is not None:
+        out[null_mask] = _NULL_SENT
+    return out
 
 
 def assign_part_id(
@@ -71,10 +169,12 @@ def assign_part_id(
     else:
         h = stable_hash_strings(key)
     if salt_rows and order_col in batch.column_names:
-        salt = (
-            batch[order_col].cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
-            // np.uint64(salt_rows)
-        )
+        order = batch[order_col]
+        if isinstance(order, pa.ChunkedArray):
+            order = order.combine_chunks()
+        if order.null_count:
+            order = pc.fill_null(order, 0)
+        salt = order.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64) // np.uint64(salt_rows)
         h = (h ^ (salt * GOLDEN)) + salt  # mix so chunk k of a mega-conv moves
     part = (h % np.uint64(n_parts)).astype(np.int32)
     return batch.append_column("part_id", pa.array(part, type=pa.int32()))

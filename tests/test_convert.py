@@ -144,3 +144,20 @@ def test_skip_footer_legacy_path(ray_session, tmp_path):
     df = pd.read_parquet(stats.output_path)
     assert len(df) == 2
     assert str(df["a"].dtype) in ("Int64", "int64")
+
+
+def test_header_with_replacement_column_names(ray_session, tmp_path):
+    """header=True + explicit column_names: the names replace the file's
+    header (reference parser semantics: pandas header=0 + names) — the header
+    row must be consumed, not parsed as data."""
+    p = tmp_path / "named.csv"
+    p.write_text("orig_a,orig_b\n1,x\n2,y\n3,z\n")
+    cfg = EngineConfig()
+    cfg.csv.column_names = ["new_a", "new_b"]
+    stats = convert_file(str(p), str(tmp_path / "out"), cfg)
+    assert stats.errors == []
+    assert stats.rows_processed == 3
+    df = pd.read_parquet(stats.output_path).sort_values("new_a").reset_index(drop=True)
+    assert list(df.columns) == ["new_a", "new_b"]
+    assert df["new_a"].tolist() == [1, 2, 3]
+    assert df["new_b"].tolist() == ["x", "y", "z"]

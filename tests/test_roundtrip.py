@@ -232,3 +232,99 @@ def test_corruption_detected(ray_session, transcripts, tmp_path):
     blob[len(blob) // 3] ^= 0xFF  # corrupt a data buffer byte
     with pytest.raises(ValueError, match="crc mismatch"):
         decode_table(bytes(blob), verify_crc=True)
+
+
+def test_resume_param_mismatch_fails_loudly(ray_session, transcripts, tmp_path):
+    """A resume under different partitioning parameters must raise, not
+    silently reassign rows while skipping 'completed' partitions."""
+    import ray.data
+
+    out = str(tmp_path / "enc")
+
+    def bomb(part_id: int):
+        if part_id >= 4:
+            raise RuntimeError("injected")
+
+    with pytest.raises(Exception):
+        encode_dataset(
+            ray.data.from_arrow(transcripts), out, n_parts=8, salt_rows=2000, fault_hook=bomb
+        )
+    with pytest.raises(ValueError, match="partitioning parameters differ"):
+        encode_dataset(
+            ray.data.from_arrow(transcripts), out, n_parts=16, salt_rows=2000, resume=True
+        )
+    with pytest.raises(ValueError, match="partitioning parameters differ"):
+        encode_dataset(
+            ray.data.from_arrow(transcripts), out, n_parts=8, salt_rows=999, resume=True
+        )
+    # resume with n_parts=None adopts the recorded value and completes
+    summary = encode_dataset(
+        ray.data.from_arrow(transcripts), out, salt_rows=2000, resume=True
+    )
+    assert summary["partitions"] == 8
+    ok, msg = roundtrip_table(transcripts, out)
+    assert ok, msg
+
+
+def test_fresh_encode_cleans_stale_outputs(ray_session, transcripts, tmp_path):
+    """Re-encoding a smaller dataset into a reused out_dir must not leave
+    stale containers that decode would silently mix in."""
+    import ray.data
+
+    out = str(tmp_path / "enc")
+    encode_dataset(ray.data.from_arrow(transcripts), out, n_parts=8, salt_rows=2000)
+    assert len(container_files(out)) == 8
+    small = transcripts.slice(0, 2000)
+    summary = encode_dataset(ray.data.from_arrow(small), out, n_parts=2, salt_rows=2000)
+    assert summary["partitions"] == 2
+    assert summary["rows"] == 2000
+    assert len(container_files(out)) == 2
+    assert decode_dataset(out).count() == 2000
+    ok, msg = roundtrip_table(small, out)
+    assert ok, msg
+
+
+def test_null_partition_keys(ray_session, tmp_path):
+    """Null conv_id / turn_idx rows partition deterministically (sentinel
+    hash) and round-trip."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a", None, "b", None, "a", "c"] * 200),
+            "turn_idx": pa.array([0, 1, None, 3, 4, 5] * 200, type=pa.int32()),
+            "text": pa.array([f"t{i}" for i in range(1200)]),
+        }
+    )
+    out = str(tmp_path / "enc")
+    summary = encode_dataset(
+        ray.data.from_arrow(t), out, n_parts=4, salt_rows=100
+    )
+    assert summary["rows"] == 1200
+    decoded = pa.concat_tables(
+        list(decode_dataset(out).iter_batches(batch_format="pyarrow"))
+    )
+    assert decoded.num_rows == 1200
+    # content equality irrespective of order (nulls break sort_by comparison keys)
+    assert sorted(decoded["text"].to_pylist()) == sorted(t["text"].to_pylist())
+
+
+def test_fingerprint_large_binary(ray_session):
+    """dataset_fingerprint over large_binary columns (codec layer supports
+    them; the hash path must too)."""
+    import ray.data
+
+    from parquet_converter_ray.decode import dataset_fingerprint
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(100), type=pa.int64()),
+            "payload": pa.array([b"x" * (i % 7) for i in range(100)], type=pa.large_binary()),
+        }
+    )
+    fp1 = dataset_fingerprint(ray.data.from_arrow(t))
+    fp2 = dataset_fingerprint(ray.data.from_arrow(t))
+    assert fp1 == fp2
+    t2 = t.set_column(1, "payload", pa.array([b"y" * (i % 7) for i in range(100)], type=pa.large_binary()))
+    fp3 = dataset_fingerprint(ray.data.from_arrow(t2))
+    assert fp3 != fp1
