@@ -39,6 +39,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("output")
     p.add_argument("--n-parts", type=int, default=None)
     p.add_argument("--codec", default="auto")
+    p.add_argument("--conv-col", default="conv_id", help="partition key column")
+    p.add_argument("--order-col", default="turn_idx", help="within-conversation order column")
     p.add_argument("--salt-rows", type=int, default=100_000)
     p.add_argument("--resume", action="store_true")
 
@@ -81,7 +83,10 @@ def main(argv: list[str] | None = None) -> int:
                 args.input,
                 args.output,
                 n_parts=args.n_parts,
-                codec=args.codec if args.codec == "auto" else args.codec,
+                codec=args.codec,
+                conv_col=args.conv_col,
+                order_col=args.order_col,
+                sort_key=(args.conv_col, args.order_col),
                 salt_rows=args.salt_rows,
                 resume=args.resume,
             )

@@ -266,6 +266,13 @@ def encode_dataset(
             est = ds.size_bytes() or (64 << 20)
             n_parts = max(cpus, int(est * 3 // TARGET_PART_BYTES))
 
+    schema_names = ds.schema().names
+    if conv_col not in schema_names:
+        raise ValueError(
+            f"partition key column {conv_col!r} not in schema {schema_names}; "
+            "pass conv_col= (string or integer column)"
+        )
+
     run_params = {
         "n_parts": int(n_parts),
         "salt_rows": int(salt_rows),
@@ -290,13 +297,6 @@ def encode_dataset(
                 f"start fresh with resume=False."
             )
     mf.write_run_record(out_dir, run_params)
-
-    schema_names = ds.schema().names
-    if conv_col not in schema_names:
-        raise ValueError(
-            f"partition key column {conv_col!r} not in schema {schema_names}; "
-            "pass conv_col= (string or integer column)"
-        )
 
     if page_shuffle:
         ds = ds.map_batches(
