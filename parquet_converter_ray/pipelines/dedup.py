@@ -2,21 +2,34 @@
 
  - exact:        content-hash -> hash-partitioned groupby -> keep min doc_id
                  (SQL-checkable: GROUP BY text / min(doc_id))
- - minhash_lsh:  token-shingle MinHash signatures -> banded LSH buckets
-                 (explode to (band, hash) rows -> groupby) -> candidate pairs
-                 -> exact Jaccard verify against a broadcast shingle index
+ - minhash_lsh:  batch-vectorized MinHash signatures -> banded LSH buckets
+                 (explode to (band, hash) rows) -> candidate pairs enumerated
+                 DISTRIBUTED inside ``groupby(bucket).map_groups`` -> exact
+                 Jaccard verification via a hash-partitioned JOIN of the pair
+                 dataset against the per-doc shingle dataset (no driver-side
+                 document materialization anywhere)
  - simhash:      64-bit SimHash + 16-bit band blocking -> near-dup pairs by
                  Hamming distance
  - ngram_jaccard: character-n-gram Jaccard verification over LSH candidates
- - embedding:    cosine near-dup pairs over the embeddings table (broadcast
-                 matrix; j>i upper triangle) — SQL-checkable via DuckDB
-                 list_cosine_similarity self-join
+                 (same distributed join dataflow)
+ - embedding:    exact cosine near-dup pairs over the embeddings table — the
+                 all-pairs SQL-checkable baseline (broadcast matrix, O(n^2);
+                 small-side only by design)
+ - embedding_lsh: the scale path for embedding near-dup: L independent
+                 random-hyperplane tables with Hamming<=2 bucket coverage via
+                 neighbour-bucket emission, exact-cosine verify inside each
+                 bucket group. Recall vs the exact query is asserted >=90% in
+                 tests (multi-table OR-construction; one table alone has
+                 near-zero recall at cos ~ 0.5).
 
-Scale notes: signatures/sketches are computed per batch (mergeable), buckets
-shuffle only (band_id, band_hash, doc_id) triples, and pair verification
-broadcasts the shingle index (small at test scale; at 10^12 scale this becomes
-a hash-join of pairs against signatures — same dataflow, bigger shuffle).
-MinHash/LSH per Broder 1997 / Leskovec-Rajaraman-Ullman MMDS ch.3 (public).
+Scale shape: signatures/shingles are computed per batch (one vectorized pass
+across all docs of the batch — no per-doc Python), buckets shuffle only small
+(key, doc_id) rows, pair enumeration runs inside ``map_groups`` on the bucket
+key (bounded by the per-bucket cap), and verification joins pairs against the
+(doc_id, shingle-set) dataset hash-partitioned on doc_id. Only final RESULTS
+(near-dup pair lists) are collected on the driver.
+MinHash/LSH per Broder 1997 / Leskovec-Rajaraman-Ullman MMDS ch.3; SimHash per
+Charikar 2002 (public papers).
 """
 
 from __future__ import annotations
@@ -31,13 +44,33 @@ import ray
 import ray.data
 
 from ._util import sql_round
-from .text import hash_tokens, rolling_gram_hashes
+from .text import (
+    batch_char_ngrams,
+    batch_token_shingles,
+    grams_to_large_binary,
+    hash_tokens,
+)
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _docs(sf_dir: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _npartitions(lo: int = 2, hi: int = 64) -> int:
+    """Join/shuffle partition count scaled to the cluster, not hardcoded."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(lo, min(hi, cpus))
+
+
+_EMPTY_PAIRS = {
+    "id_a": pa.array([], type=pa.int64()),
+    "id_b": pa.array([], type=pa.int64()),
+}
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -57,12 +90,15 @@ def dedup_exact(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(keep.to_numpy(), type=pa.int64())})
 
 
-# --- MinHash signatures -----------------------------------------------------
+# --- MinHash signatures (batch-vectorized) ----------------------------------
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Token k-gram shingle hashes — vectorized (token hashes via pandas
-    siphash, gram combine via rolling mix; no per-gram Python strings)."""
+    """Per-doc token k-gram shingle hashes (reference implementation; the hot
+    path uses ``batch_token_shingles`` which reproduces these sets exactly —
+    parity is asserted in tests)."""
+    from .text import rolling_gram_hashes
+
     ht = hash_tokens(text.lower().split())
     if len(ht) == 0:
         return np.zeros(1, dtype=np.uint64)
@@ -70,7 +106,9 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
 
 
 class MinHasher:
-    """Actor-pool stage: per-doc MinHash signature (m permutations).
+    """Actor-pool stage: MinHash signatures for a whole batch in one
+    vectorized pass (shingles via ``batch_token_shingles``, per-doc minima via
+    ``np.minimum.reduceat`` over the concatenated gram array).
 
     The permutation coefficients are built once per actor from a fixed seed —
     identical across actors and runs."""
@@ -82,24 +120,55 @@ class MinHasher:
         self.m = m
         self.k = k
 
-    def signature(self, text: str) -> np.ndarray:
-        g = _shingle_hashes(text, self.k)
-        # (a*g + b) mod p, vectorized over (grams, perms); uint64 wrap then mod
-        v = (g[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
-        return v.min(axis=0)
+    def signatures(self, texts: pd.Series) -> np.ndarray:
+        grams, offsets = batch_token_shingles(texts, self.k)
+        n = len(offsets) - 1
+        out = np.empty((n, self.m), dtype=np.uint64)
+        # slab over docs so the (grams x m) uint64 intermediate stays ~32 MB
+        slab_grams = max(1, (4 << 20) // self.m)
+        lo = 0
+        while lo < n:
+            hi = int(np.searchsorted(offsets, offsets[lo] + slab_grams, side="right"))
+            hi = min(max(hi, lo + 1), n)
+            g = grams[offsets[lo] : offsets[hi]]
+            v = (g[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+            out[lo:hi] = np.minimum.reduceat(v, offsets[lo:hi] - offsets[lo], axis=0)
+            lo = hi
+        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(t) for t in batch["text"].fillna("")]
+        sigs = self.signatures(batch["text"])
         batch = batch[["doc_id"]].copy()
-        batch["sig"] = [s.astype("int64") for s in sigs]  # arrow list<int64>
+        batch["sig"] = list(sigs.astype("int64"))  # arrow list<int64>
         return batch
 
 
-def minhash_candidates(
-    sf_dir: str, bands: int = 16, rows: int = 4, m: int = 64
-) -> pa.Table:
-    """LSH candidate pairs: explode signatures to (band_id, band_hash, doc_id),
-    groupby bucket, emit pairs within buckets."""
+class ShingleSet:
+    """Map stage: (doc_id, sh) where ``sh`` is the doc's sorted-unique shingle
+    hash set packed as large_binary (the joinable wire format)."""
+
+    def __init__(self, kind: str = "token", k: int = 3):
+        self.kind = kind
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pandas()
+        if self.kind == "token":
+            grams, offsets = batch_token_shingles(texts, self.k)
+        else:
+            grams, offsets = batch_char_ngrams(texts, self.k)
+        return pa.table({"doc_id": batch["doc_id"], "sh": grams_to_large_binary(grams, offsets)})
+
+
+def minhash_candidate_ds(
+    sf_dir: str, bands: int = 16, rows: int = 4, m: int = 64, bucket_cap: int = 50
+) -> "ray.data.Dataset":
+    """LSH candidate pairs as a DATASET: signatures -> (band, hash) bucket
+    keys -> pair enumeration inside ``map_groups`` on the bucket key.
+
+    Pairs may repeat across bands (true near-dups agree on many bands);
+    downstream verification is idempotent and the final result dedupes.
+    """
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHasher, fn_constructor_kwargs={"m": m}, batch_format="pandas",
         batch_size=2048, concurrency=2,
@@ -125,10 +194,12 @@ def minhash_candidates(
     # (key, doc_id) pairs are tiny (16 ints/doc) — materialize so the two
     # consumers below don't re-execute the signature stage
     buckets = ds.map_batches(explode, batch_format="pandas").materialize()
+
     # LSH guarantees hot buckets are rare. Detect them with per-batch partial
-    # (key, count) rows merged on the driver — mergeable-sketch pattern; a
-    # distributed groupby would also work but Ray's per-key groupby overhead
-    # dwarfs this data size (measured 80s for 80k rows vs <1s here).
+    # (key, count) rows merged on the driver — mergeable-sketch pattern (the
+    # merged hot-key list is small by construction); a distributed groupby
+    # would also work but Ray's per-key groupby overhead dwarfs this data size
+    # (measured 80s for 80k rows vs <1s here).
     def key_counts(batch: pa.Table) -> pa.Table:
         k, c = np.unique(batch["key"].to_numpy(zero_copy_only=False), return_counts=True)
         return pa.table({"key": k, "cnt": c.astype(np.int64)})
@@ -139,7 +210,7 @@ def minhash_candidates(
     counts = parts.groupby("key", as_index=False)["cnt"].sum()
     hot = counts[counts["cnt"] > 1]["key"]
     if len(hot) == 0:
-        return pa.table({"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())})
+        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
     hot_arr = pa.array(hot.to_numpy(), type=pa.int64())
 
     def only_hot(batch: pa.Table) -> pa.Table:
@@ -147,43 +218,105 @@ def minhash_candidates(
 
         return batch.filter(pc.is_in(batch["key"], value_set=hot_arr))
 
-    members = buckets.map_batches(only_hot, batch_format="pyarrow").to_pandas()
-    pairs = []
-    for _, grp in members.groupby("key"):
-        ids = np.sort(grp["doc_id"].unique())[:50]  # cap giant buckets
-        if len(ids) > 1:
-            ii, jj = np.triu_indices(len(ids), 1)
-            pairs.append(np.stack([ids[ii], ids[jj]], axis=1))
-    if not pairs:
-        return pa.table({"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())})
-    allp = np.unique(np.concatenate(pairs), axis=0)
+    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket pair enumeration, capped: LSH bucket sizes are bounded by
+        # construction (band hash of `rows` signature values); the cap guards
+        # degenerate buckets (e.g. all-empty docs)
+        ids = np.sort(group["doc_id"].unique())[:bucket_cap]
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        ii, jj = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"id_a": ids[ii].astype("int64"), "id_b": ids[jj].astype("int64")})
+
+    return (
+        buckets.map_batches(only_hot, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(pairs_of, batch_format="pandas")
+    )
+
+
+def minhash_candidates(sf_dir: str, bands: int = 16, rows: int = 4, m: int = 64) -> pa.Table:
+    """Globally unique LSH candidate pairs (collected — small result)."""
+    cand = minhash_candidate_ds(sf_dir, bands=bands, rows=rows, m=m).to_pandas()
+    if len(cand) == 0:
+        return pa.table(_EMPTY_PAIRS)
+    allp = np.unique(cand[["id_a", "id_b"]].to_numpy(), axis=0)
     return pa.table({"id_a": pa.array(allp[:, 0], type=pa.int64()), "id_b": pa.array(allp[:, 1], type=pa.int64())})
 
 
-def dedup_minhash(sf_dir: str, threshold: float = 0.7) -> pa.Table:
-    """MinHash-LSH near-dup pairs with exact-Jaccard verification."""
-    cand = minhash_candidates(sf_dir).to_pandas()
-    if len(cand) == 0:
-        return pa.table({"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64()), "jaccard": pa.array([], type=pa.float64())})
-    # broadcast shingle index (small side); at 10^12 scale: hash-join instead
-    docs = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    shingles = {int(d): _shingle_hashes(t) for d, t in zip(docs["doc_id"], docs["text"])}
-    ref = ray.put(shingles)
+# --- distributed pair verification (join, no driver materialization) ---------
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        sh = ray.get(ref)
-        js = []
-        for a, b in zip(batch["id_a"], batch["id_b"]):
-            sa, sb = sh[int(a)], sh[int(b)]
+
+def _verified_pairs(
+    sf_dir: str, kind: str, k: int, score_col: str, threshold: float
+) -> pa.Table:
+    """candidates ⋈ shingles ⋈ shingles -> exact Jaccard -> filter.
+
+    Both joins are hash-partitioned on the doc id (Dataset.join); the shingle
+    dataset streams from the documents table; only the final near-dup pair
+    list is collected.
+    """
+    empty = pa.table({**_EMPTY_PAIRS, score_col: pa.array([], type=pa.float64())})
+    pairs = minhash_candidate_ds(sf_dir)
+    if pairs.count() == 0:
+        return empty
+    sh = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(ShingleSet, fn_constructor_kwargs={"kind": kind, "k": k}, batch_format="pyarrow", concurrency=2)
+        .materialize()  # two join consumers
+    )
+    n_out = _npartitions()
+    j = pairs.join(sh, join_type="inner", num_partitions=n_out, on=("id_a",), right_on=("doc_id",))
+
+    def rename_a(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["sh_a" if c == "sh" else c for c in batch.column_names])
+
+    j = j.map_batches(rename_a, batch_format="pyarrow")
+    j = j.join(sh, join_type="inner", num_partitions=n_out, on=("id_b",), right_on=("doc_id",))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        ids_a = batch["id_a"].to_numpy(zero_copy_only=False)
+        ids_b = batch["id_b"].to_numpy(zero_copy_only=False)
+        sa_col = batch["sh_a"].combine_chunks() if isinstance(batch["sh_a"], pa.ChunkedArray) else batch["sh_a"]
+        sb_col = batch["sh"].combine_chunks() if isinstance(batch["sh"], pa.ChunkedArray) else batch["sh"]
+        js = np.empty(len(ids_a), dtype=np.float64)
+        for i in range(len(ids_a)):
+            sa = np.frombuffer(sa_col[i].as_py(), dtype=np.uint64)
+            sb = np.frombuffer(sb_col[i].as_py(), dtype=np.uint64)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
-            js.append(inter / union if union else 0.0)
-        batch["jaccard"] = np.round(js, 4)
-        return batch[batch["jaccard"] >= threshold]
+            js[i] = inter / union if union else 0.0
+        out = pd.DataFrame({"id_a": ids_a.astype("int64"), "id_b": ids_b.astype("int64"), score_col: np.round(js, 4)})
+        return out[out[score_col] >= threshold]
 
-    ds = ray.data.from_pandas(cand).map_batches(verify, batch_format="pandas")
-    out = ds.to_pandas().sort_values(["id_a", "id_b"])
+    out = j.map_batches(score, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return empty
+    out = out.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.7) -> pa.Table:
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification (distributed
+    join dataflow — no full-table driver materialization)."""
+    return _verified_pairs(sf_dir, kind="token", k=3, score_col="jaccard", threshold=threshold)
+
+
+def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """Character-4-gram Jaccard over MinHash-LSH candidates (distributed)."""
+    return _verified_pairs(sf_dir, kind="char", k=4, score_col="jaccard_char", threshold=threshold)
+
+
+def _char_ngrams(text: str, n: int = 4) -> np.ndarray:
+    """Per-doc char n-gram hashes (reference implementation for parity tests;
+    the pipeline uses ``batch_char_ngrams``)."""
+    from .text import rolling_gram_hashes
+
+    t = text.lower()
+    if not t:
+        return np.zeros(1, dtype=np.uint64)
+    cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    return np.unique(rolling_gram_hashes(cps, min(n, len(cps))))
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -191,24 +324,45 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7) -> pa.Table:
 
 class SimHasher:
     """64-bit SimHash per doc (Charikar 2002, public): sign of the sum of
-    ±1 bit-vectors of token hashes."""
+    ±1 bit-vectors of token hashes — batch-vectorized (flat token hashing +
+    per-doc reduceat)."""
 
     def __init__(self):
         self.shifts = np.arange(64, dtype=np.uint64)
 
-    def simhash(self, text: str) -> int:
-        toks = text.lower().split()
-        if not toks:
-            return 0
-        hs = hash_tokens(toks)
-        bits = ((hs[:, None] >> self.shifts[None, :]) & np.uint64(1)).astype(np.int32)
-        acc = (2 * bits - 1).sum(axis=0)
-        return int(((acc > 0).astype(np.uint64) << self.shifts).sum())
+    def simhashes(self, texts: pd.Series) -> np.ndarray:
+        import itertools
+
+        toks = texts.fillna("").str.lower().str.split()
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        flat = list(itertools.chain.from_iterable(toks))
+        hs = hash_tokens(flat)
+        n = len(lens)
+        out = np.zeros(n, dtype=np.uint64)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        # slab over docs: (tokens x 64) int32 intermediate stays ~32 MB
+        slab_tok = 128 << 10
+        lo = 0
+        while lo < n:
+            hi = int(np.searchsorted(offsets, offsets[lo] + slab_tok, side="right"))
+            hi = min(max(hi, lo + 1), n)
+            h = hs[offsets[lo] : offsets[hi]]
+            if len(h):
+                bits = ((h[:, None] >> self.shifts[None, :]) & np.uint64(1)).astype(np.int32)
+                pm = 2 * bits - 1
+                nz = lens[lo:hi] > 0
+                starts = (offsets[lo:hi] - offsets[lo])[nz]
+                acc = np.add.reduceat(pm, starts, axis=0)
+                sums = np.zeros((hi - lo, 64), dtype=np.int64)
+                sums[nz] = acc
+                out[lo:hi] = ((sums > 0).astype(np.uint64) << self.shifts[None, :]).sum(axis=1)
+            lo = hi
+        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["simhash"] = [np.uint64(self.simhash(t)).astype(np.int64) for t in batch["text"].fillna("")]
-        return batch[["doc_id", "simhash"]]
+        h = self.simhashes(batch["text"])
+        out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "simhash": h.astype(np.int64)})
+        return out
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
@@ -249,58 +403,25 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-# --- char n-gram Jaccard ----------------------------------------------------
-
-
-def _char_ngrams(text: str, n: int = 4) -> np.ndarray:
-    """Character n-gram hashes via rolling mix over code points (vectorized)."""
-    t = text.lower()
-    if not t:
-        return np.zeros(1, dtype=np.uint64)
-    cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
-    return np.unique(rolling_gram_hashes(cps, min(n, len(cps))))
-
-
-def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5) -> pa.Table:
-    """Character-4-gram Jaccard over MinHash-LSH candidates."""
-    cand = minhash_candidates(sf_dir).to_pandas()
-    empty = pa.table({"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64()), "jaccard_char": pa.array([], type=pa.float64())})
-    if len(cand) == 0:
-        return empty
-    docs = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    grams = {int(d): _char_ngrams(t) for d, t in zip(docs["doc_id"], docs["text"])}
-    ref = ray.put(grams)
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        g = ray.get(ref)
-        js = []
-        for a, b in zip(batch["id_a"], batch["id_b"]):
-            sa, sb = g[int(a)], g[int(b)]
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            js.append(inter / union if union else 0.0)
-        batch["jaccard_char"] = np.round(js, 4)
-        return batch[batch["jaccard_char"] >= threshold]
-
-    out = ray.data.from_pandas(cand).map_batches(verify, batch_format="pandas").to_pandas()
-    if len(out) == 0:
-        return empty
-    return pa.Table.from_pandas(out.sort_values(["id_a", "id_b"]), preserve_index=False)
-
-
 # --- embedding cosine near-dup ----------------------------------------------
 
 
 def dedup_embedding(sf_dir: str, threshold: float = 0.45) -> pa.Table:
-    """Cosine near-dup pairs over embeddings: broadcast the (small) normalized
-    matrix once, each batch computes its rows x all-rows block of the upper
-    triangle — at 10^12 scale the matrix side becomes LSH-bucketed."""
+    """EXACT cosine near-dup pairs — the all-pairs oracle baseline: stream the
+    (small-side) embedding matrix into one broadcast object, each batch
+    computes its rows x all-rows block of the upper triangle. O(n^2) by
+    definition; ``dedup_embedding_lsh`` is the subquadratic scale path (its
+    recall vs this query is asserted >=90% in tests)."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_pdf = emb.to_pandas().sort_values("vec_id")
-    ids = all_pdf["vec_id"].to_numpy()
-    mat = np.stack(all_pdf["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    matn = mat / np.maximum(norms, 1e-12)
+    ids_parts, mat_parts = [], []
+    for b in emb.iter_batches(batch_format="pandas"):
+        ids_parts.append(b["vec_id"].to_numpy())
+        mat_parts.append(np.stack(b["embedding"].to_numpy()).astype(np.float64))
+    ids = np.concatenate(ids_parts)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.concatenate(mat_parts)[order]
+    matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids, matn))
 
     def block(batch: pd.DataFrame) -> pd.DataFrame:
@@ -321,32 +442,73 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.45) -> pa.Table:
 
     out = emb.map_batches(block, batch_format="pandas").to_pandas()
     if len(out) == 0 or "id_a" not in out.columns:
-        return pa.table(
-            {
-                "id_a": pa.array([], type=pa.int64()),
-                "id_b": pa.array([], type=pa.int64()),
-                "cos": pa.array([], type=pa.float64()),
-            }
-        )
+        return pa.table({**_EMPTY_PAIRS, "cos": pa.array([], type=pa.float64())})
     out = out.sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.45, n_planes: int = 6) -> pa.Table:
-    """LSH-bucketed cosine near-dup — the 10^12-scale path for
-    ``dedup_embedding``: random-hyperplane sign buckets, candidate pairs only
-    within a bucket or Hamming-1 neighbour buckets, exact cosine verify.
-    Approximate (recall < 1 by design); rows-only check."""
-    from .similarity import LshIndexer
+class MultiTableLsh:
+    """Actor-pool stage: random-hyperplane sign buckets under L INDEPENDENT
+    plane sets (OR-construction), plus Hamming-1 neighbour-bucket emission.
 
+    Two vectors meet in some group iff their sign patterns under one table
+    differ in <=2 planes (each emits its own bucket + all 1-flip neighbours,
+    so dH<=2 pairs share an intermediate bucket) — the per-table catch
+    probability at cos 0.45 (plane-agreement p = 1 - theta/pi ~ 0.65) is
+    ~0.65 vs ~0.08 for the single exact-bucket table that round 1 shipped
+    (which found 0/14 known pairs); L=6 tables push recall past 0.998."""
+
+    def __init__(self, dim: int = 64, n_planes: int = 6, n_tables: int = 6, seed: int = 777):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.normal(0, 1, (n_tables, dim, n_planes))
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        ids = batch["vec_id"].to_numpy()
+        emb_list = batch["embedding"].to_numpy()
+        pow2 = 1 << np.arange(self.n_planes)
+        out = []
+        for t in range(self.n_tables):
+            signs = (m @ self.planes[t]) > 0
+            base = signs @ pow2  # (n,)
+            # emit own bucket + every Hamming-1 neighbour (dH<=2 coverage)
+            buckets = np.concatenate([base[:, None], base[:, None] ^ pow2[None, :]], axis=1)
+            nb = buckets.shape[1]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "bucket": (np.int64(t) << np.int64(32)) | buckets.reshape(-1).astype(np.int64),
+                        "vec_id": np.repeat(ids, nb),
+                        "embedding": np.repeat(emb_list, nb),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def dedup_embedding_lsh(
+    sf_dir: str,
+    threshold: float = 0.45,
+    n_planes: int = 6,
+    n_tables: int = 6,
+    bucket_cap: int = 2000,
+) -> pa.Table:
+    """LSH-bucketed cosine near-dup — the subquadratic scale path for
+    ``dedup_embedding``: multi-table OR-construction with Hamming<=2 bucket
+    coverage, exact cosine verify inside each bucket group, global dedupe.
+    Recall >=90% of the exact query's pairs is asserted in tests. At scale,
+    raise n_planes (finer buckets) with n_tables to hold recall."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ds = emb.map_batches(
-        LshIndexer, fn_constructor_kwargs={"n_planes": n_planes},
+        MultiTableLsh,
+        fn_constructor_kwargs={"n_planes": n_planes, "n_tables": n_tables},
         batch_format="pandas", batch_size=4096, concurrency=2,
     )
 
     def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("vec_id").head(200)
+        g = group.drop_duplicates(subset=["vec_id"]).sort_values("vec_id").head(bucket_cap)
         ids = g["vec_id"].to_numpy()
         if len(ids) < 2:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
@@ -360,6 +522,6 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.45, n_planes: int = 6)
 
     out = ds.groupby("bucket").map_groups(pairs_of, batch_format="pandas").to_pandas()
     if len(out) == 0:
-        return pa.table({"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64()), "cos": pa.array([], type=pa.float64())})
+        return pa.table({**_EMPTY_PAIRS, "cos": pa.array([], type=pa.float64())})
     out = out.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(out, preserve_index=False)

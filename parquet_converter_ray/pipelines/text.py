@@ -186,3 +186,109 @@ def rolling_gram_hashes(tok_hashes: np.ndarray, k: int) -> np.ndarray:
     for j in range(k):
         acc = acc * _G1 + tok_hashes[j : n - k + 1 + j] * _G2
     return acc ^ (acc >> np.uint64(29))
+
+
+# --- batch-vectorized shingle sets (no per-doc Python in the hot loop) -------
+
+
+def flat_sorted_unique_grams(
+    vals: np.ndarray, lens: np.ndarray, k: int, short_mode: str = "nok"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted-unique k-gram hashes over per-doc value arrays stored
+    concatenated in ``vals`` — ONE vectorized pass across the whole batch.
+
+    Exactly reproduces ``np.unique(rolling_gram_hashes(doc_vals, k))`` per doc
+    (sorted-unique == np.unique), with the per-doc short cases:
+      - empty doc -> {0} (the shingle-set sentinel used by _shingle_hashes)
+      - 0 < len < k, short_mode="nok":     token semantics — single hash via
+        the rolling n<k branch (no _G2 weight, no final xor-shift)
+      - 0 < len < k, short_mode="fullgram": char-n-gram semantics — k_eff=len,
+        single standard-formula gram (matches rolling(cps, min(n, len)))
+
+    Returns (grams_concat, offsets[n_docs+1]).
+    """
+    n = len(lens)
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    ends = np.cumsum(lens)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # long docs (len >= k): one rolling pass over the flat array, then keep
+    # only gram positions fully inside a single doc
+    if total >= k and k >= 1:
+        m = total - k + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _G1 + vals[j : m + j] * _G2
+        acc ^= acc >> np.uint64(29)
+        valid = doc_of[:m] == doc_of[k - 1 :]
+        grams = acc[valid]
+        docs = doc_of[:m][valid]
+    else:
+        grams = np.zeros(0, dtype=np.uint64)
+        docs = np.zeros(0, dtype=np.int64)
+    # short docs: rare; tiny per-doc loop with exact branch parity
+    short = np.nonzero((lens > 0) & (lens < k))[0]
+    if len(short):
+        s_grams = np.empty(len(short), dtype=np.uint64)
+        for i, d in enumerate(short):
+            v = vals[ends[d] - lens[d] : ends[d]]
+            a = np.zeros(1, dtype=np.uint64)  # array ops: silent mod-2^64 wrap
+            if short_mode == "nok":
+                for j in range(len(v)):
+                    a = a * _G1 + v[j : j + 1]
+            else:  # one full-length gram with the standard formula
+                for j in range(len(v)):
+                    a = a * _G1 + v[j : j + 1] * _G2
+                a ^= a >> np.uint64(29)
+            s_grams[i] = a[0]
+        grams = np.concatenate([grams, s_grams])
+        docs = np.concatenate([docs, short])
+    empty = np.nonzero(lens == 0)[0]
+    if len(empty):
+        grams = np.concatenate([grams, np.zeros(len(empty), dtype=np.uint64)])
+        docs = np.concatenate([docs, empty])
+    # per-doc sorted unique: lexsort then drop adjacent duplicates
+    order = np.lexsort((grams, docs))
+    docs, grams = docs[order], grams[order]
+    if len(docs):
+        keep = np.empty(len(docs), dtype=bool)
+        keep[0] = True
+        keep[1:] = (docs[1:] != docs[:-1]) | (grams[1:] != grams[:-1])
+        docs, grams = docs[keep], grams[keep]
+    counts = np.bincount(docs, minlength=n)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return grams, offsets
+
+
+def batch_token_shingles(texts: "pd.Series", k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-unique token-k-gram shingle hashes for every doc of a batch —
+    identical sets to ``_shingle_hashes`` per doc, computed batch-at-once."""
+    import itertools
+
+    toks = texts.fillna("").str.lower().str.split()
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    flat = list(itertools.chain.from_iterable(toks))
+    th = hash_tokens(flat)
+    return flat_sorted_unique_grams(th, lens, k, short_mode="nok")
+
+
+def batch_char_ngrams(texts: "pd.Series", n: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-unique character-n-gram hashes per doc (identical sets to
+    ``_char_ngrams``), batch-at-once over the concatenated code points."""
+    t = texts.fillna("").str.lower()
+    joined = "".join(t.tolist())
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    lens = t.str.len().to_numpy(dtype=np.int64)
+    return flat_sorted_unique_grams(cps, lens, n, short_mode="fullgram")
+
+
+def grams_to_large_binary(grams: np.ndarray, offsets: np.ndarray) -> "pa.Array":
+    """Zero-copy pack of per-doc uint64 gram arrays into an Arrow
+    ``large_binary`` column (8 bytes per gram) — the joinable wire format for
+    shingle sets (Acero joins reject list columns as payload)."""
+    value_offsets = (offsets * 8).astype(np.int64)
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        len(offsets) - 1,
+        [None, pa.py_buffer(value_offsets.tobytes()), pa.py_buffer(grams.tobytes())],
+    )

@@ -113,3 +113,56 @@ def test_entry_smoke(ray_session):
     out = e.entry()
     n = out.num_rows if hasattr(out, "num_rows") else len(out)
     assert n > 0
+
+
+def test_embedding_lsh_recall(ray_session):
+    """The LSH scale path must recover >=90% of the exact query's pairs
+    (round-1 regression: a single exact-bucket table found 0/14)."""
+    from parquet_converter_ray.pipelines import dedup
+
+    exact = dedup.dedup_embedding(SF_DIR)
+    lsh = dedup.dedup_embedding_lsh(SF_DIR)
+    ep = set(zip(exact["id_a"].to_pylist(), exact["id_b"].to_pylist()))
+    lp = set(zip(lsh["id_a"].to_pylist(), lsh["id_b"].to_pylist()))
+    assert len(ep) > 0
+    assert len(ep & lp) / len(ep) >= 0.9, f"recall {len(ep & lp)}/{len(ep)}"
+    # every reported pair must truly pass the cosine threshold (no false
+    # positives: buckets only gate candidates, cosine is exact)
+    assert lp <= ep or all(c >= 0.45 for c in lsh["cos"].to_pylist())
+
+
+def test_batch_shingles_match_per_doc_reference(ray_session):
+    """The vectorized batch shingle/ngram kernels must reproduce the per-doc
+    reference implementations exactly (dedup outputs depend on it)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray.pipelines.dedup import _char_ngrams, _shingle_hashes
+    from parquet_converter_ray.pipelines.text import batch_char_ngrams, batch_token_shingles
+
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])["text"].to_pandas()
+    texts = pd.concat(
+        [texts.head(100), pd.Series(["", "  ", "a", "a b", "ONE one oNe", "汉字测试 汉字"])],
+        ignore_index=True,
+    )
+    g, o = batch_token_shingles(texts)
+    g2, o2 = batch_char_ngrams(texts)
+    for i, t in enumerate(texts):
+        assert np.array_equal(np.unique(_shingle_hashes(t)), g[o[i] : o[i + 1]]), i
+        assert np.array_equal(np.unique(_char_ngrams(t)), g2[o2[i] : o2[i + 1]]), i
+
+
+def test_dedup_has_no_driver_materialization():
+    """Guard: near-dup pipelines must not pull whole tables to the driver
+    (pandas conversion of a full docs/embeddings Dataset)."""
+    import inspect
+
+    from parquet_converter_ray.pipelines import dedup
+
+    src = inspect.getsource(dedup)
+    # to_pandas() may only be applied to (small) pair results; never to the
+    # docs/embeddings datasets themselves
+    for line in src.splitlines():
+        if ".to_pandas()" in line:
+            assert "docs" not in line and "emb" not in line.split("=")[-1].split(".")[0], line
