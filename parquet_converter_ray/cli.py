@@ -32,7 +32,11 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="parquet-converter-ray")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--config", default=None, help="JSON/YAML config file")
-    sub = ap.add_subparsers(dest="cmd", required=True)
+    ap.add_argument(
+        "--save-config", default=None, metavar="PATH",
+        help="write the effective config to PATH and exit (reference cli.py:65-69)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=False)
 
     p = sub.add_parser("encode", help="encode parquet table(s) into codec containers")
     p.add_argument("input")
@@ -56,7 +60,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="streaming order-insensitive fingerprint compare (no driver materialization)")
 
     p = sub.add_parser("analyze", help="profile parquet files (reference analyzer parity)")
-    p.add_argument("inputs", nargs="+")
+    p.add_argument("inputs", nargs="+", help="parquet files or directories")
+    p.add_argument("--recursive", action="store_true", help="walk directories recursively")
     p.add_argument("--report", default=None)
     p.add_argument("--plan", action="store_true", help="also print a codec plan preview")
 
@@ -71,6 +76,13 @@ def main(argv: list[str] | None = None) -> int:
     from .config import EngineConfig
 
     cfg = EngineConfig.load(args.config)
+    if args.save_config:
+        cfg.save(args.save_config)
+        print(json.dumps({"saved": args.save_config}))
+        if args.cmd is None:
+            return 0
+    elif args.cmd is None:
+        ap.error("a command is required (or --save-config)")
     _init_ray(args.num_cpus)
     import ray
     import ray.data
@@ -113,9 +125,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"bit_identical": ok, "detail": msg}))
             return 0 if ok else 1
         elif args.cmd == "analyze":
-            from .profile import analyze_files, format_report
+            from .profile import analyze_files, discover_parquet_files, format_report
 
-            results = analyze_files(args.inputs, column_limit=cfg.profiling_column_limit)
+            paths = [
+                f for inp in args.inputs for f in discover_parquet_files(inp, recursive=args.recursive)
+            ]
+            results = analyze_files(paths, column_limit=cfg.profiling_column_limit)
             report = format_report(results)
             if args.report:
                 with open(args.report, "w") as f:

@@ -120,13 +120,31 @@ def value_counts_returnflag(sf_dir: str) -> pa.Table:
     return pa.table({"l_returnflag": out["l_returnflag"], "cnt": out["count()"].astype("int64")})
 
 
-# --- T1: ordered head -------------------------------------------------------
+# --- T1/T2: ordered head/tail without a global sort --------------------------
+
+
+def ordered_topk(
+    ds: "ray.data.Dataset", keys: list[str], k: int, descending: bool = False
+) -> pa.Table:
+    """First/last k rows by ``keys`` WITHOUT shuffling the table: each batch
+    keeps its local top-k (tiny partial), the driver merges the partials and
+    takes the global top-k — same mergeable-partial shape as knn_bruteforce.
+    A ``ds.sort().take(k)`` would move every block through an all-to-all
+    exchange for k rows."""
+    order = [(c, "descending" if descending else "ascending") for c in keys]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        return batch.sort_by(order).slice(0, k)
+
+    parts = pa.concat_tables(
+        list(ds.map_batches(local_topk, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    )
+    return parts.sort_by(order).slice(0, k).combine_chunks()
 
 
 def head_lineitem(sf_dir: str) -> pa.Table:
     ds = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
-    rows = ds.sort(["l_orderkey", "l_linenumber"]).take(10)
-    return pa.Table.from_pylist(rows)
+    return ordered_topk(ds, ["l_orderkey", "l_linenumber"], 10)
 
 
 # --- pricing summary (filter + project + partial-agg + groupby) -------------
@@ -377,10 +395,10 @@ def user_event_sequence(sf_dir: str) -> pa.Table:
 
 
 def tail_lineitem(sf_dir: str) -> pa.Table:
-    """T2: tail via descending sort + limit (reference analyzer.py:344)."""
+    """T2: tail (reference analyzer.py:344) via per-batch descending top-k
+    partials — no global sort."""
     ds = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
-    rows = ds.sort(["l_orderkey", "l_linenumber"], descending=[True, True]).take(5)
-    return pa.Table.from_pylist(rows)
+    return ordered_topk(ds, ["l_orderkey", "l_linenumber"], 5, descending=True)
 
 
 def ts_range_orders(sf_dir: str) -> pa.Table:

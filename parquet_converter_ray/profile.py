@@ -71,8 +71,13 @@ def profile_dataset(
     column_limit: int = 25,
     top_k: int = 5,
     top_k_max_card: int = 20,
+    exact_medians: bool = False,
 ) -> dict:
-    """Profile a Dataset; returns {"n_rows", "columns": {name: {...}}}."""
+    """Profile a Dataset; returns {"n_rows", "columns": {name: {...}}}.
+
+    Medians come FREE from the merged value counts for columns under the
+    distinct cap; ``exact_medians=True`` additionally pays one distributed
+    sort per high-cardinality numeric column (the full-report path)."""
     schema = ds.schema()
     columns = list(schema.names)[:column_limit]
     types = dict(zip(schema.names, schema.types))
@@ -135,9 +140,38 @@ def profile_dataset(
                 {"value": v, "count": cnt, "pct": round(cnt / max(m["n"], 1) * 100, 2)}
                 for v, cnt in top
             ]
+        c["null_pct"] = round(m["nulls"] / max(m["n"], 1) * 100, 2)
+        if "cnt" in m and m["cnt"]:
+            if not m["overflow"]:
+                # exact median FREE from the merged value counts (weighted
+                # median over sorted distinct values) — no extra pass
+                c["median"] = _median_from_counts(m["vc"])
+            elif exact_medians:
+                # high-cardinality fallback: distributed sort + pick
+                c["median"] = exact_median(ds, name)
         cols_out[name] = c
     result["columns"] = cols_out
     return result
+
+
+def _median_from_counts(vc: dict) -> float:
+    """Exact median from a value->count map (polars/DuckDB semantics: mean of
+    the two middle values for even counts; nulls excluded)."""
+    items = sorted((k, c) for k, c in vc.items() if k is not None)
+    n = sum(c for _, c in items)
+    if n == 0:
+        return float("nan")
+    lo_idx, hi_idx = (n - 1) // 2, n // 2
+    lo = hi = None
+    cum = 0
+    for k, c in items:
+        if lo is None and cum + c > lo_idx:
+            lo = k
+        if cum + c > hi_idx:
+            hi = k
+            break
+        cum += c
+    return (float(lo) + float(hi)) / 2.0
 
 
 def exact_median(ds: "ray.data.Dataset", col: str) -> float:
@@ -164,6 +198,96 @@ def head_rows(ds: "ray.data.Dataset", n: int = 10) -> pa.Table:
     return pa.Table.from_pylist(ds.take(n))
 
 
+def humanize_size(n_bytes: int) -> str:
+    """Human-readable decimal size (reference get_file_size semantics via
+    humanize.naturalsize: '4 Bytes', '1.2 kB', '3.4 MB').
+
+    Examples
+    --------
+    >>> humanize_size(4)
+    '4 Bytes'
+    >>> humanize_size(1200)
+    '1.2 kB'
+    >>> humanize_size(3_400_000)
+    '3.4 MB'
+    """
+    if n_bytes < 1000:
+        return f"{int(n_bytes)} Bytes"
+    for unit in ("kB", "MB", "GB", "TB", "PB"):
+        n_bytes /= 1000.0
+        if n_bytes < 1000:
+            return f"{n_bytes:.1f} {unit}"
+    return f"{n_bytes:.1f} EB"
+
+
+def file_modification_time(path: str) -> str:
+    """Last-modified timestamp, reference format 'YYYY-MM-DD HH:MM:SS'
+    (reference get_file_modification_time, analyzer.py:136-161)."""
+    import datetime
+    import os
+
+    return datetime.datetime.fromtimestamp(os.stat(path).st_mtime).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def discover_parquet_files(input_path: str, recursive: bool = False) -> list[str]:
+    """Parquet discovery (reference find_parquet_files, analyzer.py:72-106):
+    a file path passes through; a directory lists '*.parquet', or walks the
+    whole tree when ``recursive``."""
+    import glob
+    import os
+
+    if os.path.isfile(input_path):
+        return [input_path]
+    if recursive:
+        out = []
+        for root, _dirs, files in os.walk(input_path):
+            out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+        return sorted(out)
+    return sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+
+
+def _file_sample_rows(path: str, n_rows: int, n_sample: int = 10, seed: int = 0) -> dict:
+    """head(3) / tail(3) / random-``n_sample`` preview rows of a parquet file
+    (reference first_rows/last_rows/sample_rows, analyzer.py:324-344), reading
+    only the row groups that contain the picked rows. The random sample is
+    seeded (deterministic reports), unlike the reference's random.sample."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    sizes = [pf.metadata.row_group(i).num_rows for i in range(pf.num_row_groups)]
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+
+    def rows_at(indices: "np.ndarray") -> list[tuple]:
+        if len(indices) == 0:
+            return []
+        by_rg: dict[int, list[int]] = {}
+        for idx in indices:
+            rg = int(np.searchsorted(starts, idx, side="right") - 1)
+            by_rg.setdefault(rg, []).append(int(idx))
+        out: dict[int, tuple] = {}
+        for rg, idxs in by_rg.items():
+            tbl = pf.read_row_group(rg)
+            for idx in idxs:
+                off = idx - int(starts[rg])
+                out[idx] = tuple(col[off].as_py() for col in tbl.columns)
+        return [out[int(i)] for i in indices]
+
+    head_idx = np.arange(min(3, n_rows))
+    tail_idx = np.arange(max(0, n_rows - 3), n_rows)
+    if 0 < n_rows <= n_sample:
+        samp_idx = np.arange(n_rows)
+    elif n_rows > n_sample:
+        samp_idx = np.sort(np.random.default_rng(seed).choice(n_rows, n_sample, replace=False))
+    else:
+        samp_idx = np.arange(0)
+    return {
+        "first_rows": rows_at(head_idx),
+        "last_rows": rows_at(tail_idx),
+        "sample_rows": rows_at(samp_idx),
+    }
+
+
 def analyze_files(paths: list[str], column_limit: int = 25) -> list[dict]:
     """Per-file profiles (reference analyze_directory, analyzer.py:516-564).
 
@@ -175,15 +299,21 @@ def analyze_files(paths: list[str], column_limit: int = 25) -> list[dict]:
     out = []
     for p in paths:
         ds = ray.data.read_parquet(p)
-        prof = profile_dataset(ds, column_limit=column_limit)
+        prof = profile_dataset(ds, column_limit=column_limit, exact_medians=True)
         st = os.stat(p) if os.path.isfile(p) else None
+        samples = _file_sample_rows(p, prof["n_rows"]) if st else {
+            "first_rows": [], "last_rows": [], "sample_rows": []
+        }
         out.append(
             {
                 "file": p,
                 "size_bytes": st.st_size if st else None,
+                "file_size": humanize_size(st.st_size) if st else None,
+                "file_mod_time": file_modification_time(p) if st else None,
                 "n_rows": prof["n_rows"],
                 "n_cols": len(prof["columns"]),
                 "columns": prof["columns"],
+                **samples,
             }
         )
     return out
@@ -194,12 +324,20 @@ def format_report(results: list[dict]) -> str:
     lines = ["PARQUET ANALYSIS REPORT", "=" * 60]
     for r in results:
         lines.append(f"\nFile: {r['file']}")
-        lines.append(f"  rows={r['n_rows']} cols={r['n_cols']} size={r['size_bytes']}")
+        lines.append(
+            f"  rows={r['n_rows']} cols={r['n_cols']} size={r.get('file_size') or r['size_bytes']}"
+            + (f" modified={r['file_mod_time']}" if r.get("file_mod_time") else "")
+        )
         for name, c in r["columns"].items():
-            desc = f"  - {name} [{c['dtype']}] nulls={c['null_count']} unique={c['n_unique']}"
+            desc = f"  - {name} [{c['dtype']}] nulls={c['null_count']} ({c.get('null_pct', 0)}%) unique={c['n_unique']}"
             if "mean" in c:
-                desc += f" min={c['min']:.4g} max={c['max']:.4g} mean={c['mean']:.4g} std={c['std']:.4g}"
+                desc += f" min={c['min']:.4g} max={c['max']:.4g} mean={c['mean']:.4g} median={c.get('median', float('nan')):.4g} std={c['std']:.4g}"
             lines.append(desc)
             for tv in c.get("top_values", []):
                 lines.append(f"      {tv['value']!r}: {tv['count']} ({tv['pct']}%)")
+        for label, key in (("First rows", "first_rows"), ("Last rows", "last_rows"), ("Sample rows", "sample_rows")):
+            rows = r.get(key) or []
+            if rows:
+                lines.append(f"  {label}:")
+                lines.extend(f"    {row!r}" for row in rows)
     return "\n".join(lines)

@@ -62,3 +62,58 @@ def test_analyze_files_report(ray_session, tmp_path):
     assert results[0]["n_rows"] == 3
     report = format_report(results)
     assert "t.parquet" in report and "label" in report
+
+
+def test_report_parity_fields(ray_session, tmp_path):
+    """Reference analyzer parity: humanized size, mtime, per-column median,
+    null_pct, head/tail/sample rows (analyzer.py:109-161,191-197,324-348)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray.profile import (
+        discover_parquet_files,
+        file_modification_time,
+        humanize_size,
+    )
+
+    src = "/root/testdata/sf0.001/orders.parquet"
+    results = analyze_files([src])
+    r = results[0]
+    assert r["file_size"].endswith(("Bytes", "kB", "MB"))
+    assert len(r["file_mod_time"]) == 19 and r["file_mod_time"].count(":") == 2
+    assert len(r["first_rows"]) == 3
+    assert len(r["last_rows"]) == 3
+    assert len(r["sample_rows"]) == 10
+    # first/last rows match the file order
+    t = pq.read_table(src)
+    assert r["first_rows"][0] == tuple(col[0].as_py() for col in t.columns)
+    assert r["last_rows"][-1] == tuple(col[-1].as_py() for col in t.columns)
+    # medians match DuckDB exactly
+    for col in ("o_orderkey", "o_custkey", "o_totalprice"):
+        exp = duckdb.sql(f"SELECT median({col}) FROM '{src}'").fetchone()[0]
+        assert r["columns"][col]["median"] == pytest.approx(float(exp)), col
+    report = format_report(results)
+    assert "median=" in report and "Sample rows:" in report and "modified=" in report
+    # humanize + discovery helpers
+    assert humanize_size(4) == "4 Bytes" and humanize_size(1200) == "1.2 kB"
+    assert file_modification_time(src) == r["file_mod_time"]
+    nested = tmp_path / "a" / "b"
+    nested.mkdir(parents=True)
+    pq.write_table(pa.table({"x": [1]}), str(nested / "deep.parquet"))
+    pq.write_table(pa.table({"x": [1]}), str(tmp_path / "top.parquet"))
+    assert len(discover_parquet_files(str(tmp_path))) == 1
+    assert len(discover_parquet_files(str(tmp_path), recursive=True)) == 2
+
+
+def test_median_from_counts_overflow_consistency(ray_session):
+    """The value-counts median and the sort-based median must agree."""
+    import numpy as np
+    import ray.data
+
+    from parquet_converter_ray.profile import profile_dataset
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(0, 100, 5001)
+    ds = ray.data.from_arrow(pa.table({"x": vals}))
+    prof = profile_dataset(ds)
+    assert prof["columns"]["x"]["median"] == pytest.approx(float(np.median(vals)))
