@@ -20,6 +20,7 @@ import pyarrow as pa
 import ray.data
 
 from .container import decode_table
+from .pipelines._util import read_parquet_clean
 
 
 def container_files(out_dir: str) -> list[str]:
@@ -210,7 +211,7 @@ def verify_distributed(source: "ray.data.Dataset | str", out_dir: str) -> tuple[
     """Compare source vs decoded containers via order-insensitive
     fingerprints (streaming, fully distributed)."""
     if isinstance(source, (str, list)):
-        source = ray.data.read_parquet(source)
+        source = read_parquet_clean(source)
     cols = source.schema().names
     a = dataset_fingerprint(source, cols)
     b = dataset_fingerprint(decode_dataset(out_dir, columns=cols), cols)

@@ -34,6 +34,7 @@ import ray.data
 from . import manifest as mf
 from .container import encode_table, pack_container, write_container_atomic
 from .partition import assign_part_id
+from .pipelines._util import read_parquet_clean
 
 TARGET_PART_BYTES = 64 << 20  # in-memory arrow bytes per partition
 
@@ -250,7 +251,7 @@ def encode_dataset(
     except Exception:
         cpus = 8
     if isinstance(source, (str, list)):
-        est = ray.data.read_parquet(source).size_bytes() or (64 << 20)
+        est = read_parquet_clean(source).size_bytes() or (64 << 20)
         if n_parts is None:
             # partitions bound the per-encoder working set (bytes-driven at
             # scale) and must at least cover the CPUs so no encoder starves
@@ -259,7 +260,7 @@ def encode_dataset(
         # count: coarse input files serialize the exchange (measured ~8x
         # slower), so split at the READ (a driver-side repartition would cost
         # a second exchange)
-        ds = ray.data.read_parquet(source, override_num_blocks=max(2 * cpus, n_parts))
+        ds = read_parquet_clean(source, override_num_blocks=max(2 * cpus, n_parts))
     else:
         ds = source
         if n_parts is None:

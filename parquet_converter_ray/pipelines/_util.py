@@ -5,6 +5,27 @@ from __future__ import annotations
 import numpy as np
 
 
+def read_parquet_clean(path: str | list[str], columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_parquet`` with the pandas metadata stripped from the
+    schema. Parquet files written via pandas carry a metadata dict that makes
+    ``hash(schema)`` fail, which triggers a per-task "Failed to hash the
+    schemas (for deduplication)" warning inside Ray workers and defeats Ray's
+    schema-dedup fast path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    first = path[0] if isinstance(path, list) else path
+    try:
+        sch = pq.read_schema(first)
+        names = list(columns) if columns is not None else list(sch.names)
+        clean = pa.schema([sch.field(c).remove_metadata() for c in names])
+    except (OSError, pa.ArrowInvalid):  # directories / non-local: let Ray infer
+        return ray.data.read_parquet(path, columns=columns, **kwargs)
+    return ray.data.read_parquet(path, columns=columns, schema=clean, **kwargs)
+
+
 def sql_round(x, d: int = 4):
     """Round half AWAY FROM ZERO — DuckDB/SQL ROUND semantics.
 
@@ -17,3 +38,10 @@ def sql_round(x, d: int = 4):
     if np.isscalar(x) or arr.ndim == 0:
         return float(out)
     return out
+
+
+# Remote args for small deterministic actor-pool stages: suppress actor
+# restarts (the stage re-runs at job level anyway). Ray Data actor pools
+# default to max_restarts=-1, which with ctor args in the object store logs a
+# loud core_worker warning per actor (ray#53727).
+ACTOR_POOL_ARGS = {"max_restarts": 0, "max_task_retries": 0}

@@ -43,7 +43,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ._util import sql_round
+from ._util import ACTOR_POOL_ARGS, read_parquet_clean, sql_round
 from .text import (
     batch_char_ngrams,
     batch_token_shingles,
@@ -55,7 +55,7 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _docs(sf_dir: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _npartitions(lo: int = 2, hi: int = 64) -> int:
@@ -143,6 +143,35 @@ class MinHasher:
         return batch
 
 
+class MinHashBuckets(MinHasher):
+    """MinHasher fused with the band-bucket explode: emits (key, doc_id)
+    bucket rows directly as Arrow (no list column crosses a stage boundary,
+    and Arrow block schemas keep Ray's schema dedup happy)."""
+
+    def __init__(self, m: int = 64, k: int = 3, bands: int = 16, rows: int = 4):
+        super().__init__(m=m, k=k)
+        self.bands = bands
+        self.rows = rows
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        sigs = self.signatures(batch["text"])
+        bands, rows = self.bands, self.rows
+        # bucket key = mix of band id and the band's signature rows, fully
+        # vectorized over (docs x bands); collisions only add candidate pairs
+        # (verified later), never lose true ones within a band
+        s3 = sigs.reshape(len(sigs), bands, rows)
+        acc = np.full((len(sigs), bands), 0x9E3779B97F4A7C15, dtype=np.uint64)
+        for r in range(rows):
+            acc = (acc ^ s3[:, :, r]) * np.uint64(0x100000001B3)
+        acc = acc * np.uint64(bands) + np.arange(bands, dtype=np.uint64)[None, :]
+        return pa.table(
+            {
+                "key": pa.array(acc.reshape(-1).astype(np.int64)),
+                "doc_id": pa.array(np.repeat(batch["doc_id"].to_numpy(), bands)),
+            }
+        )
+
+
 class ShingleSet:
     """Map stage: (doc_id, sh) where ``sh`` is the doc's sorted-unique shingle
     hash set packed as large_binary (the joinable wire format)."""
@@ -169,31 +198,17 @@ def minhash_candidate_ds(
     Pairs may repeat across bands (true near-dups agree on many bands);
     downstream verification is idempotent and the final result dedupes.
     """
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHasher, fn_constructor_kwargs={"m": m}, batch_format="pandas",
-        batch_size=2048, concurrency=2,
-    )
-
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        # bucket key = mix of band id and the band's signature rows, fully
-        # vectorized over (docs x bands); collisions only add candidate pairs
-        # (verified later), never lose true ones within a band
-        sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in batch["sig"]])
-        s3 = sigs.reshape(len(sigs), bands, rows)
-        acc = np.full((len(sigs), bands), 0x9E3779B97F4A7C15, dtype=np.uint64)
-        for r in range(rows):
-            acc = (acc ^ s3[:, :, r]) * np.uint64(0x100000001B3)
-        acc = acc * np.uint64(bands) + np.arange(bands, dtype=np.uint64)[None, :]
-        return pd.DataFrame(
-            {
-                "key": acc.reshape(-1).astype(np.int64),
-                "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
-            }
-        )
-
     # (key, doc_id) pairs are tiny (16 ints/doc) — materialize so the two
     # consumers below don't re-execute the signature stage
-    buckets = ds.map_batches(explode, batch_format="pandas").materialize()
+    buckets = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            MinHashBuckets,
+            fn_constructor_kwargs={"m": m, "bands": bands, "rows": rows},
+            batch_format="pandas", batch_size=2048, concurrency=2, **ACTOR_POOL_ARGS,
+        )
+        .materialize()
+    )
 
     # LSH guarantees hot buckets are rare. Detect them with per-batch partial
     # (key, count) rows merged on the driver — mergeable-sketch pattern (the
@@ -262,7 +277,7 @@ def _verified_pairs(
         return empty
     sh = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(ShingleSet, fn_constructor_kwargs={"kind": kind, "k": k}, batch_format="pyarrow", concurrency=2)
+        .map_batches(ShingleSet, fn_constructor_kwargs={"kind": kind, "k": k}, batch_format="pyarrow", concurrency=2, **ACTOR_POOL_ARGS)
         .materialize()  # two join consumers
     )
     n_out = _npartitions()
@@ -359,26 +374,30 @@ class SimHasher:
             lo = hi
         return out
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        """Emit the banded blocking rows directly (Arrow): 4 x 16-bit bands."""
         h = self.simhashes(batch["text"])
-        out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "simhash": h.astype(np.int64)})
-        return out
+        n = len(h)
+        bands = np.repeat(np.arange(4, dtype=np.int64), n)
+        keys = np.concatenate(
+            [((h >> np.uint64(b * 16)) & np.uint64(0xFFFF)).astype(np.int64) for b in range(4)]
+        )
+        return pa.table(
+            {
+                "band": pa.array(bands),
+                "key": pa.array(keys),
+                "doc_id": pa.array(np.tile(batch["doc_id"].to_numpy(), 4)),
+                "simhash": pa.array(np.tile(h.astype(np.int64), 4)),
+            }
+        )
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     """SimHash near-dup pairs: block on each of four 16-bit bands (a pair
     within Hamming<=3 of a 64-bit hash must agree on >=1 of 4 bands)."""
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pandas", batch_size=2048, concurrency=2
+        SimHasher, batch_format="pandas", batch_size=2048, concurrency=2, **ACTOR_POOL_ARGS
     )
-
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        h = batch["simhash"].to_numpy().astype(np.uint64)
-        rows = []
-        for band in range(4):
-            part = (h >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-            rows.append(pd.DataFrame({"band": band, "key": part.astype("int64"), "doc_id": batch["doc_id"], "simhash": batch["simhash"]}))
-        return pd.concat(rows, ignore_index=True)
 
     def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("doc_id").head(50)
@@ -393,8 +412,7 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         return pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
 
     out = (
-        ds.map_batches(explode, batch_format="pandas")
-        .groupby(["band", "key"])
+        ds.groupby(["band", "key"])
         .map_groups(pairs_of, batch_format="pandas")
         .to_pandas()
     )
@@ -412,7 +430,7 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.45) -> pa.Table:
     computes its rows x all-rows block of the upper triangle. O(n^2) by
     definition; ``dedup_embedding_lsh`` is the subquadratic scale path (its
     recall vs this query is asserted >=90% in tests)."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids_parts, mat_parts = [], []
     for b in emb.iter_batches(batch_format="pandas"):
         ids_parts.append(b["vec_id"].to_numpy())
@@ -500,11 +518,11 @@ def dedup_embedding_lsh(
     coverage, exact cosine verify inside each bucket group, global dedupe.
     Recall >=90% of the exact query's pairs is asserted in tests. At scale,
     raise n_planes (finer buckets) with n_tables to hold recall."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ds = emb.map_batches(
         MultiTableLsh,
         fn_constructor_kwargs={"n_planes": n_planes, "n_tables": n_tables},
-        batch_format="pandas", batch_size=4096, concurrency=2,
+        batch_format="pandas", batch_size=4096, concurrency=2, **ACTOR_POOL_ARGS,
     )
 
     def pairs_of(group: pd.DataFrame) -> pd.DataFrame:

@@ -29,11 +29,11 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ._util import sql_round
+from ._util import read_parquet_clean, sql_round
 
 
 def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 # --- A1: count --------------------------------------------------------------
@@ -350,19 +350,23 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
 def events_json_mean(sf_dir: str) -> pa.Table:
     """Extract props->'k' (JSON) per event, average per event_type — the JSON
     scalar-function family (reference uses JSON only for config/report I/O;
-    this is the data-plane variant a transcript pipeline needs)."""
-    import json as _json
+    this is the data-plane variant a transcript pipeline needs). Extraction is
+    a vectorized RE2 kernel (pc.extract_regex), not per-row json.loads."""
+    _KEY_RE = r'"k"\s*:\s*(?P<k>-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)'
 
-    def extract(batch: pd.DataFrame) -> pd.DataFrame:
-        ks = batch["props"].map(lambda s: _json.loads(s).get("k"))
-        df = pd.DataFrame({"event_type": batch["event_type"], "k": ks.astype("float64")})
+    def extract(batch: pa.Table) -> pd.DataFrame:
+        hit = pc.extract_regex(batch["props"], pattern=_KEY_RE)
+        ks = pc.struct_field(hit, "k").cast(pa.float64())
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_pandas(), "k": ks.to_pandas()}
+        )
         return df.groupby("event_type", as_index=False).agg(k_sum=("k", "sum"), n=("k", "size"))
 
     from ray.data.aggregate import Sum
 
     out = (
         _t(sf_dir, "events", columns=["event_type", "props"])
-        .map_batches(extract, batch_format="pandas")
+        .map_batches(extract, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(Sum("k_sum", alias_name="k_sum"), Sum("n", alias_name="n"))
         .to_pandas()

@@ -18,11 +18,11 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ._util import sql_round
+from ._util import ACTOR_POOL_ARGS, read_parquet_clean, sql_round
 
 
 def _emb(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
 def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
@@ -92,7 +92,7 @@ def knn_lsh(sf_dir: str, query_id: int = 0, k: int = 10, n_planes: int = 8) -> p
 
     ds = _emb(sf_dir).map_batches(
         LshIndexer, fn_constructor_kwargs={"dim": len(q), "n_planes": n_planes},
-        batch_format="pandas", batch_size=4096, concurrency=2,
+        batch_format="pandas", batch_size=4096, concurrency=2, **ACTOR_POOL_ARGS,
     )
 
     def candidates(batch: pa.Table) -> pd.DataFrame:

@@ -18,9 +18,11 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ._util import ACTOR_POOL_ARGS, read_parquet_clean
+
 
 def _docs(sf_dir: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # --- token counting (SQL-checkable) -----------------------------------------
@@ -76,51 +78,93 @@ _STOPWORDS = {
 class LangQuality:
     """Actor-pool stage: language heuristic + quality score per document.
 
-    State built once per actor (SURVEY §2.3 pattern): compiled tokenizer regex,
-    stopword lookup tables, and a CJK codepoint range check for 'zh'.
+    State built once per actor (SURVEY §2.3 pattern): compiled tokenizer
+    regex, HASHED stopword tables per language, CJK range regex. Scoring is
+    batch-vectorized: tokens flattened across the batch, distinct-token and
+    stopword-hit counts via lexsort/np.isin + per-doc reduceat — the only
+    per-row work left is the C-loop tokenizer itself.
     """
+
+    _LANGS = list(_STOPWORDS)
 
     def __init__(self):
         self.word_re = re.compile(r"[\w']+", re.UNICODE)
-        self.stop = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.stop_hashes = {lang: np.sort(hash_tokens(sorted(ws))) for lang, ws in _STOPWORDS.items()}
+        self.cjk_re = r"[一-鿿]"
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import itertools
+
         texts = batch["text"].fillna("")
         toks = texts.str.lower().str.findall(self.word_re)
-        n_tok = toks.map(len)
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        n = len(lens)
+        flat = list(itertools.chain.from_iterable(toks))
+        th = hash_tokens(flat)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pos_in_doc = np.arange(len(th)) - np.repeat(offsets[:-1], lens)
 
-        def lang_of(ws_text):
-            ws, raw = ws_text
-            if any("一" <= ch <= "鿿" for ch in raw[:200]):
-                return "zh"
-            best, best_hits = "und", 0
-            s = set(ws[:200])
-            for lang, stop in self.stop.items():
-                hits = len(s & stop)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            return best
+        # distinct tokens per doc: lexsort (doc, hash), drop adjacent dups
+        order = np.lexsort((th, doc_of))
+        d_s, h_s = doc_of[order], th[order]
+        first = np.empty(len(d_s), dtype=bool)
+        if len(d_s):
+            first[0] = True
+            first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        n_distinct = np.bincount(d_s[first], minlength=n) if len(d_s) else np.zeros(n, dtype=np.int64)
+        diversity = n_distinct / np.maximum(1, lens)
 
-        batch["lang_pred"] = list(map(lang_of, zip(toks, texts)))
-        # quality: length, punctuation ratio, token diversity, mean token length
-        n_chars = texts.str.len().clip(lower=1)
-        punct = texts.str.count(r"[^\w\s]") / n_chars
-        diversity = toks.map(lambda ws: len(set(ws)) / max(1, len(ws)))
-        mean_tok = toks.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        # stopword hits per lang: DISTINCT stopwords among the first 200
+        # tokens (set(ws[:200]) & stop semantics)
+        head = pos_in_doc < 200
+        hits = np.zeros((n, len(self._LANGS)), dtype=np.int64)
+        for li, lang in enumerate(self._LANGS):
+            member = head & np.isin(th, self.stop_hashes[lang])
+            if member.any():
+                dd, hh = doc_of[member], th[member]
+                o2 = np.lexsort((hh, dd))
+                dd, hh = dd[o2], hh[o2]
+                f2 = np.empty(len(dd), dtype=bool)
+                f2[0] = True
+                f2[1:] = (dd[1:] != dd[:-1]) | (hh[1:] != hh[:-1])
+                hits[:, li] = np.bincount(dd[f2], minlength=n)
+        best_hits = hits.max(axis=1)
+        lang_arr = np.where(
+            best_hits > 0, np.array(self._LANGS, dtype=object)[hits.argmax(axis=1)], "und"
+        )
+        is_zh = texts.str.slice(0, 200).str.contains(self.cjk_re, regex=True).to_numpy()
+        lang_arr = np.where(is_zh, "zh", lang_arr)
+
+        # mean token length per doc: reduceat over flat token char lengths
+        tok_chars = np.fromiter(map(len, flat), dtype=np.int64, count=len(flat))
+        nz = lens > 0
+        sums = np.zeros(n, dtype=np.int64)
+        if nz.any():
+            sums[nz] = np.add.reduceat(tok_chars, offsets[:-1][nz])
+        mean_tok = np.where(nz, sums / np.maximum(1, lens), 0.0)
+
+        n_chars = texts.str.len().clip(lower=1).to_numpy()
+        punct = texts.str.count(r"[^\w\s]").to_numpy() / n_chars
         score = (
-            0.3 * np.clip(n_tok / 100.0, 0, 1)
+            0.3 * np.clip(lens / 100.0, 0, 1)
             + 0.3 * diversity
             + 0.2 * (1.0 - np.clip(punct * 5, 0, 1))
             + 0.2 * np.clip(mean_tok / 8.0, 0, 1)
         )
-        batch["n_tokens"] = n_tok.astype("int64")
-        batch["quality"] = score.round(4)
-        return batch[["doc_id", "lang_pred", "n_tokens", "quality"]]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "lang_pred": lang_arr,
+                "n_tokens": lens,
+                "quality": np.round(score, 4),
+            }
+        )
 
 
 def lang_quality(sf_dir: str) -> pa.Table:
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangQuality, batch_format="pandas", batch_size=2048, concurrency=2
+        LangQuality, batch_format="pandas", batch_size=2048, concurrency=2, **ACTOR_POOL_ARGS
     )
     return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow"))).sort_by("doc_id")
 

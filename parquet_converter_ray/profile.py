@@ -27,6 +27,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from .pipelines._util import read_parquet_clean
+
 _UNIQUE_CAP = 100_000  # per-column distinct cap before falling back to groupby
 
 
@@ -298,7 +300,7 @@ def analyze_files(paths: list[str], column_limit: int = 25) -> list[dict]:
 
     out = []
     for p in paths:
-        ds = ray.data.read_parquet(p)
+        ds = read_parquet_clean(p)
         prof = profile_dataset(ds, column_limit=column_limit, exact_medians=True)
         st = os.stat(p) if os.path.isfile(p) else None
         samples = _file_sample_rows(p, prof["n_rows"]) if st else {
