@@ -180,11 +180,14 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    # min-of-3 per level: the sandbox VM is shared (identical back-to-back
-    # runs vary >2x from host contention); the least-contended run is the
-    # honest measure. Sub-runs skip the query suite (headline only).
-    runs_lo = [one(lo) for _ in range(3)]
-    runs_hi = [one(hi) for _ in range(3)]
+    # min-of-3 per level, INTERLEAVED lo/hi: the sandbox VM is shared
+    # (identical back-to-back runs vary >2x from host contention); alternating
+    # levels exposes both to the same noise windows, and the least-contended
+    # run per level is the honest measure. Sub-runs skip the query suite.
+    runs_lo, runs_hi = [], []
+    for _ in range(3):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]

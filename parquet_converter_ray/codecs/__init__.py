@@ -180,11 +180,16 @@ def choose_codec(kind: str, vals, n: int) -> tuple[str, dict]:
     table = _NUM_CODECS if kind == "num" else _STR_CODECS
     sample, sn = _sample(kind, vals, n)
     best, best_size, best_params = "plain", float("inf"), {}
+    plain_size = None
     fsst_table = None
     for name in _candidates(kind, vals):
         enc, _ = table[name]
         try:
             if name == "fsst":
+                # training is the priciest trial; skip it when dict/plain
+                # already compressed below FSST's practical floor (~0.15x)
+                if plain_size is not None and best_size < 0.15 * plain_size:
+                    continue
                 from .strings import str_parts as _sp
 
                 _, sample_payload = _sp(sample if not isinstance(sample, pa.ChunkedArray) else sample.combine_chunks())
@@ -195,6 +200,8 @@ def choose_codec(kind: str, vals, n: int) -> tuple[str, dict]:
         except (ValueError, OverflowError):
             continue
         size = sum(len(wrap_buf(b)) for b in bufs)
+        if name == "plain":
+            plain_size = size
         if size < best_size:
             best, best_size = name, size
             best_params = {"table": fsst_table} if name == "fsst" else {}

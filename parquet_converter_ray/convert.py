@@ -61,19 +61,41 @@ def resolve_options(path: str, cfg: EngineConfig) -> ReaderOptions:
     raise ValueError(f"unsupported file type: {suffix}")
 
 
+def normalize_encoding(value: str) -> tuple[str, str]:
+    """Normalize encoding names to (codec, errors) — reference
+    ``_normalize_polars_encoding`` semantics (converter.py:426-450): the
+    recognised vocabulary is utf8 / utf8-lossy (lossy replaces undecodable
+    bytes with U+FFFD); other codecs pass through for the Arrow reader.
+
+    Examples
+    --------
+    >>> normalize_encoding("UTF-8")
+    ('utf-8', 'strict')
+    >>> normalize_encoding("utf8-lossy")
+    ('utf-8', 'replace')
+    """
+    v = value.lower().replace("_", "-")
+    if v in ("utf8", "utf-8"):
+        return "utf-8", "strict"
+    if v in ("utf8-lossy", "utf-8-lossy"):
+        return "utf-8", "replace"
+    return value, "strict"
+
+
 # --- schema inference (sample-then-commit) ----------------------------------
 
 
 def _read_sample(path: str, opts: ReaderOptions, sample_rows: int) -> pd.DataFrame:
-    kwargs: dict = {"nrows": sample_rows}
+    codec, errors = normalize_encoding(opts.encoding)
+    kwargs: dict = {"nrows": sample_rows, "encoding_errors": errors}
     if opts.skip_footer > 0:
         # pandas python engine forbids nrows with skipfooter; the footer path
         # is eager/legacy anyway, so sample = whole file minus footer
-        kwargs = {"skipfooter": opts.skip_footer}
+        kwargs = {"skipfooter": opts.skip_footer, "encoding_errors": errors}
     return pd.read_csv(
         path,
         sep=opts.delimiter,
-        encoding=opts.encoding,
+        encoding=codec,
         header=0 if opts.header else None,
         names=opts.column_names,
         na_values=opts.na_values,
@@ -208,6 +230,7 @@ def read_delimited(path: str | list[str], opts: ReaderOptions) -> "ray.data.Data
         strings_can_be_null=True,
     )
     parse = pacsv.ParseOptions(delimiter=opts.delimiter)
+    codec, _errors = normalize_encoding(opts.encoding)
     if opts.header and opts.column_names:
         # explicit replacement for header-derived column names (reference
         # parser semantics: pandas header=0 + names): give Arrow the
@@ -217,13 +240,13 @@ def read_delimited(path: str | list[str], opts: ReaderOptions) -> "ray.data.Data
         read = pacsv.ReadOptions(
             skip_rows=opts.skip_rows + 1,
             column_names=names,
-            encoding=opts.encoding,
+            encoding=codec,
         )
     else:
         read = pacsv.ReadOptions(
             skip_rows=opts.skip_rows,
             column_names=None if opts.header else names,
-            encoding=opts.encoding,
+            encoding=codec,
         )
     return ray.data.read_csv(
         path, convert_options=convert, parse_options=parse, read_options=read
@@ -246,13 +269,17 @@ def convert_file(
         opts = resolve_options(input_path, cfg)
         sample = _read_sample(input_path, opts, cfg.sample_rows)
         plan = infer_parse_plan(sample, cfg.datetime_formats, opts.dtypes)
-        if opts.skip_footer > 0:
-            # Arrow CSV has no skip-footer; use the legacy eager path for this
-            # rarely-used option (reference parser.py:98,144 pandas semantics)
+        codec, errors = normalize_encoding(opts.encoding)
+        if opts.skip_footer > 0 or errors == "replace":
+            # Arrow CSV has no skip-footer and no lossy decode; use the eager
+            # pandas path for these rarely-used options (reference
+            # parser.py:98,144 pandas semantics; utf8-lossy per
+            # converter.py:426-450 replaces undecodable bytes with U+FFFD)
             df = pd.read_csv(
                 input_path,
                 sep=opts.delimiter,
-                encoding=opts.encoding,
+                encoding=codec,
+                encoding_errors=errors,
                 header=0 if opts.header else None,
                 names=opts.column_names,
                 na_values=opts.na_values,
@@ -262,6 +289,8 @@ def convert_file(
                 dtype=str,
                 engine="python",
             )
+            if not len(df):
+                df = df.astype(str)
             ds = ray.data.from_pandas(df)
         else:
             ds = read_delimited(input_path, opts)

@@ -433,9 +433,11 @@ def order_lineitem_join(sf_dir: str) -> pa.Table:
         rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
         return pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
 
+    from .dedup import _npartitions
+
     items = items.map_batches(revenue, batch_format="pyarrow")
     joined = orders.join(
-        items, join_type="inner", num_partitions=16,
+        items, join_type="inner", num_partitions=_npartitions(),
         on=("o_orderkey",), right_on=("l_orderkey",),
     )
 

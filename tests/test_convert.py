@@ -161,3 +161,30 @@ def test_header_with_replacement_column_names(ray_session, tmp_path):
     assert list(df.columns) == ["new_a", "new_b"]
     assert df["new_a"].tolist() == [1, 2, 3]
     assert df["new_b"].tolist() == ["x", "y", "z"]
+
+
+def test_utf8_lossy_encoding(ray_session, tmp_path):
+    """utf8-lossy (reference converter.py:426-450): undecodable bytes become
+    U+FFFD instead of failing the file."""
+    p = tmp_path / "lossy.csv"
+    p.write_bytes(b"col1,col2\n1,ok\n2,b\xffad\n")
+    cfg = EngineConfig()
+    cfg.csv.encoding = "utf8-lossy"
+    stats = convert_file(str(p), str(tmp_path / "out"), cfg)
+    assert stats.errors == []
+    df = pd.read_parquet(stats.output_path).sort_values("col1")
+    assert df["col2"].tolist() == ["ok", "b�ad"]
+    # strict utf-8 on the same file records an error, does not raise
+    cfg2 = EngineConfig()
+    stats2 = convert_file(str(p), str(tmp_path / "out2"), cfg2)
+    assert stats2.errors
+
+
+def test_normalize_encoding_vocabulary():
+    from parquet_converter_ray.convert import normalize_encoding
+
+    assert normalize_encoding("UTF-8") == ("utf-8", "strict")
+    assert normalize_encoding("utf8") == ("utf-8", "strict")
+    assert normalize_encoding("utf8-lossy") == ("utf-8", "replace")
+    assert normalize_encoding("utf_8_lossy") == ("utf-8", "replace")
+    assert normalize_encoding("latin-1") == ("latin-1", "strict")
