@@ -42,13 +42,13 @@ _ARROW_PINNED = False
 
 
 def _default_n_parts(est_bytes: int, cpus: int) -> int:
-    """Partition count: 3 waves per CPU for scheduling slack, but never let a
+    """Partition count: 2 waves per CPU for scheduling slack, but never let a
     partition exceed TARGET_PART_BYTES (the per-encoder working-set bound that
-    governs at 100 TB). Measured on the 9.6M-turn bench: 96 parts (3x32) beat
-    136 by 1.5x and 320 by 6x — the push-based sort shuffle degrades sharply
-    with reduce-partition count, so use the FEWEST partitions that pack the
-    CPUs and bound memory."""
-    return max(3 * cpus, -(-est_bytes // TARGET_PART_BYTES))
+    governs at 100 TB). Measured on the 9.6M-turn bench at 32 CPUs: 64-96
+    parts ~13s, 136 parts 17-22s, 320 parts 85s — the push-based sort shuffle
+    degrades sharply with reduce-partition count, so use the FEWEST partitions
+    that pack the CPUs and bound memory."""
+    return max(2 * cpus, -(-est_bytes // TARGET_PART_BYTES))
 
 
 def _clean_output_dir(out_dir: str) -> None:
@@ -267,8 +267,8 @@ def encode_dataset(
         # the sort-shuffle's map-side parallelism follows the upstream block
         # count: coarse input files serialize the exchange (measured ~8x
         # slower), so split at the READ (a driver-side repartition would cost
-        # a second exchange)
-        ds = read_parquet_clean(source, override_num_blocks=max(2 * cpus, n_parts))
+        # a second exchange); 3 blocks/CPU measured best vs 1.5/2/4
+        ds = read_parquet_clean(source, override_num_blocks=max(3 * cpus, n_parts))
     else:
         ds = source
         if n_parts is None:
