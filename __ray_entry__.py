@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,
+        "knn_ivf": similarity.knn_ivf,
         # --- north-star transcript codec engine (non-SQL) ---
         "transcript_roundtrip": transcripts.transcript_roundtrip,
         "transcript_codec_plan": transcripts.transcript_codec_plan,
@@ -228,6 +229,6 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         # lang_quality / winnow_fingerprints / dedup_minhash / dedup_simhash /
-        # dedup_ngram_jaccard / knn_lsh / transcript_* / multimodal_features:
+        # dedup_ngram_jaccard / knn_lsh / knn_ivf / transcript_* / multimodal_features:
         # non-SQL-expressible (custom hashing / codec engine) -> rows-only check.
     }

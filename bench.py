@@ -83,8 +83,9 @@ def run_bench() -> dict:
     out_dir = os.path.join(CACHE, f"bench-encoded-{NUM_CPUS}")
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    page_shuffle = bool(int(os.environ.get("PCR_PAGE_SHUFFLE", "0")))
     t0 = time.monotonic()
-    summary = encode_dataset(inp, out_dir, salt_rows=50_000)
+    summary = encode_dataset(inp, out_dir, salt_rows=50_000, page_shuffle=page_shuffle)
     t_encode = time.monotonic() - t0
 
     t0 = time.monotonic()
@@ -153,8 +154,13 @@ def run_weak_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     base_rows = 2_400_000
-    r_lo = min((one(8, base_rows) for _ in range(2)), key=lambda r: r["value"])
-    r_hi = min((one(32, base_rows * 4) for _ in range(2)), key=lambda r: r["value"])
+    # min-of-3 per level, interleaved (same host-noise windows for both)
+    runs_lo, runs_hi = [], []
+    for _ in range(3):
+        runs_lo.append(one(8, base_rows))
+        runs_hi.append(one(32, base_rows * 4))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     return {
         "metric": "weak-scaling efficiency (4x CPUs, 4x data), fresh ray sessions",
         "sec_lo_8cpu": r_lo["value"],

@@ -36,6 +36,9 @@ def main(argv: list[str] | None = None) -> int:
         "--save-config", default=None, metavar="PATH",
         help="write the effective config to PATH and exit (reference cli.py:65-69)",
     )
+    ap.add_argument("--log-level", default=None, help="console log level (DEBUG..CRITICAL)")
+    ap.add_argument("--log-file", default=None, help="also log to this file")
+    ap.add_argument("--verbose", action="store_true", help="console logs at DEBUG")
     sub = ap.add_subparsers(dest="cmd", required=False)
 
     p = sub.add_parser("encode", help="encode parquet table(s) into codec containers")
@@ -75,6 +78,10 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     from .config import EngineConfig
 
+    if args.log_level or args.log_file or args.verbose:
+        from .logging_setup import setup_logging
+
+        setup_logging(args.log_level or "INFO", args.log_file, args.verbose)
     cfg = EngineConfig.load(args.config)
     if args.save_config:
         cfg.save(args.save_config)
@@ -154,6 +161,9 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 stats = [convert_file(args.input, args.output, cfg)]
             save_conversion_report(stats, args.output, cfg)
+            from .logging_setup import format_stats_table
+
+            print(format_stats_table(stats))
             print(json.dumps({"files": len(stats), "failed": sum(1 for s in stats if s.errors)}))
             return 1 if any(s.errors for s in stats) else 0
         elif args.cmd == "stats":

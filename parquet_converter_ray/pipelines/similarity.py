@@ -60,6 +60,93 @@ def knn_bruteforce(sf_dir: str, query_id: int = 0, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(parts, preserve_index=False)
 
 
+def train_centroids(sf_dir: str, k: int = 16, iters: int = 8, seed: int = 4242) -> np.ndarray:
+    """Deterministic k-means-lite over a contiguous sample of the embeddings —
+    the (small, driver-side) training step of an IVF index. At 10^12 scale the
+    sample is a bounded read; the assignment pass below is the distributed
+    part. Returns L2-normalized centroids (cosine k-means)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    tbl = next(pf.iter_batches(batch_size=4096, columns=["embedding"]))
+    m = np.stack([np.asarray(v) for v in tbl["embedding"].to_pylist()]).astype(np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = m[rng.choice(len(m), size=min(k, len(m)), replace=False)]
+    for _ in range(iters):
+        sims = m @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+class IvfIndexer:
+    """Actor-pool stage: nearest-centroid (inverted-list id) per vector.
+
+    Centroids are broadcast once via the constructor; the assignment is one
+    matmul per batch — the classic IVF partitioning pass."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.cents = np.asarray(centroids, dtype=np.float64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        batch = batch.copy()
+        batch["list_id"] = (m @ self.cents.T).argmax(axis=1).astype(np.int64)
+        return batch
+
+
+def knn_ivf(
+    sf_dir: str, query_id: int = 0, k: int = 10, n_centroids: int = 16, nprobe: int = 6
+) -> pa.Table:
+    """IVF approximate top-k: probe the ``nprobe`` inverted lists whose
+    centroids are nearest the query, exact cosine re-rank on their members.
+
+    Complements ``knn_lsh`` (data-independent hyperplanes) with the
+    data-DEPENDENT partitioning real ANN systems deploy; per-batch local
+    top-k partials merge on the driver, same shuffle-free shape as
+    ``knn_bruteforce``."""
+    q = _query_vector(sf_dir, query_id)
+    qn = q / np.linalg.norm(q)
+    cents = train_centroids(sf_dir, k=n_centroids)
+    probe = np.argsort(-(cents @ qn))[:nprobe]
+    probe_arr = pa.array(probe.astype(np.int64))
+    ref = ray.put(qn)
+
+    ds = _emb(sf_dir).map_batches(
+        IvfIndexer, fn_constructor_kwargs={"centroids": cents},
+        batch_format="pandas", batch_size=4096, concurrency=2, **ACTOR_POOL_ARGS,
+    )
+
+    def candidates(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_in(batch["list_id"], value_set=probe_arr))
+        if batch.num_rows == 0:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
+        qv = ray.get(ref)
+        ids = batch["vec_id"].to_numpy()
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cos = m @ qv
+        keep = ids != query_id
+        ids, cos = ids[keep], cos[keep]
+        if len(ids) > k:
+            part = np.argpartition(-cos, k)[:k]
+            ids, cos = ids[part], cos[part]
+        return pd.DataFrame({"vec_id": ids.astype("int64"), "cos": cos})
+
+    out = ds.map_batches(candidates, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+    out["cos"] = sql_round(out["cos"], 4)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 class LshIndexer:
     """Actor-pool stage: sign-pattern bucket of each vector under fixed seeded
     hyperplanes (state built once per actor)."""

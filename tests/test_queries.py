@@ -90,6 +90,7 @@ def test_all_queries_have_oracle_or_are_documented(ray_session):
         "dedup_ngram_jaccard",
         "dedup_embedding_lsh",
         "knn_lsh",
+        "knn_ivf",
         "transcript_roundtrip",
         "transcript_codec_plan",
         "convert_csv_roundtrip",
@@ -100,7 +101,7 @@ def test_all_queries_have_oracle_or_are_documented(ray_session):
 
 def test_rows_only_queries_run_and_are_deterministic(ray_session):
     qs, _ = _queries()
-    for name in ["lang_quality", "dedup_simhash", "knn_lsh", "multimodal_features"]:
+    for name in ["lang_quality", "dedup_simhash", "knn_lsh", "knn_ivf", "multimodal_features"]:
         a = qs[name](SF_DIR)
         b = qs[name](SF_DIR)
         assert a.num_rows == b.num_rows, name
@@ -166,3 +167,13 @@ def test_dedup_has_no_driver_materialization():
     for line in src.splitlines():
         if ".to_pandas()" in line:
             assert "docs" not in line and "emb" not in line.split("=")[-1].split(".")[0], line
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF probe of 6/16 inverted lists must recover most of the exact
+    top-10 (approximate by design; data-dependent partitioning)."""
+    from parquet_converter_ray.pipelines import similarity
+
+    bf = set(similarity.knn_bruteforce(SF_DIR)["vec_id"].to_pylist())
+    iv = set(similarity.knn_ivf(SF_DIR)["vec_id"].to_pylist())
+    assert len(bf & iv) >= 6
