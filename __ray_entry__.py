@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
+        "dedup_components": dedup.dedup_components,
         # --- similarity search ---
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,
@@ -220,6 +221,20 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding, b.embedding),4) AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "dedup_components": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            walk(id, reach) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+            SELECT id AS vec_id, min(reach) AS canonical_id FROM walk GROUP BY id
         """,
         "knn_bruteforce": """
             SELECT b.vec_id, round(list_cosine_similarity(a.embedding, b.embedding),4) AS cos

@@ -45,3 +45,17 @@ def sql_round(x, d: int = 4):
 # default to max_restarts=-1, which with ctor args in the object store logs a
 # loud core_worker warning per actor (ray#53727).
 ACTOR_POOL_ARGS = {"max_restarts": 0, "max_task_retries": 0}
+
+
+def join_num_partitions(n_rows: int, rows_per_partition: int = 2000, lo: int = 2) -> int:
+    """Partition count for Dataset.join sized to the DATA, capped at the
+    cluster CPUs. Ray's hash join crashes on empty partitions (Acero gets an
+    empty schema-less block: "No match ... for key field on left side"), so
+    tiny inputs must use few partitions."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(lo, min(cpus, -(-n_rows // rows_per_partition)))

@@ -43,7 +43,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ._util import ACTOR_POOL_ARGS, read_parquet_clean, sql_round
+from ._util import ACTOR_POOL_ARGS, join_num_partitions, read_parquet_clean, sql_round
 from .text import (
     batch_char_ngrams,
     batch_token_shingles,
@@ -273,14 +273,15 @@ def _verified_pairs(
     """
     empty = pa.table({**_EMPTY_PAIRS, score_col: pa.array([], type=pa.float64())})
     pairs = minhash_candidate_ds(sf_dir)
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return empty
     sh = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(ShingleSet, fn_constructor_kwargs={"kind": kind, "k": k}, batch_format="pyarrow", concurrency=2, **ACTOR_POOL_ARGS)
         .materialize()  # two join consumers
     )
-    n_out = _npartitions()
+    n_out = join_num_partitions(n_pairs)
     j = pairs.join(sh, join_type="inner", num_partitions=n_out, on=("id_a",), right_on=("doc_id",))
 
     def rename_a(batch: pa.Table) -> pa.Table:
@@ -543,3 +544,77 @@ def dedup_embedding_lsh(
         return pa.table({**_EMPTY_PAIRS, "cos": pa.array([], type=pa.float64())})
     out = out.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- near-dup clusters: distributed connected components ---------------------
+
+
+def dedup_components(sf_dir: str, threshold: float = 0.45, max_rounds: int = 16) -> pa.Table:
+    """Connected components over the embedding near-dup graph: every vector in
+    a near-dup pair gets the MINIMUM vec_id of its component as canonical_id —
+    the "keep one representative per duplicate cluster" step after pair
+    generation.
+
+    Distributed iterative min-label propagation (the hash-partitioned BSP
+    shape that scales to 10^12-edge graphs): labels start as each node's own
+    id; each round joins labels to the (bidirectional) edge list, propagates
+    the neighbour minimum, and re-aggregates per node; converges in
+    O(graph diameter) rounds, checked with a distributed changed-count.
+    Oracle: recursive CTE transitive closure + min(reach) in DuckDB.
+    """
+    pairs = dedup_embedding(sf_dir, threshold)
+    empty = pa.table(
+        {"vec_id": pa.array([], type=pa.int64()), "canonical_id": pa.array([], type=pa.int64())}
+    )
+    if pairs.num_rows == 0:
+        return empty
+    a = pairs["id_a"].to_numpy()
+    b = pairs["id_b"].to_numpy()
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+    ).materialize()
+    nodes = np.unique(np.concatenate([a, b]))
+    labels = ray.data.from_arrow(
+        pa.table({"id": pa.array(nodes, type=pa.int64()), "label": pa.array(nodes, type=pa.int64())})
+    ).materialize()
+    n_out = join_num_partitions(len(nodes))
+    for _ in range(max_rounds):
+        # neighbour labels: edges ⋈ labels on src -> (dst, label-of-src)
+        prop = edges.join(labels, join_type="inner", num_partitions=n_out, on=("src",), right_on=("id",))
+
+        def to_candidate(batch: pa.Table) -> pa.Table:
+            return pa.table({"id": batch["dst"], "label": batch["label"]})
+
+        candidates = prop.map_batches(to_candidate, batch_format="pyarrow").union(labels)
+        new_labels = candidates.groupby("id").min("label")
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(["id", "label"])
+
+        new_labels = new_labels.map_batches(rename, batch_format="pyarrow").materialize()
+        # distributed fixpoint check: any node whose label shrank this round?
+        joined = new_labels.join(
+            labels.map_batches(
+                lambda t: t.rename_columns(["id", "old_label"]), batch_format="pyarrow"
+            ),
+            join_type="inner", num_partitions=n_out, on=("id",), right_on=("id",),
+        )
+
+        def changed(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n = pc.sum(pc.cast(pc.not_equal(batch["label"], batch["old_label"]), pa.int64())).as_py() or 0
+            return pa.table({"n": pa.array([n], type=pa.int64())})
+
+        n_changed = sum(r["n"] for r in joined.map_batches(changed, batch_format="pyarrow").take_all())
+        labels = new_labels
+        if n_changed == 0:
+            break
+    out = pa.concat_tables(list(labels.iter_batches(batch_format="pyarrow")))
+    out = out.rename_columns(["vec_id", "canonical_id"]).sort_by("vec_id")
+    return out.combine_chunks()

@@ -65,6 +65,7 @@ SQL_CHECKED = [
     "doc_fingerprint",
     "dedup_exact",
     "dedup_embedding",
+    "dedup_components",
     "knn_bruteforce",
 ]
 
