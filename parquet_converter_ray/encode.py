@@ -227,6 +227,7 @@ def encode_dataset(
     salt_rows: int = 100_000,
     resume: bool = False,
     page_shuffle: bool = False,
+    shuffle_strategy: str | None = None,
     fault_hook: Callable[[int], None] | None = None,
 ) -> dict:
     """Run the encode pipeline; returns the consolidated manifest summary.
@@ -342,13 +343,16 @@ def encode_dataset(
         return encoder(group)
 
     lineage = ds.groupby("part_id").map_groups(encode_partition, batch_format="pyarrow")
-    # push-based sort shuffle: measured 7x faster than the default pull-based
-    # exchange on the 800 MB partition exchange (66.9s -> 9.3s at 32 CPUs)
+    # the exchange only needs GROUPING by part_id, not a global sort:
+    # hash_shuffle (actor-aggregator exchange, no sort-merge) beat the
+    # push-based sort shuffle in every interleaved rep on the 3GB exchange
+    # (13.6 vs 16.6s min-of-3 at 32 CPUs; sort-push itself was 7x over the
+    # pull-based default, ROUND1_NOTES). ``shuffle_strategy`` overrides.
     from ray.data.context import DataContext, ShuffleStrategy
 
     ctx = DataContext.get_current()
     prev_strategy = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    ctx.shuffle_strategy = shuffle_strategy or ShuffleStrategy.HASH_SHUFFLE
     try:
         lineage.take_all()  # trigger execution; one tiny row per partition
     finally:
