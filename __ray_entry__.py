@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lineitem_join": relational.order_lineitem_join,
         # --- text analysis ---
         "token_counts": text.token_counts,
+        "token_counts_bpe": text.token_counts_bpe,
+        "curate_documents": text.curate_documents,
         "char_stats": text.char_stats,
         "doc_fingerprint": text.doc_fingerprint,
         "lang_quality": text.lang_quality,
@@ -212,6 +214,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
                    END AS n_tokens
             FROM documents
+        """,
+        "token_counts_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "curate_documents": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_tokens
+            FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+              AND n_tokens BETWEEN 5 AND 1000
         """,
         "char_stats": "SELECT doc_id, length(text) AS n_chars_c FROM documents",
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",

@@ -42,6 +42,22 @@ def token_counts(sf_dir: str) -> pa.Table:
     return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow"))).sort_by("doc_id")
 
 
+def token_counts_bpe(sf_dir: str) -> pa.Table:
+    """BPE-ish regex token count per doc (the subword-style tokenizer shape a
+    training pipeline budgets with, vs whitespace ``token_counts``): counts
+    non-overlapping matches of letter-runs | digit-runs | single punctuation.
+    One RE2 kernel per batch (pc.count_substring_regex); the oracle uses the
+    SAME RE2 pattern via DuckDB regexp_extract_all."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], pattern=pat).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_bpe_tokens": n})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(count, batch_format="pyarrow")
+    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow"))).sort_by("doc_id")
+
+
 def char_stats(sf_dir: str) -> pa.Table:
     """Character length per doc (scalar string fn family, SURVEY §2.8)."""
 
@@ -336,3 +352,66 @@ def grams_to_large_binary(grams: np.ndarray, offsets: np.ndarray) -> "pa.Array":
         len(offsets) - 1,
         [None, pa.py_buffer(value_offsets.tobytes()), pa.py_buffer(grams.tobytes())],
     )
+
+
+# --- end-to-end curation (filter + dedup + resumable partitioned write) ------
+
+
+def curate_documents(
+    sf_dir: str,
+    out_dir: str | None = None,
+    min_tokens: int = 5,
+    max_tokens: int = 1000,
+) -> pa.Table:
+    """Training-data curation composition: drop exact duplicates (keep the
+    smallest doc_id per distinct text) and out-of-range documents by token
+    count, optionally writing the survivors as partitioned parquet.
+
+    The whole filter is streaming: the keep-set (one id per distinct text) is
+    a groupby-min whose RESULT is small even when the corpus is not, shipped
+    once via ``ray.put`` and applied per batch with ``is_in``; token counting
+    is the vectorized Arrow kernel from ``token_counts``. SQL-checkable
+    end-to-end (min(doc_id) GROUP BY text + length filter)."""
+    import hashlib as _hashlib
+
+    import ray as _ray
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["h"] = batch["text"].map(lambda s: _hashlib.md5(s.encode()).hexdigest())
+        return batch[["doc_id", "h"]]
+
+    keep = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(add_hash, batch_format="pandas")
+        .groupby("h")
+        .min("doc_id")
+        .to_pandas()["min(doc_id)"]
+        .to_numpy()
+    )
+    keep_ref = _ray.put(pa.array(keep, type=pa.int64()))
+
+    def curate(batch: pa.Table) -> pa.Table:
+        ks = _ray.get(keep_ref)
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        n = pc.list_value_length(toks).cast(pa.int64())
+        n = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, type=pa.int64()), n)
+        batch = batch.append_column("n_tokens", n)
+        mask = pc.and_(
+            pc.is_in(batch["doc_id"], value_set=ks),
+            pc.and_(
+                pc.greater_equal(n, pa.scalar(min_tokens, type=pa.int64())),
+                pc.less_equal(n, pa.scalar(max_tokens, type=pa.int64())),
+            ),
+        )
+        return batch.filter(mask)
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(curate, batch_format="pyarrow")
+    if out_dir is not None:
+        # resumable layout: one directory per language partition
+        ds.write_parquet(out_dir, partition_cols=["lang"])
+        ds = read_parquet_clean(out_dir)
+    out = pa.concat_tables(
+        list(ds.select_columns(["doc_id", "n_tokens"]).iter_batches(batch_format="pyarrow"))
+    )
+    return out.sort_by("doc_id").combine_chunks()

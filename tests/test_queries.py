@@ -61,6 +61,8 @@ SQL_CHECKED = [
     "order_lineitem_join",
     "lineitem_codec_roundtrip",
     "token_counts",
+    "token_counts_bpe",
+    "curate_documents",
     "char_stats",
     "doc_fingerprint",
     "dedup_exact",
@@ -178,3 +180,18 @@ def test_knn_ivf_recall(ray_session):
     bf = set(similarity.knn_bruteforce(SF_DIR)["vec_id"].to_pylist())
     iv = set(similarity.knn_ivf(SF_DIR)["vec_id"].to_pylist())
     assert len(bf & iv) >= 6
+
+
+def test_curate_documents_write_path(ray_session, tmp_path):
+    """The partitioned-write path returns the same result as the pure query
+    and lays out one directory per lang partition."""
+    import os
+
+    from parquet_converter_ray.pipelines import text as tx
+
+    pure = tx.curate_documents(SF_DIR)
+    out = str(tmp_path / "curated")
+    written = tx.curate_documents(SF_DIR, out_dir=out)
+    assert written.equals(pure)
+    parts = [d for d in os.listdir(out) if d.startswith("lang=")]
+    assert len(parts) >= 2, parts
