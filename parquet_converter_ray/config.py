@@ -36,6 +36,10 @@ class EngineConfig:
     sample_rows: int = 100_000  # schema-inference sample (reference converter.py:20)
     verify_rows: int = 10
     profiling_column_limit: int = 25
+    log_level: str = "INFO"
+    log_file: str | None = None
+    output_dir: str | None = None
+    analyzer_report_dir: str | None = None
     # north-star codec layer
     codec: str = "auto"  # per-column auto-selection, or a fixed codec name
     target_part_bytes: int = 64 << 20
@@ -61,12 +65,35 @@ class EngineConfig:
                     data = json.load(f)
             cfg = _merge(cfg, data or {})
         env = env if env is not None else os.environ
-        if "PCR_COMPRESSION" in env:
-            cfg.compression = env["PCR_COMPRESSION"]
-        if "PCR_SAMPLE_ROWS" in env:
-            cfg.sample_rows = int(env["PCR_SAMPLE_ROWS"])
-        if "PCR_CODEC" in env:
-            cfg.codec = env["PCR_CODEC"]
+        # the reference's env map (config.py:382-393), plus PCR_* aliases
+        str_map = {
+            "PCR_COMPRESSION": "compression",
+            "COMPRESSION_CODEC": "compression",
+            "PCR_CODEC": "codec",
+            "LOG_LEVEL": "log_level",
+            "LOG_FILE": "log_file",
+            "OUTPUT_DIR": "output_dir",
+            "ANALYZER_REPORT_DIR": "analyzer_report_dir",
+        }
+        int_map = {
+            "PCR_SAMPLE_ROWS": "sample_rows",
+            "SAMPLE_ROWS": "sample_rows",
+            "VERIFY_ROWS": "verify_rows",
+            "PROFILING_COLUMN_LIMIT": "profiling_column_limit",
+            "PCR_SALT_ROWS": "salt_rows",
+            "PCR_TARGET_PART_BYTES": "target_part_bytes",
+        }
+        for var, attr in str_map.items():
+            if env.get(var):
+                setattr(cfg, attr, env[var])
+        for var, attr in int_map.items():
+            if env.get(var):
+                try:
+                    setattr(cfg, attr, int(env[var]))
+                except ValueError as e:
+                    raise ValueError(
+                        f"Expected integer environment variable {var}, received: {env[var]}"
+                    ) from e
         return cfg
 
     def save(self, path: str) -> None:

@@ -51,3 +51,31 @@ def test_unknown_keys_ignored(tmp_path):
     p = tmp_path / "c.json"
     p.write_text(json.dumps({"not_a_key": 1, "compression": "lz4"}))
     assert EngineConfig.load(str(p)).compression == "lz4"
+
+
+def test_env_var_map():
+    """Reference env map parity (config.py:382-393) + PCR aliases."""
+    import pytest
+
+    from parquet_converter_ray.config import EngineConfig
+
+    cfg = EngineConfig.load(env={
+        "COMPRESSION_CODEC": "zstd",
+        "SAMPLE_ROWS": "123",
+        "VERIFY_ROWS": "7",
+        "PROFILING_COLUMN_LIMIT": "9",
+        "LOG_LEVEL": "DEBUG",
+        "LOG_FILE": "/tmp/x.log",
+        "OUTPUT_DIR": "/tmp/out",
+        "ANALYZER_REPORT_DIR": "/tmp/rep",
+    })
+    assert cfg.compression == "zstd"
+    assert cfg.sample_rows == 123
+    assert cfg.verify_rows == 7
+    assert cfg.profiling_column_limit == 9
+    assert cfg.log_level == "DEBUG"
+    assert cfg.log_file == "/tmp/x.log"
+    assert cfg.output_dir == "/tmp/out"
+    assert cfg.analyzer_report_dir == "/tmp/rep"
+    with pytest.raises(ValueError, match="integer"):
+        EngineConfig.load(env={"SAMPLE_ROWS": "notanint"})
