@@ -172,6 +172,80 @@ def run_weak_scaling() -> dict:
     }
 
 
+def run_compute_scaling() -> dict:
+    """Scaling of the ENCODE COMPUTE STAGE alone (no exchange): N independent
+    partition-encode tasks over pre-materialized tables at 8 vs 32 CPUs.
+
+    This isolates the term that grows with cluster size on a real multi-node
+    deployment — each node brings its own DRAM bandwidth, so per-node compute
+    throughput is the multi-node predictor; the single-node end-to-end number
+    is additionally pinned by this one machine's fixed object-store/DRAM
+    bandwidth during the exchange (see BASELINE.md)."""
+
+    def one(ncpu: int) -> float:
+        code = (
+            "import sys, time; sys.path.insert(0, %r)\n"
+            "import ray\n"
+            "ray.init(address='local', num_cpus=%d, include_dashboard=False, logging_level='ERROR')\n"
+            "from parquet_converter_ray.synth import make_transcripts\n"
+            "from parquet_converter_ray.container import encode_table\n"
+            "from parquet_converter_ray.encode import pin_arrow_threads\n"
+            "t = make_transcripts(100_000, seed=11)\n"
+            "ref = ray.put(t)\n"
+            "@ray.remote(num_cpus=1)\n"
+            "def enc(tbl):\n"
+            "    pin_arrow_threads(1)\n"
+            "    encode_table(tbl, codec='auto')\n"
+            "    return 1\n"
+            "ray.get([enc.remote(ref) for _ in range(8)])  # warm workers\n"
+            "t0 = time.monotonic()\n"
+            "ray.get([enc.remote(ref) for _ in range(96)])\n"
+            "print('RESULT', time.monotonic() - t0)\n"
+            "ray.shutdown()\n"
+        ) % (os.path.dirname(os.path.abspath(__file__)), ncpu)
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, check=True).stdout
+        return float([l for l in out.splitlines() if l.startswith("RESULT")][0].split()[1])
+
+    def spin(workers: int) -> float:
+        # pure register-resident integer arithmetic: measures what the VM's
+        # CPUs scale to when DRAM bandwidth is NOT involved
+        code = (
+            "import time, multiprocessing as mp, sys\n"
+            "def spin(n):\n"
+            "    acc = 0\n"
+            "    for i in range(n):\n"
+            "        acc = (acc * 1103515245 + 12345) & 0x7FFFFFFF\n"
+            "    return acc\n"
+            "if __name__ == '__main__':\n"
+            "    t0 = time.monotonic()\n"
+            "    with mp.Pool(%d) as p:\n"
+            "        p.map(spin, [30_000_000]*96)\n"
+            "    print('RESULT', time.monotonic()-t0)\n"
+        ) % workers
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, check=True).stdout
+        return float([l for l in out.splitlines() if l.startswith("RESULT")][0].split()[1])
+
+    lo_runs, hi_runs, spin_lo, spin_hi = [], [], [], []
+    for _ in range(3):
+        lo_runs.append(one(8))
+        hi_runs.append(one(32))
+        spin_lo.append(spin(8))
+        spin_hi.append(spin(32))
+    t_lo, t_hi = min(lo_runs), min(hi_runs)
+    s_lo, s_hi = min(spin_lo), min(spin_hi)
+    return {
+        "metric": "compute-stage scaling (96 independent partition encodes), fresh ray sessions",
+        "num_cpus_lo": 8,
+        "num_cpus_hi": 32,
+        "sec_lo": round(t_lo, 3),
+        "sec_hi": round(t_hi, 3),
+        "compute_scaling_efficiency": round((t_lo / t_hi) / 4, 3),
+        "pure_cpu_sec_lo": round(s_lo, 3),
+        "pure_cpu_sec_hi": round(s_hi, 3),
+        "pure_cpu_scaling_efficiency": round((s_lo / s_hi) / 4, 3),
+    }
+
+
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PCR_BENCH_HEADLINE_ONLY="1")
@@ -212,7 +286,9 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--weak-scaling" in sys.argv:
+    if "--compute-scaling" in sys.argv:
+        print(json.dumps(run_compute_scaling()))
+    elif "--weak-scaling" in sys.argv:
         print(json.dumps(run_weak_scaling()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
