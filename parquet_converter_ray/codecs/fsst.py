@@ -349,11 +349,21 @@ def _decompress_one(payload: bytes, tables) -> bytes:
     else:
         ids = b.astype(np.int32)
     # expansion: ids 0..254 -> code_syms, ids 255..510 -> literal byte (id-255)
+    # src index built by scatter+cumsum instead of two total-length
+    # np.repeat passes (repeat dominated the decode profile):
+    #   within a symbol src increments by 1; at each symbol boundary it jumps
+    #   to the next symbol's start
     l = lens[ids]
     total = int(l.sum())
+    if total == 0:
+        return b""
     out_ends = np.cumsum(l)
-    intra = np.arange(total, dtype=np.int64) - np.repeat(out_ends - l, l)
-    src = np.repeat(starts[ids], l) + intra
+    sym_starts = starts[ids]
+    delta = np.ones(total, dtype=np.int64)
+    delta[0] = sym_starts[0]
+    if len(ids) > 1:
+        delta[out_ends[:-1]] = sym_starts[1:] - (sym_starts[:-1] + l[:-1] - 1)
+    src = np.cumsum(delta)
     return flat_np[src].tobytes()
 
 
