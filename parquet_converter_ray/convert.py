@@ -270,11 +270,13 @@ def convert_file(
         sample = _read_sample(input_path, opts, cfg.sample_rows)
         plan = infer_parse_plan(sample, cfg.datetime_formats, opts.dtypes)
         codec, errors = normalize_encoding(opts.encoding)
-        if opts.skip_footer > 0 or errors == "replace":
-            # Arrow CSV has no skip-footer and no lossy decode; use the eager
-            # pandas path for these rarely-used options (reference
-            # parser.py:98,144 pandas semantics; utf8-lossy per
-            # converter.py:426-450 replaces undecodable bytes with U+FFFD)
+        if opts.skip_footer > 0 or errors == "replace" or len(opts.delimiter) > 1:
+            # Arrow CSV has no skip-footer, no lossy decode, and only
+            # single-char delimiters; use the eager pandas path for these
+            # rarely-used options (reference parser.py:98,144 pandas
+            # semantics — the legacy TXT path's default sep is the regex
+            # '\s+'; utf8-lossy per converter.py:426-450 replaces
+            # undecodable bytes with U+FFFD)
             df = pd.read_csv(
                 input_path,
                 sep=opts.delimiter,

@@ -70,3 +70,70 @@ def test_bool_roundtrip(vals):
     arr = pa.array(vals, type=pa.bool_())
     out = decode_array(encode_array(arr, codec="auto"))
     assert _eq(out, arr)
+
+
+# --- round-2 kernels ---------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(max_size=60), max_size=80), st.integers(min_value=64, max_value=4096))
+def test_hash_byte_rows_slab_invariant(rows, slab):
+    """Per-row hashes are a pure function of row content — independent of the
+    internal slab size, equal rows hash equal, and empty != 1-byte rows."""
+    import numpy as np
+
+    from parquet_converter_ray.partition import hash_byte_rows
+
+    lens = np.array([len(r) for r in rows], dtype=np.int64)
+    flat = np.frombuffer(b"".join(rows), dtype=np.uint8)
+    h1 = hash_byte_rows(flat, lens, slab_bytes=slab)
+    h2 = hash_byte_rows(flat, lens, slab_bytes=1 << 22)
+    assert (h1 == h2).all()
+    for i, r1 in enumerate(rows):
+        for j, r2 in enumerate(rows):
+            if r1 == r2:
+                assert h1[i] == h1[j]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.text(alphabet=st.characters(max_codepoint=0x2FFF), max_size=80), max_size=30),
+    st.integers(min_value=1, max_value=6),
+)
+def test_flat_grams_match_per_doc(texts, k):
+    """Batch shingle kernel == per-doc rolling_gram_hashes + np.unique."""
+    import numpy as np
+    import pandas as pd
+
+    from parquet_converter_ray.pipelines.text import (
+        batch_token_shingles,
+        hash_tokens,
+        rolling_gram_hashes,
+    )
+
+    s = pd.Series(texts, dtype=object)
+    g, o = batch_token_shingles(s, k)
+    for i, t in enumerate(texts):
+        ht = hash_tokens(t.lower().split())
+        ref = np.zeros(1, dtype=np.uint64) if len(ht) == 0 else np.unique(rolling_gram_hashes(ht, k))
+        assert np.array_equal(ref, g[o[i] : o[i + 1]]), (i, t)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(-1000, 1000), st.integers(-5, 5)), min_size=1, max_size=500),
+       st.integers(min_value=1, max_value=12), st.booleans())
+def test_ordered_topk_matches_sort(ray_session, pairs, k, desc):
+    """Per-batch top-k partial merge == full sort + slice."""
+    import pyarrow as pa
+
+    from parquet_converter_ray.pipelines.relational import ordered_topk
+
+    t = pa.table({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+    order = [("a", "descending" if desc else "ascending"), ("b", "descending" if desc else "ascending")]
+    expect = t.sort_by(order).slice(0, k)
+
+    import ray.data
+
+    ds = ray.data.from_arrow(t)
+    got = ordered_topk(ds, ["a", "b"], k, descending=desc)
+    assert got.equals(expect.combine_chunks())

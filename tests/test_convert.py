@@ -188,3 +188,17 @@ def test_normalize_encoding_vocabulary():
     assert normalize_encoding("utf8-lossy") == ("utf-8", "replace")
     assert normalize_encoding("utf_8_lossy") == ("utf-8", "replace")
     assert normalize_encoding("latin-1") == ("latin-1", "strict")
+
+
+def test_regex_delimiter_txt(ray_session, tmp_path):
+    """Multi-char/regex delimiters (the reference pandas TXT fallback's
+    default sep is '\\s+') route through the eager legacy path."""
+    p = tmp_path / "ws.txt"
+    p.write_text("col1  col2\n1   a\n2  b\n3    c\n")
+    cfg = EngineConfig()
+    cfg.txt.delimiter = r"\s+"
+    stats = convert_file(str(p), str(tmp_path / "out"), cfg)
+    assert stats.errors == []
+    df = pd.read_parquet(stats.output_path).sort_values("col1").reset_index(drop=True)
+    assert df["col1"].tolist() == [1, 2, 3]
+    assert df["col2"].tolist() == ["a", "b", "c"]
