@@ -272,12 +272,31 @@ def _verified_pairs(
     list is collected.
     """
     empty = pa.table({**_EMPTY_PAIRS, score_col: pa.array([], type=pa.float64())})
-    pairs = minhash_candidate_ds(sf_dir)
+    pairs = minhash_candidate_ds(sf_dir).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         return empty
+    # semi-join reduction: only docs that appear in a candidate pair need
+    # shingle sets (near-dup candidates are a vanishing fraction of the
+    # corpus); their id set is small by construction -> broadcast + is_in
+    import pyarrow.compute as pc
+
+    id_parts = pairs.map_batches(
+        lambda b: pa.table({"doc_id": pa.concat_arrays(
+            [b["id_a"].combine_chunks(), b["id_b"].combine_chunks()]
+        ).unique()}),
+        batch_format="pyarrow",
+    )
+    cand_ids = pa.concat_tables(list(id_parts.iter_batches(batch_format="pyarrow")))
+    cand_arr = pc.unique(cand_ids["doc_id"].combine_chunks())
+    cand_ref = ray.put(cand_arr)
+
+    def only_candidates(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["doc_id"], value_set=ray.get(cand_ref)))
+
     sh = (
         _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(only_candidates, batch_format="pyarrow")
         .map_batches(ShingleSet, fn_constructor_kwargs={"kind": kind, "k": k}, batch_format="pyarrow", concurrency=2, **ACTOR_POOL_ARGS)
         .materialize()  # two join consumers
     )
