@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_codec_roundtrip": transcripts.lineitem_codec_roundtrip,
         # --- multimodal plumbing (stubbed decode) ---
         "multimodal_features": multimodal.multimodal_features,
+        "multimodal_resize": multimodal.multimodal_resize,
+        "video_frame_sample": multimodal.video_frame_sample,
     }
 
 

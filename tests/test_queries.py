@@ -98,13 +98,15 @@ def test_all_queries_have_oracle_or_are_documented(ray_session):
         "transcript_codec_plan",
         "convert_csv_roundtrip",
         "multimodal_features",
+        "multimodal_resize",
+        "video_frame_sample",
     }
     assert set(oracles) <= set(qs)
 
 
 def test_rows_only_queries_run_and_are_deterministic(ray_session):
     qs, _ = _queries()
-    for name in ["lang_quality", "dedup_simhash", "knn_lsh", "knn_ivf", "multimodal_features"]:
+    for name in ["lang_quality", "dedup_simhash", "knn_lsh", "knn_ivf", "multimodal_features", "multimodal_resize", "video_frame_sample"]:
         a = qs[name](SF_DIR)
         b = qs[name](SF_DIR)
         assert a.num_rows == b.num_rows, name
