@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_lineitem": relational.count_lineitem,
         "null_unique_profile": relational.null_unique_profile,
         "distinct_parts": relational.distinct_parts,
+        "approx_distinct_parts": relational.approx_distinct_parts,
         "numeric_stats_lineitem": relational.numeric_stats_lineitem,
         "median_totalprice": relational.median_totalprice,
         "top5_orderpriority": relational.top5_orderpriority,

@@ -63,6 +63,18 @@ def null_unique_profile(sf_dir: str) -> pa.Table:
     )
 
 
+def approx_distinct_parts(sf_dir: str) -> pa.Table:
+    """A3 at-scale: HyperLogLog approximate distinct of l_partkey — mergeable
+    4 KB register partials per batch, no shuffle (vs the exact groupby in
+    ``distinct_parts``). ~1% observed error at p=12; rows-only check
+    (approximate by design), accuracy asserted vs exact in tests."""
+    from ..profile import approx_distinct
+
+    ds = _t(sf_dir, "lineitem", columns=["l_partkey"])
+    n = approx_distinct(ds, "l_partkey")
+    return pa.table({"n_unique_approx": pa.array([n], type=pa.int64())})
+
+
 def distinct_parts(sf_dir: str) -> pa.Table:
     """Exact distinct count of a high-cardinality column — the distributed
     groupby fallback path (A3 at scale)."""

@@ -97,6 +97,7 @@ def test_all_queries_have_oracle_or_are_documented(ray_session):
         "transcript_roundtrip",
         "transcript_codec_plan",
         "convert_csv_roundtrip",
+        "approx_distinct_parts",
         "multimodal_features",
         "multimodal_resize",
         "video_frame_sample",
@@ -197,3 +198,23 @@ def test_curate_documents_write_path(ray_session, tmp_path):
     assert written.equals(pure)
     parts = [d for d in os.listdir(out) if d.startswith("lang=")]
     assert len(parts) >= 2, parts
+
+
+def test_approx_distinct_accuracy_and_merge(ray_session):
+    """HLL estimate within 3% of exact; partial merge is associative (the
+    mergeable-sketch contract that makes it shuffle-free at scale)."""
+    import numpy as np
+
+    from parquet_converter_ray.pipelines import relational
+    from parquet_converter_ray.profile import _hll_estimate, _hll_partial
+
+    est = relational.approx_distinct_parts(SF_DIR)["n_unique_approx"][0].as_py()
+    exact = relational.distinct_parts(SF_DIR)["n_unique"][0].as_py()
+    assert abs(est - exact) / exact < 0.03, (est, exact)
+    rng = np.random.default_rng(5)
+    h = rng.integers(0, 2**63, 30000, dtype=np.uint64) * np.uint64(2654435761)
+    whole = _hll_partial(h)
+    merged = np.maximum(_hll_partial(h[:11111]), np.maximum(_hll_partial(h[11111:222]), _hll_partial(h[222:])))
+    merged = np.maximum(np.maximum(_hll_partial(h[:11111]), _hll_partial(h[11111:20000])), _hll_partial(h[20000:]))
+    assert np.array_equal(whole, merged)
+    assert abs(_hll_estimate(whole) - len(np.unique(h))) / len(np.unique(h)) < 0.05
