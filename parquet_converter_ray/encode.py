@@ -253,6 +253,18 @@ def encode_dataset(
         # otherwise leave stale containers that decode silently mixes in
         _clean_output_dir(out_dir)
         prior = None
+    if resume and prior is None and mf.completed_parts(out_dir):
+        # completed containers exist but no _run.json (a run interrupted
+        # before the run record was introduced, or a corrupted out_dir): the
+        # completed parts' partitioning is unknowable, so re-deriving n_parts /
+        # the row hash here would silently reassign rows while skipping
+        # "completed" ones — exactly the duplication/loss the run record guards
+        raise ValueError(
+            f"resume=True but {out_dir} has completed partitions and no run "
+            f"record ({mf.run_record_path(out_dir)}); the original "
+            f"partitioning parameters are unknowable. Start fresh with "
+            f"resume=False (cleans the output dir)."
+        )
     if resume and prior is not None and n_parts is None:
         # the default n_parts is a function of cluster size + size estimate;
         # a resume MUST reuse the original partitioning or rows silently move

@@ -17,24 +17,32 @@
                  small-side only by design)
  - embedding_lsh: the scale path for embedding near-dup: L independent
                  random-hyperplane tables with Hamming<=2 bucket coverage via
-                 neighbour-bucket emission, exact-cosine verify inside each
-                 bucket group. Recall vs the exact query is asserted >=90% in
+                 neighbour-bucket emission; the exchange carries ONLY
+                 (bucket, vec_id), candidate pairs are enumerated per bucket
+                 group, and exact-cosine verification joins the vectors back
+                 by vec_id. Recall vs the exact query is asserted >=90% in
                  tests (multi-table OR-construction; one table alone has
                  near-zero recall at cos ~ 0.5).
+ - components:   connected components (min-label propagation) over the
+                 LSH candidate pairs — subquadratic end-to-end.
 
 Scale shape: signatures/shingles are computed per batch (one vectorized pass
 across all docs of the batch — no per-doc Python), buckets shuffle only small
-(key, doc_id) rows, pair enumeration runs inside ``map_groups`` on the bucket
-key (bounded by the per-bucket cap), and verification joins pairs against the
-(doc_id, shingle-set) dataset hash-partitioned on doc_id. Only final RESULTS
-(near-dup pair lists) are collected on the driver.
+(key, id) rows — never the text/embedding payload — pair enumeration runs
+inside ``map_groups`` on the bucket key (bounded by the per-bucket cap), and
+verification attaches payloads by id: broadcast of the candidate-only payload
+table below ``_BCAST_VERIFY_DOCS`` candidates (near-dup candidates are a
+vanishing fraction of the corpus), two hash-partitioned ``Dataset.join``s
+above it. Scoring is one vectorized lexsort/einsum kernel per batch — no
+per-pair Python. Only final RESULTS (near-dup pair lists) are collected on
+the driver.
 MinHash/LSH per Broder 1997 / Leskovec-Rajaraman-Ullman MMDS ch.3; SimHash per
 Charikar 2002 (public papers).
 """
 
 from __future__ import annotations
 
-import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -75,19 +83,48 @@ _EMPTY_PAIRS = {
 
 # --- exact dedup ------------------------------------------------------------
 
+# siphash keys for the two independent 64-bit content hashes (128 bits total:
+# 64-bit alone collides at billion-doc scale by the birthday bound)
+_HK1 = "pcr-text-hash-k1"
+_HK2 = "pcr-text-hash-k2"
 
-def dedup_exact(sf_dir: str) -> pa.Table:
-    """Exact dedup: md5 content hash per batch (vectorized-ish C loop), then
-    hash-partitioned groupby keeps the smallest doc_id per distinct text."""
+
+def text_hash128(texts: "pd.Series") -> tuple[np.ndarray, np.ndarray]:
+    """Two independent vectorized 64-bit content hashes per text (pandas
+    siphash, fixed keys — process-independent, C-speed; replaces per-row md5).
+    Nulls hash as empty strings."""
+    vals = texts.fillna("").to_numpy(dtype=object)
+    h1 = pd.util.hash_array(vals, hash_key=_HK1).view(np.int64)
+    h2 = pd.util.hash_array(vals, hash_key=_HK2).view(np.int64)
+    return h1, h2
+
+
+def _keep_min_per_text(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id) dataset of exact-dedup survivors: hash-partitioned groupby on
+    the 128-bit content hash keeps the smallest doc_id per distinct text."""
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["h"] = batch["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest())
-        return batch[["doc_id", "h"]]
+        h1, h2 = text_hash128(batch["text"])
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "h1": h1, "h2": h2})
 
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(add_hash, batch_format="pandas")
-    out = ds.groupby("h").min("doc_id").to_pandas()
-    keep = out["min(doc_id)"].astype("int64").sort_values()
-    return pa.table({"doc_id": pa.array(keep.to_numpy(), type=pa.int64())})
+    keep = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(add_hash, batch_format="pandas")
+        .groupby(["h1", "h2"])
+        .min("doc_id")
+    )
+    return keep.map_batches(
+        lambda t: pa.table({"doc_id": t["min(doc_id)"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_exact(sf_dir: str) -> pa.Table:
+    """Exact dedup: vectorized 128-bit content hash, then hash-partitioned
+    groupby keeps the smallest doc_id per distinct text."""
+    ds = _keep_min_per_text(sf_dir)
+    out = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return out.sort_by("doc_id").combine_chunks()
 
 
 # --- MinHash signatures (batch-vectorized) ----------------------------------
@@ -259,26 +296,78 @@ def minhash_candidates(sf_dir: str, bands: int = 16, rows: int = 4, m: int = 64)
     return pa.table({"id_a": pa.array(allp[:, 0], type=pa.int64()), "id_b": pa.array(allp[:, 1], type=pa.int64())})
 
 
-# --- distributed pair verification (join, no driver materialization) ---------
+# --- packed-payload flat views + vectorized pair scoring ---------------------
+
+# Broadcast-verify doc-count threshold: below it the candidate payload set
+# (shingle sets / embeddings of docs that appear in ANY candidate pair — a
+# vanishing fraction of the corpus by LSH construction) is collected once and
+# broadcast via ray.put; above it verification switches to the hash-partitioned
+# Dataset.join dataflow (the at-scale path — same outputs, higher constant).
+_BCAST_VERIFY_DOCS = int(os.environ.get("PCR_BCAST_VERIFY_DOCS", "200000"))
 
 
-def _verified_pairs(
-    sf_dir: str, kind: str, k: int, score_col: str, threshold: float
-) -> pa.Table:
-    """candidates ⋈ shingles ⋈ shingles -> exact Jaccard -> filter.
+def _flat_packed(col, dtype) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-copy element views into a large_binary column: (data, starts,
+    lens) where element i is ``data[starts[i] : starts[i] + lens[i]]``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int64)[col.offset : col.offset + len(col) + 1]
+    itemsize = np.dtype(dtype).itemsize
+    data = np.frombuffer(bufs[2], dtype=dtype)
+    return data, off[:-1] // itemsize, (off[1:] - off[:-1]) // itemsize
 
-    Both joins are hash-partitioned on the doc id (Dataset.join); the shingle
-    dataset streams from the documents table; only the final near-dup pair
-    list is collected.
-    """
-    empty = pa.table({**_EMPTY_PAIRS, score_col: pa.array([], type=pa.float64())})
-    pairs = minhash_candidate_ds(sf_dir).materialize()
-    n_pairs = pairs.count()
-    if n_pairs == 0:
-        return empty
-    # semi-join reduction: only docs that appear in a candidate pair need
-    # shingle sets (near-dup candidates are a vanishing fraction of the
-    # corpus); their id set is small by construction -> broadcast + is_in
+
+def _gather_flat(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate the per-element slices into one flat array (one gather)."""
+    tot = int(lens.sum())
+    if tot == 0:
+        return np.zeros(0, dtype=data.dtype)
+    out_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    idx = np.repeat(starts - out_starts, lens) + np.arange(tot)
+    return data[idx]
+
+
+def _jaccard_flat(da, sta, la, db, stb, lb) -> np.ndarray:
+    """Exact Jaccard per pair over sorted-unique uint64 sets given as flat
+    slice views — fully vectorized: both sides tagged with their pair id,
+    lexsorted once; because values are unique WITHIN a side, an adjacent
+    duplicate after the sort is exactly one cross-side match."""
+    n = len(la)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    fa = _gather_flat(da, sta, la)
+    fb = _gather_flat(db, stb, lb)
+    pid = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), la),
+                          np.repeat(np.arange(n, dtype=np.int64), lb)])
+    vals = np.concatenate([fa, fb])
+    order = np.lexsort((vals, pid))
+    p, v = pid[order], vals[order]
+    if len(p):
+        dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+        inter = np.bincount(p[1:][dup], minlength=n)
+    else:
+        inter = np.zeros(n, dtype=np.int64)
+    union = la + lb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+
+def _cosine_flat(da, sta, la, db, stb, lb) -> np.ndarray:
+    """Cosine per pair over packed float64 vectors given as flat slice views
+    (fixed dim per side) — one gather + one row-wise einsum."""
+    n = len(la)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    A = _gather_flat(da, sta, la).reshape(n, -1)
+    B = _gather_flat(db, stb, lb).reshape(n, -1)
+    A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+    B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+    return np.einsum("ij,ij->i", A, B)
+
+
+def _candidate_ids(pairs: "ray.data.Dataset") -> "pa.Array":
+    """Distinct doc ids appearing in any candidate pair (small by LSH
+    construction — only docs sharing a bucket with another doc)."""
     import pyarrow.compute as pc
 
     id_parts = pairs.map_batches(
@@ -288,7 +377,112 @@ def _verified_pairs(
         batch_format="pyarrow",
     )
     cand_ids = pa.concat_tables(list(id_parts.iter_batches(batch_format="pyarrow")))
-    cand_arr = pc.unique(cand_ids["doc_id"].combine_chunks())
+    return pc.unique(cand_ids["doc_id"].combine_chunks())
+
+
+def _verify_pairs(
+    pairs: "ray.data.Dataset",
+    payload: "ray.data.Dataset",
+    cand_arr: "pa.Array",
+    n_pairs: int,
+    score_flat,
+    score_col: str,
+    threshold: float,
+    round_fn,
+    filter_raw: bool = False,
+) -> pd.DataFrame:
+    """Attach each candidate pair's payloads (large_binary column ``pay`` in
+    ``payload``, filtered to candidate ids) and score with ``score_flat``.
+
+    ``filter_raw=True`` thresholds the unrounded score (cosine semantics);
+    False thresholds the rounded score (Jaccard semantics).
+
+    Small candidate sets broadcast the payload table once (ray.put) and score
+    inside ``map_batches``; large ones verify via two hash-partitioned
+    ``Dataset.join``s — identical outputs, join constant only paid at scale.
+    """
+
+    def to_frame(ia, ib, s) -> pd.DataFrame:
+        out = pd.DataFrame({"id_a": ia.astype("int64"), "id_b": ib.astype("int64"),
+                            score_col: round_fn(s)})
+        keep = s >= threshold if filter_raw else out[score_col] >= threshold
+        return out[keep]
+
+    if len(cand_arr) <= _BCAST_VERIFY_DOCS:
+        tbl = pa.concat_tables(list(payload.iter_batches(batch_format="pyarrow"))).combine_chunks()
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        data, starts, lens = _flat_packed(tbl["pay"], np.uint8)
+        ref = ray.put((ids[order], data, starts[order], lens[order]))
+
+        def score(batch: pa.Table) -> pd.DataFrame:
+            ids_s, data_s, starts_s, lens_s = ray.get(ref)
+            ia = batch["id_a"].to_numpy(zero_copy_only=False)
+            ib = batch["id_b"].to_numpy(zero_copy_only=False)
+            pa_pos = np.searchsorted(ids_s, ia)
+            pb_pos = np.searchsorted(ids_s, ib)
+            s = score_flat(data_s, starts_s[pa_pos], lens_s[pa_pos],
+                           data_s, starts_s[pb_pos], lens_s[pb_pos])
+            return to_frame(ia, ib, s)
+
+        scored = pairs.map_batches(score, batch_format="pyarrow")
+    else:
+        n_out = join_num_partitions(n_pairs)
+        j = pairs.join(payload, join_type="inner", num_partitions=n_out, on=("id_a",), right_on=("doc_id",))
+
+        def rename_a(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(["pay_a" if c == "pay" else c for c in batch.column_names])
+
+        j = j.map_batches(rename_a, batch_format="pyarrow")
+        j = j.join(payload, join_type="inner", num_partitions=n_out, on=("id_b",), right_on=("doc_id",))
+
+        def score_join(batch: pa.Table) -> pd.DataFrame:
+            ia = batch["id_a"].to_numpy(zero_copy_only=False)
+            ib = batch["id_b"].to_numpy(zero_copy_only=False)
+            da, sta, la = _flat_packed(batch["pay_a"], np.uint8)
+            db, stb, lb = _flat_packed(batch["pay"], np.uint8)
+            s = score_flat(da, sta, la, db, stb, lb)
+            return to_frame(ia, ib, s)
+
+        scored = j.map_batches(score_join, batch_format="pyarrow")
+    return scored.to_pandas()
+
+
+def _jaccard_u64(da, sta, la, db, stb, lb) -> np.ndarray:
+    """uint8 byte views -> uint64 shingle views (8 bytes per gram)."""
+    return _jaccard_flat(da.view(np.uint64) if da.dtype == np.uint8 else da,
+                         sta // 8, la // 8,
+                         db.view(np.uint64) if db.dtype == np.uint8 else db,
+                         stb // 8, lb // 8)
+
+
+def _cosine_f64(da, sta, la, db, stb, lb) -> np.ndarray:
+    return _cosine_flat(da.view(np.float64) if da.dtype == np.uint8 else da,
+                        sta // 8, la // 8,
+                        db.view(np.float64) if db.dtype == np.uint8 else db,
+                        stb // 8, lb // 8)
+
+
+# --- distributed pair verification (no corpus-sized driver state) -------------
+
+
+def _verified_pairs(
+    sf_dir: str, kind: str, k: int, score_col: str, threshold: float
+) -> pa.Table:
+    """MinHash-LSH candidates -> exact Jaccard verification -> filter.
+
+    The shingle dataset streams from the documents table restricted to
+    candidate ids; verification is broadcast below ``_BCAST_VERIFY_DOCS``
+    candidate docs and a hash-partitioned join dataflow above it.
+    """
+    empty = pa.table({**_EMPTY_PAIRS, score_col: pa.array([], type=pa.float64())})
+    pairs = minhash_candidate_ds(sf_dir).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return empty
+    import pyarrow.compute as pc
+
+    cand_arr = _candidate_ids(pairs)
     cand_ref = ray.put(cand_arr)
 
     def only_candidates(batch: pa.Table) -> pa.Table:
@@ -298,33 +492,14 @@ def _verified_pairs(
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(only_candidates, batch_format="pyarrow")
         .map_batches(ShingleSet, fn_constructor_kwargs={"kind": kind, "k": k}, batch_format="pyarrow", concurrency=2, **ACTOR_POOL_ARGS)
-        .materialize()  # two join consumers
+        .map_batches(lambda t: t.rename_columns(["doc_id", "pay"]), batch_format="pyarrow")
     )
-    n_out = join_num_partitions(n_pairs)
-    j = pairs.join(sh, join_type="inner", num_partitions=n_out, on=("id_a",), right_on=("doc_id",))
-
-    def rename_a(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["sh_a" if c == "sh" else c for c in batch.column_names])
-
-    j = j.map_batches(rename_a, batch_format="pyarrow")
-    j = j.join(sh, join_type="inner", num_partitions=n_out, on=("id_b",), right_on=("doc_id",))
-
-    def score(batch: pa.Table) -> pd.DataFrame:
-        ids_a = batch["id_a"].to_numpy(zero_copy_only=False)
-        ids_b = batch["id_b"].to_numpy(zero_copy_only=False)
-        sa_col = batch["sh_a"].combine_chunks() if isinstance(batch["sh_a"], pa.ChunkedArray) else batch["sh_a"]
-        sb_col = batch["sh"].combine_chunks() if isinstance(batch["sh"], pa.ChunkedArray) else batch["sh"]
-        js = np.empty(len(ids_a), dtype=np.float64)
-        for i in range(len(ids_a)):
-            sa = np.frombuffer(sa_col[i].as_py(), dtype=np.uint64)
-            sb = np.frombuffer(sb_col[i].as_py(), dtype=np.uint64)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            js[i] = inter / union if union else 0.0
-        out = pd.DataFrame({"id_a": ids_a.astype("int64"), "id_b": ids_b.astype("int64"), score_col: np.round(js, 4)})
-        return out[out[score_col] >= threshold]
-
-    out = j.map_batches(score, batch_format="pyarrow").to_pandas()
+    if len(cand_arr) > _BCAST_VERIFY_DOCS:
+        sh = sh.materialize()  # two join consumers
+    out = _verify_pairs(
+        pairs, sh, cand_arr, n_pairs, _jaccard_u64, score_col, threshold,
+        round_fn=lambda s: np.round(s, 4),
+    )
     if len(out) == 0:
         return empty
     out = out.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
@@ -502,28 +677,29 @@ class MultiTableLsh:
         self.n_planes = n_planes
         self.n_tables = n_tables
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        """Emit ONLY (bucket, vec_id) — the exchange never carries the
+        embedding payload (it would be replicated (n_planes+1) x n_tables =
+        42x through the shuffle on the dataset's heaviest column); candidate
+        verification joins vectors back by vec_id instead."""
         m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         ids = batch["vec_id"].to_numpy()
-        emb_list = batch["embedding"].to_numpy()
         pow2 = 1 << np.arange(self.n_planes)
-        out = []
+        bks, vids = [], []
         for t in range(self.n_tables):
             signs = (m @ self.planes[t]) > 0
             base = signs @ pow2  # (n,)
             # emit own bucket + every Hamming-1 neighbour (dH<=2 coverage)
             buckets = np.concatenate([base[:, None], base[:, None] ^ pow2[None, :]], axis=1)
             nb = buckets.shape[1]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "bucket": (np.int64(t) << np.int64(32)) | buckets.reshape(-1).astype(np.int64),
-                        "vec_id": np.repeat(ids, nb),
-                        "embedding": np.repeat(emb_list, nb),
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True)
+            bks.append((np.int64(t) << np.int64(32)) | buckets.reshape(-1).astype(np.int64))
+            vids.append(np.repeat(ids, nb))
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(bks), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(vids), type=pa.int64()),
+            }
+        )
 
 
 def dedup_embedding_lsh(
@@ -535,32 +711,61 @@ def dedup_embedding_lsh(
 ) -> pa.Table:
     """LSH-bucketed cosine near-dup — the subquadratic scale path for
     ``dedup_embedding``: multi-table OR-construction with Hamming<=2 bucket
-    coverage, exact cosine verify inside each bucket group, global dedupe.
-    Recall >=90% of the exact query's pairs is asserted in tests. At scale,
-    raise n_planes (finer buckets) with n_tables to hold recall."""
+    coverage; the exchange carries ONLY (bucket, vec_id) rows, candidate pairs
+    are enumerated inside each bucket group, and exact-cosine verification
+    joins the vectors back by vec_id (broadcast below ``_BCAST_VERIFY_DOCS``
+    candidates, hash-partitioned Dataset.join above — same dataflow as the
+    MinHash verification). Recall >=90% of the exact query's pairs is asserted
+    in tests. At scale, raise n_planes (finer buckets) with n_tables to hold
+    recall."""
+    empty = pa.table({**_EMPTY_PAIRS, "cos": pa.array([], type=pa.float64())})
     emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ds = emb.map_batches(
+    buckets = emb.map_batches(
         MultiTableLsh,
         fn_constructor_kwargs={"n_planes": n_planes, "n_tables": n_tables},
         batch_format="pandas", batch_size=4096, concurrency=2, **ACTOR_POOL_ARGS,
     )
 
     def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=["vec_id"]).sort_values("vec_id").head(bucket_cap)
-        ids = g["vec_id"].to_numpy()
+        ids = np.sort(group["vec_id"].unique())[:bucket_cap]
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
-        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        cos = m @ m.T
-        ii, jj = np.nonzero(np.triu(cos >= threshold, 1))
-        return pd.DataFrame(
-            {"id_a": ids[ii].astype("int64"), "id_b": ids[jj].astype("int64"), "cos": sql_round(cos[ii, jj], 4)}
-        )
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        ii, jj = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"id_a": ids[ii].astype("int64"), "id_b": ids[jj].astype("int64")})
 
-    out = ds.groupby("bucket").map_groups(pairs_of, batch_format="pandas").to_pandas()
+    pairs = buckets.groupby("bucket").map_groups(pairs_of, batch_format="pandas").materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return empty
+    import pyarrow.compute as pc
+
+    cand_arr = _candidate_ids(pairs)
+    cand_ref = ray.put(cand_arr)
+
+    def pack_vectors(batch: pd.DataFrame) -> pa.Table:
+        """(vec_id, pay) with the float64 vector packed as large_binary —
+        the joinable wire format (Acero joins reject list payload columns)."""
+        keep = np.isin(batch["vec_id"].to_numpy(), ray.get(cand_ref).to_numpy(zero_copy_only=False))
+        b = batch[keep]
+        if len(b) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "pay": pa.array([], type=pa.large_binary())})
+        m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        flat = np.ascontiguousarray(m).reshape(-1)
+        offs = (np.arange(len(b) + 1, dtype=np.int64) * m.shape[1] * 8)
+        pay = pa.Array.from_buffers(pa.large_binary(), len(b),
+                                    [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())])
+        return pa.table({"doc_id": pa.array(b["vec_id"].to_numpy(), type=pa.int64()), "pay": pay})
+
+    vecs = emb.map_batches(pack_vectors, batch_format="pandas")
+    if len(cand_arr) > _BCAST_VERIFY_DOCS:
+        vecs = vecs.materialize()
+    out = _verify_pairs(
+        pairs, vecs, cand_arr, n_pairs, _cosine_f64, "cos", threshold,
+        round_fn=lambda s: sql_round(s, 4), filter_raw=True,
+    )
     if len(out) == 0:
-        return pa.table({**_EMPTY_PAIRS, "cos": pa.array([], type=pa.float64())})
+        return empty
     out = out.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -578,10 +783,16 @@ def dedup_components(sf_dir: str, threshold: float = 0.45, max_rounds: int = 16)
     shape that scales to 10^12-edge graphs): labels start as each node's own
     id; each round joins labels to the (bidirectional) edge list, propagates
     the neighbour minimum, and re-aggregates per node; converges in
-    O(graph diameter) rounds, checked with a distributed changed-count.
+    O(graph diameter) rounds, checked with a distributed changed-count, and
+    RAISES if ``max_rounds`` is exhausted unconverged (silently returning
+    partial labels would diverge from the transitive-closure contract).
     Oracle: recursive CTE transitive closure + min(reach) in DuckDB.
+
+    Pair generation is the subquadratic ``dedup_embedding_lsh`` candidate
+    path (NOT the O(n^2) exact query, which stays only as the oracle baseline
+    and recall reference).
     """
-    pairs = dedup_embedding(sf_dir, threshold)
+    pairs = dedup_embedding_lsh(sf_dir, threshold)
     empty = pa.table(
         {"vec_id": pa.array([], type=pa.int64()), "canonical_id": pa.array([], type=pa.int64())}
     )
@@ -634,6 +845,12 @@ def dedup_components(sf_dir: str, threshold: float = 0.45, max_rounds: int = 16)
         labels = new_labels
         if n_changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_rounds} rounds "
+            f"({n_changed} labels still changing): the duplicate-cluster graph "
+            f"has diameter > {max_rounds}. Re-run with a larger max_rounds."
+        )
     out = pa.concat_tables(list(labels.iter_batches(batch_format="pyarrow")))
     out = out.rename_columns(["vec_id", "canonical_id"]).sort_by("vec_id")
     return out.combine_chunks()

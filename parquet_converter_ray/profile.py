@@ -362,9 +362,16 @@ def _hll_partial(hashes: "np.ndarray", p: int = _HLL_P) -> "np.ndarray":
         return reg
     idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
     w = hashes & np.uint64((1 << (64 - p)) - 1)
+    # exact integer bit length (vectorized binary search over shifts): float64
+    # log2 loses integer precision above 2^53, overestimating by 1 at values
+    # just below a power of two for p < 11
     bl = np.zeros(len(w), dtype=np.int64)
-    nz = w > 0
-    bl[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+    v = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= np.uint64(1 << shift)
+        bl[big] += shift
+        v[big] >>= np.uint64(shift)
+    bl += (v > 0).astype(np.int64)
     rho = (64 - p) - bl + 1  # 1..64-p+1; w==0 -> max rho
     np.maximum.at(reg, idx, rho.astype(np.uint8))
     return reg

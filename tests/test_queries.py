@@ -214,7 +214,6 @@ def test_approx_distinct_accuracy_and_merge(ray_session):
     rng = np.random.default_rng(5)
     h = rng.integers(0, 2**63, 30000, dtype=np.uint64) * np.uint64(2654435761)
     whole = _hll_partial(h)
-    merged = np.maximum(_hll_partial(h[:11111]), np.maximum(_hll_partial(h[11111:222]), _hll_partial(h[222:])))
     merged = np.maximum(np.maximum(_hll_partial(h[:11111]), _hll_partial(h[11111:20000])), _hll_partial(h[20000:]))
     assert np.array_equal(whole, merged)
     assert abs(_hll_estimate(whole) - len(np.unique(h))) / len(np.unique(h)) < 0.05
