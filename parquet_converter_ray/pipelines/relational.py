@@ -330,14 +330,24 @@ def customers_without_orders(sf_dir: str) -> pa.Table:
 # --- session windows (gap-based, per-key map_groups over sorted groups) ------
 
 
-def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
-    """Gap-based session windows per user: groupby(user_id).map_groups sorts
-    each user's events by ts and cuts sessions at gaps > ``gap_minutes``.
-    Partitioning assumption: one user's events fit one group (holds at
-    10^12 scale for bounded per-user activity; hot users would salt by day)."""
+def events_sessionize(sf_dir: str, gap_minutes: int = 30, salt_days: int = 1) -> pa.Table:
+    """Gap-based session windows per user, HOT-USER SAFE: the heavy shuffle is
+    keyed on (user_id, salt) where salt = the event's epoch-day bucket, so a
+    mega-user's events spread across groups instead of pinning one reducer.
+    Sessions are cut exactly within each salt window (phase 1), then stitched
+    across window boundaries in a second, SESSION-LEVEL groupby(user_id)
+    (phase 2) — per-user state there is sessions, not events, so it is bounded
+    even for a user with billions of events. Result is identical to the
+    unsalted single-group computation (asserted against the SQL window-function
+    oracle and a dedicated mega-user skew test)."""
     gap = np.timedelta64(gap_minutes * 60_000_000, "us")
+    salt_us = salt_days * 86_400_000_000
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+    def add_salt(batch: pa.Table) -> pa.Table:
+        day = pc.divide(batch["ts"].cast(pa.int64()), pa.scalar(salt_us, type=pa.int64()))
+        return batch.append_column("salt", pc.cast(day, pa.int32()))
+
+    def sessions_in_salt(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts")
         ts = g["ts"].to_numpy()
         new_s = np.ones(len(ts), dtype=np.int64)
@@ -346,11 +356,34 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
         sid = np.cumsum(new_s)
         out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "sid": sid, "ts": ts})
         return out.groupby(["user_id", "sid"], as_index=False).agg(
-            session_start=("ts", "min"), n_events=("ts", "size")
-        )[["user_id", "session_start", "n_events"]]
+            session_start=("ts", "min"), session_end=("ts", "max"), n_events=("ts", "size")
+        )[["user_id", "session_start", "session_end", "n_events"]]
 
-    ds = _t(sf_dir, "events", columns=["user_id", "ts"])
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        # sessions from adjacent salt windows merge iff the boundary gap is
+        # within ``gap``; chained merges are exact because a merge never moves
+        # a session's last-event time
+        g = g.sort_values("session_start")
+        start = g["session_start"].to_numpy()
+        end = g["session_end"].to_numpy()
+        new_s = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new_s[1:] = ((start[1:] - end[:-1]) > gap).astype(np.int64)
+        sid = np.cumsum(new_s)
+        out = pd.DataFrame(
+            {"sid": sid, "session_start": start, "n_events": g["n_events"].to_numpy()}
+        )
+        out = out.groupby("sid", as_index=False).agg(
+            session_start=("session_start", "min"), n_events=("n_events", "sum")
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        return out[["user_id", "session_start", "n_events"]]
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+        add_salt, batch_format="pyarrow"
+    )
+    per_salt = ds.groupby(["user_id", "salt"]).map_groups(sessions_in_salt, batch_format="pandas")
+    out = per_salt.groupby("user_id").map_groups(stitch, batch_format="pandas").to_pandas()
     out["n_events"] = out["n_events"].astype("int64")
     out["session_start"] = out["session_start"].astype("datetime64[us]")
     return pa.Table.from_pandas(out.sort_values(["user_id", "session_start"]), preserve_index=False)

@@ -367,46 +367,67 @@ def curate_documents(
     smallest doc_id per distinct text) and out-of-range documents by token
     count, optionally writing the survivors as partitioned parquet.
 
-    The whole filter is streaming: the keep-set (one id per distinct text) is
-    a groupby-min whose RESULT is small even when the corpus is not, shipped
-    once via ``ray.put`` and applied per batch with ``is_in``; token counting
-    is the vectorized Arrow kernel from ``token_counts``. SQL-checkable
-    end-to-end (min(doc_id) GROUP BY text + length filter)."""
-    import hashlib as _hashlib
+    Scale shape: no corpus-sized driver or broadcast state anywhere. Token
+    counting is the vectorized Arrow kernel from ``token_counts`` and filters
+    FIRST (duplicates share a text, hence a token count, so the group minimum
+    is unchanged by the filter). The dedup keep-set (one id per distinct
+    text) is a hash-partitioned groupby-min on a vectorized 128-bit content
+    hash, and survivors are selected by a distributed SEMI-JOIN of the
+    filtered corpus against the keep-ids on doc_id — at low duplication the
+    keep-set is corpus-sized, so it must never be ``ray.put`` broadcast.
+    SQL-checkable end-to-end (min(doc_id) GROUP BY text + length filter)."""
+    from ._util import join_num_partitions
+    from .dedup import text_hash128
 
-    import ray as _ray
-
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["h"] = batch["text"].map(lambda s: _hashlib.md5(s.encode()).hexdigest())
-        return batch[["doc_id", "h"]]
-
-    keep = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(add_hash, batch_format="pandas")
-        .groupby("h")
-        .min("doc_id")
-        .to_pandas()["min(doc_id)"]
-        .to_numpy()
-    )
-    keep_ref = _ray.put(pa.array(keep, type=pa.int64()))
-
-    def curate(batch: pa.Table) -> pa.Table:
-        ks = _ray.get(keep_ref)
+    def token_filter(batch: pa.Table) -> pa.Table:
         trimmed = pc.utf8_trim_whitespace(batch["text"])
         toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
         n = pc.list_value_length(toks).cast(pa.int64())
         n = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, type=pa.int64()), n)
         batch = batch.append_column("n_tokens", n)
         mask = pc.and_(
-            pc.is_in(batch["doc_id"], value_set=ks),
-            pc.and_(
-                pc.greater_equal(n, pa.scalar(min_tokens, type=pa.int64())),
-                pc.less_equal(n, pa.scalar(max_tokens, type=pa.int64())),
-            ),
+            pc.greater_equal(n, pa.scalar(min_tokens, type=pa.int64())),
+            pc.less_equal(n, pa.scalar(max_tokens, type=pa.int64())),
         )
         return batch.filter(mask)
 
-    ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(curate, batch_format="pyarrow")
+    def filtered() -> "ray.data.Dataset":
+        return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+            token_filter, batch_format="pyarrow"
+        )
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        h1, h2 = text_hash128(batch["text"])
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "h1": h1, "h2": h2})
+
+    keep_ids = (
+        filtered()
+        .map_batches(add_hash, batch_format="pandas")
+        .groupby(["h1", "h2"])
+        .min("doc_id")
+        .map_batches(
+            lambda t: pa.table({"doc_id": t["min(doc_id)"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    # semi-join: survivors = filtered corpus ⋈ keep-ids on doc_id (both sides
+    # hash-partitioned; the corpus streams through the exchange once). The
+    # second filtered() read recomputes the cheap token filter instead of
+    # materializing the full filtered corpus mid-pipeline.
+    n_keep = keep_ids.count()
+    ds = filtered().join(
+        keep_ids.map_batches(
+            lambda t: t.rename_columns(["keep_id"]), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=join_num_partitions(n_keep),
+        on=("doc_id",),
+        right_on=("keep_id",),
+    )
+    ds = ds.map_batches(
+        lambda t: t.select(["doc_id", "text", "lang", "n_tokens"]), batch_format="pyarrow"
+    )
     if out_dir is not None:
         # resumable layout: one directory per language partition
         ds.write_parquet(out_dir, partition_cols=["lang"])

@@ -217,3 +217,58 @@ def test_approx_distinct_accuracy_and_merge(ray_session):
     merged = np.maximum(np.maximum(_hll_partial(h[:11111]), _hll_partial(h[11111:20000])), _hll_partial(h[20000:]))
     assert np.array_equal(whole, merged)
     assert abs(_hll_estimate(whole) - len(np.unique(h))) / len(np.unique(h)) < 0.05
+
+
+def test_sessionize_mega_user_skew(ray_session, tmp_path):
+    """Hot-user salting: one mega-user with sessions crossing the salt (day)
+    boundary must produce exactly the unsalted/SQL result — boundary sessions
+    stitch, counts and starts unchanged."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray.pipelines.relational import events_sessionize
+
+    rng = np.random.default_rng(42)
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts, uid = [], []
+    # mega-user 1: 4000 events over 6 days; bursts of 10 events 5 min apart,
+    # burst starts 2h apart — and several bursts straddling midnight
+    t = base + np.timedelta64(22 * 3600, "s")  # first burst at 22:00 (crosses)
+    for burst in range(400):
+        for i in range(10):
+            ts.append(t + np.timedelta64(i * 5, "m"))
+            uid.append(1)
+        t += np.timedelta64(2, "h") + np.timedelta64(int(rng.integers(0, 600)), "s")
+    # normal users: a handful of events each
+    for u in range(2, 30):
+        t0 = base + np.timedelta64(int(rng.integers(0, 5 * 86400)), "s")
+        for i in range(int(rng.integers(1, 8))):
+            ts.append(t0 + np.timedelta64(int(rng.integers(0, 7200)), "s"))
+            uid.append(u)
+    tbl = pa.table({"user_id": pa.array(uid, type=pa.int64()),
+                    "ts": pa.array(np.array(ts, dtype="datetime64[us]"))})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = events_sessionize(str(tmp_path)).to_pandas()
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    want = con.execute("""
+        WITH e AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS ns
+            FROM events),
+        s AS (SELECT user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e)
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+    """).df()
+    assert _normalize(got).equals(_normalize(want)), (len(got), len(want))
+    # the mega-user's events really do split across many salt groups
+    assert (got["user_id"] == 1).sum() > 100
