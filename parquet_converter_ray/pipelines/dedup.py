@@ -797,11 +797,20 @@ def dedup_components(sf_dir: str, threshold: float = 0.45, max_rounds: int = 16)
     and recall reference).
     """
     pairs = dedup_embedding_lsh(sf_dir, threshold)
+    return label_propagation(pairs, max_rounds=max_rounds)
+
+
+def label_propagation(pairs: pa.Table, max_rounds: int = 16) -> pa.Table:
+    """Min-label propagation over an (id_a, id_b) pair table — the distributed
+    BSP core of ``dedup_components`` (separated so the convergence contract is
+    testable without the LSH front end)."""
     empty = pa.table(
         {"vec_id": pa.array([], type=pa.int64()), "canonical_id": pa.array([], type=pa.int64())}
     )
     if pairs.num_rows == 0:
         return empty
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     a = pairs["id_a"].to_numpy()
     b = pairs["id_b"].to_numpy()
     edges = ray.data.from_arrow(

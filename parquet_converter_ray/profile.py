@@ -182,7 +182,9 @@ def exact_median(ds: "ray.data.Dataset", col: str) -> float:
     Matches DuckDB/polars semantics: average of the two middle values for even
     row counts (reference analyzer.py:191-197 uses polars ``median``).
     """
-    vals = ds.select_columns([col]).filter(lambda r: r[col] is not None)
+    vals = ds.select_columns([col]).map_batches(
+        lambda t: t.filter(pc.is_valid(t[col])), batch_format="pyarrow"
+    )
     n = vals.count()
     if n == 0:
         return float("nan")

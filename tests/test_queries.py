@@ -272,3 +272,33 @@ def test_sessionize_mega_user_skew(ray_session, tmp_path):
     assert _normalize(got).equals(_normalize(want)), (len(got), len(want))
     # the mega-user's events really do split across many salt groups
     assert (got["user_id"] == 1).sum() > 100
+
+
+def test_verify_join_path_matches_broadcast(ray_session, monkeypatch):
+    """The at-scale join verification path must produce byte-identical
+    results to the broadcast fast path (forced by zeroing the threshold)."""
+    from parquet_converter_ray.pipelines import dedup
+
+    mh_b = dedup.dedup_minhash(SF_DIR)
+    lsh_b = dedup.dedup_embedding_lsh(SF_DIR)
+    monkeypatch.setattr(dedup, "_BCAST_VERIFY_DOCS", 0)
+    assert dedup.dedup_minhash(SF_DIR).equals(mh_b)
+    assert dedup.dedup_embedding_lsh(SF_DIR).equals(lsh_b)
+
+
+def test_label_propagation_chain_and_convergence_guard(ray_session):
+    """A 10-node chain resolves to one component; exhausting max_rounds
+    unconverged raises instead of silently returning partial labels."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from parquet_converter_ray.pipelines.dedup import label_propagation
+
+    chain = pa.table({"id_a": list(range(1, 10)), "id_b": list(range(2, 11))})
+    out = label_propagation(chain)
+    assert out["vec_id"].to_pylist() == list(range(1, 11))
+    assert set(out["canonical_id"].to_pylist()) == {1}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation(chain, max_rounds=1)
+    with _pytest.raises(ValueError, match="max_rounds"):
+        label_propagation(chain, max_rounds=0)

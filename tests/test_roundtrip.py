@@ -328,3 +328,15 @@ def test_fingerprint_large_binary(ray_session):
     t2 = t.set_column(1, "payload", pa.array([b"y" * (i % 7) for i in range(100)], type=pa.large_binary()))
     fp3 = dataset_fingerprint(ray.data.from_arrow(t2))
     assert fp3 != fp1
+
+
+def test_resume_without_run_record_raises(ray_session, transcripts, tmp_path):
+    """Completed partitions but no _run.json (pre-run-record or corrupted
+    out_dir): the original partitioning is unknowable, resume must refuse."""
+    import ray.data
+
+    out = str(tmp_path / "enc")
+    encode_dataset(ray.data.from_arrow(transcripts), out, n_parts=4)
+    os.remove(mf.run_record_path(out))
+    with pytest.raises(ValueError, match="no run record"):
+        encode_dataset(ray.data.from_arrow(transcripts), out, n_parts=4, resume=True)
