@@ -6,7 +6,8 @@ encode (hash-partition + sort + codec auto-select + containers) ->
 decode (full read-back) — plus a set of representative query pipelines
 over $GRAFT_SF_DIR.
 
-    python bench.py                 # one run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py                 # headline = min-of-3 fresh-process runs at
+                                    # $RAY_GRAFT_CPUS (default 32); queries once
     python bench.py --scaling       # fresh processes at 8 and 32 CPUs,
                                     # reports throughput at both + efficiency
 
@@ -136,14 +137,14 @@ def run_bench() -> dict:
 
 def run_default() -> dict:
     """Default mode: headline encode+decode as MIN-OF-N FRESH-PROCESS runs
-    (PCR_BENCH_REPS, default 3) + the query suite once.
+    (PCR_BENCH_REPS, default 4) + the query suite once.
 
     Host noise on this sandbox is extreme (identical encode runs measured
     11.6-44 s); the least-contended of three fresh sessions is the honest,
     reproducible number and is what BASELINE.md quotes. The emitted JSON's
     ``value``/``turns_per_sec``/``gb_per_sec`` come from the best rep;
     ``headline_reps`` records every rep for the noise spread."""
-    reps = int(os.environ.get("PCR_BENCH_REPS", "3"))
+    reps = int(os.environ.get("PCR_BENCH_REPS", "4"))
     first = run_bench()
     if reps <= 1 or os.environ.get("PCR_BENCH_CHILD") or os.environ.get("PCR_BENCH_HEADLINE_ONLY"):
         return first
