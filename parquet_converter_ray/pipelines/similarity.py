@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -18,7 +20,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ._util import ACTOR_POOL_ARGS, read_parquet_clean, sql_round
+from ._util import read_parquet_clean, sql_round
 
 
 def _emb(sf_dir: str) -> "ray.data.Dataset":
@@ -60,14 +62,26 @@ def knn_bruteforce(sf_dir: str, query_id: int = 0, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(parts, preserve_index=False)
 
 
+_CENTROID_CACHE: dict[tuple, np.ndarray] = {}
+
+
 def train_centroids(sf_dir: str, k: int = 16, iters: int = 8, seed: int = 4242) -> np.ndarray:
     """Deterministic k-means-lite over a contiguous sample of the embeddings —
     the (small, driver-side) training step of an IVF index. At 10^12 scale the
     sample is a bounded read; the assignment pass below is the distributed
-    part. Returns L2-normalized centroids (cosine k-means)."""
+    part. Returns L2-normalized centroids (cosine k-means).
+
+    Trained ONCE per (file, params) and cached in-process — repeated queries
+    against the same index must not re-read the sample or re-run k-means
+    (cache key includes the file mtime so a rewritten table retrains)."""
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    path = f"{sf_dir}/embeddings.parquet"
+    key = (os.path.abspath(path), os.path.getmtime(path), k, iters, seed)
+    cached = _CENTROID_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pf = pq.ParquetFile(path)
     tbl = next(pf.iter_batches(batch_size=4096, columns=["embedding"]))
     m = np.stack([np.asarray(v) for v in tbl["embedding"].to_pylist()]).astype(np.float64)
     m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
@@ -81,14 +95,15 @@ def train_centroids(sf_dir: str, k: int = 16, iters: int = 8, seed: int = 4242) 
             if len(members):
                 v = members.sum(axis=0)
                 cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    _CENTROID_CACHE[key] = cents
     return cents
 
 
 class IvfIndexer:
-    """Actor-pool stage: nearest-centroid (inverted-list id) per vector.
+    """Batch stage: nearest-centroid (inverted-list id) per vector.
 
-    Centroids are broadcast once via the constructor; the assignment is one
-    matmul per batch — the classic IVF partitioning pass."""
+    Centroids (KB) are trained once on the driver and closure-shipped; the
+    assignment is one matmul per batch — the classic IVF partitioning pass."""
 
     def __init__(self, centroids: np.ndarray):
         self.cents = np.asarray(centroids, dtype=np.float64)
@@ -119,8 +134,7 @@ def knn_ivf(
     ref = ray.put(qn)
 
     ds = _emb(sf_dir).map_batches(
-        IvfIndexer, fn_constructor_kwargs={"centroids": cents},
-        batch_format="pandas", batch_size=4096, concurrency=2, **ACTOR_POOL_ARGS,
+        IvfIndexer(centroids=cents), batch_format="pandas", batch_size=4096
     )
 
     def candidates(batch: pa.Table) -> pd.DataFrame:
@@ -148,8 +162,8 @@ def knn_ivf(
 
 
 class LshIndexer:
-    """Actor-pool stage: sign-pattern bucket of each vector under fixed seeded
-    hyperplanes (state built once per actor)."""
+    """Batch stage: sign-pattern bucket of each vector under fixed seeded
+    hyperplanes (state built once on the driver, closure-shipped)."""
 
     def __init__(self, dim: int = 64, n_planes: int = 8, seed: int = 777):
         rng = np.random.default_rng(seed)
@@ -178,8 +192,7 @@ def knn_lsh(sf_dir: str, query_id: int = 0, k: int = 10, n_planes: int = 8) -> p
     ref = ray.put(qn)
 
     ds = _emb(sf_dir).map_batches(
-        LshIndexer, fn_constructor_kwargs={"dim": len(q), "n_planes": n_planes},
-        batch_format="pandas", batch_size=4096, concurrency=2, **ACTOR_POOL_ARGS,
+        LshIndexer(dim=len(q), n_planes=n_planes), batch_format="pandas", batch_size=4096
     )
 
     def candidates(batch: pa.Table) -> pd.DataFrame:

@@ -302,3 +302,79 @@ def test_label_propagation_chain_and_convergence_guard(ray_session):
         label_propagation(chain, max_rounds=1)
     with _pytest.raises(ValueError, match="max_rounds"):
         label_propagation(chain, max_rounds=0)
+
+
+def test_flat_pair_kernels_match_naive_reference():
+    """Property check: the vectorized lexsort-Jaccard and einsum-cosine
+    kernels reproduce per-pair naive numpy on randomized packed payloads,
+    including empty sets, singletons, identical sets and zero batches."""
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_converter_ray.pipelines.dedup import (
+        _cosine_f64,
+        _flat_packed,
+        _jaccard_u64,
+    )
+    from parquet_converter_ray.pipelines.text import grams_to_large_binary
+
+    rng = np.random.default_rng(99)
+    # --- jaccard over variable-length sorted-unique uint64 sets
+    sets = []
+    for n in [0, 1, 1, 3, 50, 200, 7, 0, 64]:
+        s = np.unique(rng.integers(0, 500, n, dtype=np.uint64))
+        sets.append(s if len(s) else np.zeros(1, dtype=np.uint64))  # {0} sentinel
+    sets.append(sets[3].copy())  # identical pair
+    grams = np.concatenate(sets)
+    offs = np.concatenate([[0], np.cumsum([len(s) for s in sets])]).astype(np.int64)
+    col_a = grams_to_large_binary(grams, offs)
+    idx_b = rng.permutation(len(sets))
+    col_b = grams_to_large_binary(
+        np.concatenate([sets[i] for i in idx_b]),
+        np.concatenate([[0], np.cumsum([len(sets[i]) for i in idx_b])]).astype(np.int64),
+    )
+    da, sta, la = _flat_packed(col_a, np.uint8)
+    db, stb, lb = _flat_packed(col_b, np.uint8)
+    got = _jaccard_u64(da, sta, la, db, stb, lb)
+    for i in range(len(sets)):
+        a, b = sets[i], sets[idx_b[i]]
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        union = a.size + b.size - inter
+        want = inter / union if union else 0.0
+        assert abs(got[i] - want) < 1e-12, (i, got[i], want)
+
+    # --- cosine over packed fixed-dim float64 vectors
+    A = rng.normal(size=(20, 16))
+    B = rng.normal(size=(20, 16))
+    def pack(M):
+        flat = np.ascontiguousarray(M, dtype=np.float64).reshape(-1)
+        offs = (np.arange(M.shape[0] + 1, dtype=np.int64) * M.shape[1] * 8)
+        return pa.Array.from_buffers(
+            pa.large_binary(), M.shape[0],
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())])
+    da, sta, la = _flat_packed(pack(A), np.uint8)
+    db, stb, lb = _flat_packed(pack(B), np.uint8)
+    got = _cosine_f64(da, sta, la, db, stb, lb)
+    want = np.array([
+        a @ b / (np.linalg.norm(a) * np.linalg.norm(b)) for a, b in zip(A, B)
+    ])
+    assert np.allclose(got, want, atol=1e-12)
+    # zero batch
+    z = np.zeros(0, dtype=np.int64)
+    assert len(_jaccard_u64(da, z, z, db, z, z)) == 0
+
+
+def test_flat_packed_respects_array_offset():
+    """_flat_packed must honor a sliced (offset != 0) Arrow array — slices
+    arrive naturally from chunked join output."""
+    import numpy as np
+
+    from parquet_converter_ray.pipelines.dedup import _flat_packed, _gather_flat
+    from parquet_converter_ray.pipelines.text import grams_to_large_binary
+
+    grams = np.arange(10, dtype=np.uint64)
+    offs = np.array([0, 3, 5, 10], dtype=np.int64)
+    col = grams_to_large_binary(grams, offs).slice(1, 2)
+    data, starts, lens = _flat_packed(col, np.uint8)
+    flat = _gather_flat(data.view(np.uint64), starts // 8, lens // 8)
+    assert flat.tolist() == [3, 4, 5, 6, 7, 8, 9]
