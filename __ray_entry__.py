@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         similarity,
         text,
         transcripts,
+        windows,
     )
 
     return {
@@ -73,6 +74,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_mean": relational.events_json_mean,
         "user_event_sequence": relational.user_event_sequence,
         "order_lineitem_join": relational.order_lineitem_join,
+        # --- ordered / windowed operators (as-of, range join, windows, rank,
+        # pivot, exact quantiles) ---
+        "asof_join_events_orders": windows.asof_join_events_orders,
+        "quantity_band_revenue": windows.quantity_band_revenue,
+        "customer_order_running": windows.customer_order_running,
+        "top2_orders_per_customer": windows.top2_orders_per_customer,
+        "user_event_pivot": windows.user_event_pivot,
+        "price_quantiles": windows.price_quantiles,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "token_counts_bpe": text.token_counts_bpe,
@@ -205,6 +214,65 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
+        """,
+        "asof_join_events_orders": """
+            WITH o AS (
+                SELECT o_custkey, o_orderdate, max(o_totalprice) AS o_price
+                FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_id, e.user_id, o.o_orderdate AS order_date,
+                   o.o_price AS order_price
+            FROM events e ASOF LEFT JOIN o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "quantity_band_revenue": """
+            WITH bands(band, lo, hi) AS (
+                VALUES ('low', 1, 10), ('mid', 10, 25), ('high', 25, 40), ('bulk', 40, 51))
+            SELECT band, count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+            GROUP BY band
+        """,
+        "customer_order_running": """
+            WITH c AS (
+                SELECT o_orderkey, o_custkey, o_orderdate,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders)
+            SELECT o_orderkey, o_custkey,
+                   round(sum(cents) OVER w_all / 100.0, 2) AS running_total,
+                   round(sum(cents) OVER w3 / (100.0 * count(*) OVER w3), 4) AS avg3
+            FROM c
+            WINDOW w_all AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                             ROWS UNBOUNDED PRECEDING),
+                   w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "top2_orders_per_customer": """
+            SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                FROM orders)
+            WHERE rnk <= 2
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 4) AS click_value,
+                   round(coalesce(sum(CASE WHEN event_type = 'error' THEN value END), 0), 4) AS error_value,
+                   round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 4) AS purchase_value,
+                   round(coalesce(sum(CASE WHEN event_type = 'signup' THEN value END), 0), 4) AS signup_value,
+                   round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 4) AS view_value
+            FROM events GROUP BY user_id
+        """,
+        "price_quantiles": """
+            SELECT CAST(0.25 AS DOUBLE) AS q, round(quantile_cont(l_extendedprice, 0.25), 4) AS value FROM lineitem
+            UNION ALL
+            SELECT 0.5, round(quantile_cont(l_extendedprice, 0.5), 4) FROM lineitem
+            UNION ALL
+            SELECT 0.75, round(quantile_cont(l_extendedprice, 0.75), 4) FROM lineitem
+            UNION ALL
+            SELECT 0.9, round(quantile_cont(l_extendedprice, 0.9), 4) FROM lineitem
+            UNION ALL
+            SELECT 0.99, round(quantile_cont(l_extendedprice, 0.99), 4) FROM lineitem
         """,
         "user_event_sequence": """
             SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS seq

@@ -69,6 +69,12 @@ SQL_CHECKED = [
     "dedup_embedding",
     "dedup_components",
     "knn_bruteforce",
+    "asof_join_events_orders",
+    "quantity_band_revenue",
+    "customer_order_running",
+    "top2_orders_per_customer",
+    "user_event_pivot",
+    "price_quantiles",
 ]
 
 
