@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top2_orders_per_customer": windows.top2_orders_per_customer,
         "user_event_pivot": windows.user_event_pivot,
         "price_quantiles": windows.price_quantiles,
+        "events_hopping_window": windows.events_hopping_window,
+        "frequent_quantities": windows.frequent_quantities,
+        "top_bigrams": text.top_bigrams,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "token_counts_bpe": text.token_counts_bpe,
@@ -273,6 +276,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.9, round(quantile_cont(l_extendedprice, 0.9), 4) FROM lineitem
             UNION ALL
             SELECT 0.99, round(quantile_cont(l_extendedprice, 0.99), 4) FROM lineitem
+        """,
+        "events_hopping_window": """
+            WITH offs(j) AS (VALUES (0), (1), (2), (3)),
+            w AS (SELECT event_type,
+                         to_timestamp(floor(epoch(ts) / 900) * 900 - j * 900)::TIMESTAMP AS window_start,
+                         value
+                  FROM events, offs)
+            SELECT event_type, window_start, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM w GROUP BY event_type, window_start
+        """,
+        "frequent_quantities": """
+            SELECT l_quantity, count(*) AS cnt FROM lineitem GROUP BY l_quantity
+            HAVING count(*) >= ceil(0.019 * (SELECT count(*) FROM lineitem))
+        """,
+        "top_bigrams": r"""
+            WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+                       FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            b AS (SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram FROM t)
+            SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram
+            ORDER BY cnt DESC, bigram LIMIT 20
         """,
         "user_event_sequence": """
             SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS seq

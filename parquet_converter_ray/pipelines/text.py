@@ -58,6 +58,58 @@ def token_counts_bpe(sf_dir: str) -> pa.Table:
     return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow"))).sort_by("doc_id")
 
 
+def top_bigrams(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-k word bigrams across the corpus by count (ties broken by bigram).
+
+    Per batch everything is Arrow-vectorized: lower+trim, RE2 whitespace
+    split, then adjacent-token pairing over the FLAT token buffer (one boolean
+    mask drops each document's last token; ``binary_join_element_wise`` glues
+    left/right token arrays) and a local ``value_counts`` partial. The shuffle
+    carries (bigram, partial count) rows; the final top-k is per-batch local
+    top-k partials merged on the driver — no global sort of the count table.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"].fill_null("")))
+        t = t.filter(pc.not_equal(t, ""))
+        words = pc.split_pattern_regex(t, pattern=r"\s+").combine_chunks()
+        vals = words.flatten()  # respects list-array offset
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        off = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)])
+        keep = np.ones(int(off[-1]), bool)
+        keep[off[1:] - 1] = False  # each doc's last token starts no bigram
+        idx = np.nonzero(keep)[0]
+        left = vals.take(pa.array(idx))
+        right = vals.take(pa.array(idx + 1))
+        bigrams = pc.binary_join_element_wise(left, right, " ")
+        vc = pc.value_counts(bigrams)
+        return pa.table(
+            {"bigram": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _docs(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    order = [("cnt", "descending"), ("bigram", "ascending")]
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        return b.sort_by(order).slice(0, k)
+
+    parts = pa.concat_tables(
+        list(
+            counts.map_batches(local_topk, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    return parts.sort_by(order).slice(0, k).combine_chunks()
+
+
 def char_stats(sf_dir: str) -> pa.Table:
     """Character length per doc (scalar string fn family, SURVEY §2.8)."""
 

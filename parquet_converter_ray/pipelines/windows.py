@@ -264,6 +264,75 @@ def user_event_pivot(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.sort_values("user_id"), preserve_index=False)
 
 
+# --- hopping (sliding) time window -----------------------------------------------
+
+_HOP_US = 900_000_000  # 15 min hop
+_N_HOPS = 4  # 60 min window = 4 hops
+
+
+def events_hopping_window(sf_dir: str) -> pa.Table:
+    """Sliding 60-minute window hopping every 15 minutes, per event type:
+    each event belongs to 4 overlapping windows, expanded VECTORIZED inside
+    the batch (the flat-map shape — np.tile, not per-row emission), partially
+    aggregated before the shuffle. Contrast ``events_hourly_window``'s
+    stateless tumbling assignment. At 100 TB the expansion multiplies partial
+    rows (not raw rows) by window_size/hop — the combiner keeps the exchange
+    at one row per (batch, type, window)."""
+    ds = _t(sf_dir, "events", columns=["ts", "event_type", "value"])
+    offs = (np.arange(_N_HOPS, dtype=np.int64) * _HOP_US)[:, None]
+
+    def assign(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (ts // _HOP_US) * _HOP_US
+        starts = (base[None, :] - offs).ravel()
+        df = pd.DataFrame(
+            {
+                "event_type": np.tile(b["event_type"].to_numpy(zero_copy_only=False), _N_HOPS),
+                "window_start": starts.astype("datetime64[us]"),
+                "value": np.tile(b["value"].to_numpy(zero_copy_only=False), _N_HOPS),
+            }
+        )
+        return df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = sql_round(out["sum_value"], 4)
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    return pa.Table.from_pandas(
+        out.sort_values(["event_type", "window_start"]), preserve_index=False
+    )
+
+
+# --- frequent items (Misra-Gries sketch + exact verify pass) ----------------------
+
+
+def frequent_quantities(sf_dir: str, phi: float = 0.019) -> pa.Table:
+    """All l_quantity values occurring in >= phi of lineitem rows, with exact
+    counts — two passes: a Misra-Gries summary (bounded state, ``profile.
+    frequent_items``) finds a superset of candidates, an exact counting pass
+    over just those keys finalises. Oracle: GROUP BY ... HAVING count >=
+    ceil(phi * n)."""
+    from ..profile import frequent_items
+
+    ds = _t(sf_dir, "lineitem", columns=["l_quantity"])
+    out = frequent_items(ds, "l_quantity", phi=phi)
+    return pa.table(
+        {
+            "l_quantity": out["key"].cast(pa.float64()),
+            "cnt": out["cnt"].cast(pa.int64()),
+        }
+    )
+
+
 # --- exact distributed quantiles -------------------------------------------------
 
 _QUANTILES = [0.25, 0.5, 0.75, 0.9, 0.99]

@@ -341,6 +341,77 @@ def exact_quantiles(
     return res
 
 
+def frequent_items(ds: "ray.data.Dataset", col: str, phi: float = 0.01) -> pa.Table:
+    """EXACT phi-frequent items (keys with count >= ceil(phi*n)) via a
+    Misra-Gries sketch pass + an exact verification pass (Misra & Gries '82;
+    mergeable-summaries form per Agarwal et al., PODS'12).
+
+    Pass 1 — per batch, the value counts are summarised to at most
+    k = ceil(2/phi) counters by subtracting the (k+1)-th largest count (the
+    batched MG decrement): every batch partial is <= k rows REGARDLESS of the
+    batch's cardinality, and the total undercount across batches is
+    < n/(k+1) <= phi*n/2, so every key with true count >= phi*n keeps a
+    positive merged lower bound and survives into the candidate set.
+
+    Pass 2 — exact counts for the <= k*n_batches candidate keys only
+    (vectorized ``is_in`` filter + per-batch value counts, summed on the
+    driver), then the exact HAVING filter. Both passes stream; driver state
+    is the candidate map, bounded by the sketch size.
+    """
+    import math
+
+    k = max(1, math.ceil(2.0 / phi))
+
+    key_type = ds.schema().base_schema.field(col).type
+
+    def _mg_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(pc.drop_null(t[col]).combine_chunks())
+        keys, cnts = vc.field("values"), vc.field("counts").to_numpy(zero_copy_only=False)
+        n_b = int(cnts.sum())
+        if len(cnts) > k:
+            thresh = np.partition(cnts, len(cnts) - k - 1)[len(cnts) - k - 1]
+            keep = cnts > thresh
+            keys, cnts = keys.filter(pa.array(keep)), cnts[keep] - thresh
+        # one null-key row per batch carries the batch's row count
+        keys = pa.concat_arrays([keys.cast(key_type), pa.nulls(1, key_type)])
+        cnts = np.concatenate([cnts, [0]])
+        n_rows = np.zeros(len(cnts), np.int64)
+        n_rows[-1] = n_b
+        return pa.table(
+            {"key": keys, "cnt": pa.array(cnts, pa.int64()), "n_rows": pa.array(n_rows)}
+        )
+
+    part_list = list(
+        ds.map_batches(_mg_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    parts = pa.concat_tables(part_list) if part_list else None
+    n = int(pc.sum(parts["n_rows"]).as_py() or 0) if parts is not None else 0
+    if n == 0:
+        return pa.table({"key": pa.array([], key_type), "cnt": pa.array([], pa.int64())})
+    thresh_count = math.ceil(phi * n)
+    # merged lower bounds: candidates are every surviving sketch key
+    cand_keys = pc.drop_null(parts["key"]).combine_chunks().unique()
+
+    def _exact(t: pa.Table) -> pa.Table:
+        v = pc.drop_null(t[col]).combine_chunks()
+        v = v.filter(pc.is_in(v, value_set=cand_keys))
+        vc = pc.value_counts(v)
+        return pa.table(
+            {"key": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    exact = pa.concat_tables(
+        list(ds.map_batches(_exact, batch_format="pyarrow").iter_batches(batch_format="pyarrow")),
+        promote_options="default",
+    )
+    tot = exact.group_by("key").aggregate([("cnt", "sum")])
+    mask = pc.greater_equal(tot["cnt_sum"], thresh_count)
+    out = tot.filter(mask)
+    return pa.table({"key": out["key"], "cnt": out["cnt_sum"].cast(pa.int64())}).sort_by("key")
+
+
 def head_rows(ds: "ray.data.Dataset", n: int = 10) -> pa.Table:
     """Preview head (reference verify_rows, converter.py:689)."""
     return pa.Table.from_pylist(ds.take(n))

@@ -75,6 +75,9 @@ SQL_CHECKED = [
     "top2_orders_per_customer",
     "user_event_pivot",
     "price_quantiles",
+    "events_hopping_window",
+    "frequent_quantities",
+    "top_bigrams",
 ]
 
 

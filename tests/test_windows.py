@@ -168,3 +168,108 @@ def test_running_and_rank_short_groups(ray_session, tmp_path):
     c3 = top[top["o_custkey"] == 3].sort_values("rnk")
     assert list(c3["o_orderkey"]) == [4, 5]  # tie broken by orderkey
     assert list(c3["rnk"]) == [1, 2]
+
+
+def test_frequent_items_exact_under_adversarial_cardinality(ray_session):
+    """Misra-Gries pass must return EXACTLY the phi-frequent keys even when
+    every batch's cardinality far exceeds the sketch size (forcing the
+    batched decrement), and partials must stay bounded by k+1 rows."""
+    from parquet_converter_ray.profile import frequent_items
+
+    rng = np.random.default_rng(11)
+    # 3 heavy keys just above / at / far above the threshold + a long tail
+    phi = 0.02
+    heavy = np.concatenate([np.full(500, 1.0), np.full(205, 2.0), np.full(201, 3.0)])
+    tail = rng.integers(1000, 9000, size=9094).astype(np.float64)
+    vals = np.concatenate([heavy, tail])
+    rng.shuffle(vals)
+    got = frequent_items(_ds(vals, n_blocks=6), "x", phi=phi)
+
+    ser = pd.Series(vals).value_counts()
+    import math
+
+    thresh = math.ceil(phi * len(vals))
+    exp = ser[ser >= thresh].sort_index()
+    assert list(got["key"].to_pylist()) == list(exp.index)
+    assert list(got["cnt"].to_pylist()) == list(exp.values)
+
+
+def test_frequent_items_nulls_and_empty(ray_session):
+    import ray.data
+
+    from parquet_converter_ray.profile import frequent_items
+
+    t = pa.table({"x": pa.array([None, 7.0, 7.0, None, 1.0], pa.float64())})
+    got = frequent_items(ray.data.from_arrow(t), "x", phi=0.5)
+    # n excludes nulls: threshold = ceil(0.5*3) = 2 -> only 7.0
+    assert got["key"].to_pylist() == [7.0] and got["cnt"].to_pylist() == [2]
+
+    empty = pa.table({"x": pa.array([], pa.float64())})
+    got = frequent_items(ray.data.from_arrow(empty), "x", phi=0.1)
+    assert got.num_rows == 0
+
+
+def test_hopping_window_membership(ray_session, tmp_path):
+    """Every event lands in exactly N_HOPS consecutive windows containing it."""
+    from parquet_converter_ray.pipelines.windows import events_hopping_window
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:07:00", "2024-01-01 00:16:00", "2024-01-01 03:59:59"]
+    )
+    events = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [1, 1, 2],
+            "event_type": ["a", "a", "b"],
+            "ts": ts.astype("datetime64[us]"),
+            "value": [1.0, 2.0, 4.0],
+            "payload": ["{}"] * 3,
+        }
+    )
+    _write(tmp_path, "events", events)
+    got = events_hopping_window(str(tmp_path)).to_pandas()
+    # each event expands to 4 windows; events 1+2 share one window (00:00 hop
+    # of e1's base vs -1 hop of e2) -> 'a' has 4+4-1... compute explicitly:
+    a = got[got["event_type"] == "a"]
+    b = got[got["event_type"] == "b"]
+    assert a["n"].sum() == 8 and b["n"].sum() == 4  # 4 memberships per event
+    # windows containing BOTH a-events: starts {23:30, 23:45, 00:00} (e1's
+    # hop-starts {23:15..00:00} ∩ e2's {23:30..00:15})
+    both = a[a["n"] == 2]
+    assert both["sum_value"].tolist() == [3.0, 3.0, 3.0]
+    assert [t.strftime("%H:%M") for t in sorted(both["window_start"])] == [
+        "23:30", "23:45", "00:00",
+    ]
+    # window starts step by 15 min within each event's membership
+    sa = sorted(a["window_start"])
+    assert all((sa[i + 1] - sa[i]).total_seconds() % 900 == 0 for i in range(len(sa) - 1))
+
+
+def test_top_bigrams_kernel_matches_python_reference(ray_session, tmp_path):
+    from parquet_converter_ray.pipelines.text import top_bigrams
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "the cat sat on the mat",
+                "the cat  ran",  # double space: regex \s+ collapse
+                "solo",  # one token -> no bigram
+                "",  # empty -> dropped
+                None,  # null -> dropped
+            ],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+        }
+    )
+    _write(tmp_path, "documents", docs)
+    got = top_bigrams(str(tmp_path), k=10).to_pandas()
+
+    from collections import Counter
+
+    ref = Counter()
+    for t in ["the cat sat on the mat", "the cat ran"]:
+        w = t.split()
+        ref.update(" ".join(p) for p in zip(w, w[1:]))
+    exp = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["bigram"], got["cnt"])) == exp
