@@ -85,6 +85,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": windows.events_hopping_window,
         "frequent_quantities": windows.frequent_quantities,
         "top_bigrams": text.top_bigrams,
+        "rollup_revenue": relational.rollup_revenue,
+        "event_intervals": relational.event_intervals,
+        "docs_per_lang_sample": windows.docs_per_lang_sample,
+        "term_postings": text.term_postings,
+        "tfidf_top_terms": text.tfidf_top_terms,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "token_counts_bpe": text.token_counts_bpe,
@@ -296,6 +301,46 @@ def oracle_sql() -> dict[str, str]:
             b AS (SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram FROM t)
             SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram
             ORDER BY cnt DESC, bigram LIMIT 20
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "event_intervals": """
+            WITH d AS (
+                SELECT user_id,
+                       epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+                FROM events)
+            SELECT user_id, count(gap) AS n_gaps, round(avg(gap), 4) AS avg_gap_s,
+                   round(max(gap), 4) AS max_gap_s
+            FROM d WHERE gap IS NOT NULL GROUP BY user_id
+        """,
+        "docs_per_lang_sample": """
+            SELECT lang, doc_id FROM documents
+            QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 3
+        """,
+        "term_postings": r"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                         FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            d AS (SELECT term, doc_id FROM tok GROUP BY term, doc_id)
+            SELECT term, count(*) AS df,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+            FROM d GROUP BY term ORDER BY df DESC, term LIMIT 30
+        """,
+        "tfidf_top_terms": r"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                         FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+            s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                         tf.tf * ln(n.n_docs / dfreq.df) AS score
+                  FROM tf JOIN dfreq USING (term), n)
+            SELECT doc_id, term, tf, df, round(score, 4) AS score FROM s
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) = 1
         """,
         "user_event_sequence": """
             SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS seq

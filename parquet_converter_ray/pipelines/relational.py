@@ -503,3 +503,97 @@ def order_lineitem_join(sf_dir: str) -> pa.Table:
     out["revenue"] = sql_round(out["revenue"], 2)
     out["n"] = out["n"].astype("int64")
     return pa.Table.from_pandas(out.sort_values("o_orderpriority"), preserve_index=False)
+
+
+# --- hierarchical rollup (multi-level re-aggregation) ------------------------
+
+
+def rollup_revenue(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): discounted revenue + count
+    at three grains. Only the FINEST grain touches the data (per-batch
+    combiner + one small groupby); the (flag, NULL) and (NULL, NULL) levels
+    are re-aggregated from the finest result (a handful of rows) on the
+    driver — the standard rollup trick that avoids one scan per grain."""
+    ds = _t(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        disc = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "disc": disc.to_pandas(),
+            }
+        )
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n=("disc", "size"), s=("disc", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .to_pandas()
+    )
+    lvl1 = fine.groupby("l_returnflag", as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+    lvl1["l_linestatus"] = None
+    lvl0 = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "n": [fine["n"].sum()],
+            "s": [fine["s"].sum()],
+        }
+    )
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    out["sum_disc_price"] = sql_round(out["s"], 2)
+    out["n"] = out["n"].astype("int64")
+    out = out[["l_returnflag", "l_linestatus", "n", "sum_disc_price"]]
+    return pa.Table.from_pandas(
+        out.sort_values(["l_returnflag", "l_linestatus"], na_position="first"),
+        preserve_index=False,
+    )
+
+
+# --- per-key ordered gaps (lag/lead window family) ---------------------------
+
+
+def event_intervals(sf_dir: str) -> pa.Table:
+    """Inter-event gap stats per user (count / avg / max seconds) — the
+    lag() window shape. The shuffle is the same per-user exchange as
+    ``user_event_sequence``; gaps are a vectorized ``diff`` inside each
+    group (users with one event have no gap and drop out, matching the
+    oracle's ``WHERE gap IS NOT NULL``). Hot users would salt exactly as
+    ``events_sessionize`` does (gaps only need one boundary row per salt)."""
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        d = g["ts"].diff().dt.total_seconds().iloc[1:]
+        if d.empty:
+            return pd.DataFrame(
+                {"user_id": [], "n_gaps": [], "avg_gap_s": [], "max_gap_s": []}
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_gaps": [len(d)],
+                "avg_gap_s": [d.mean()],
+                "max_gap_s": [d.max()],
+            }
+        )
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    out = ds.groupby("user_id").map_groups(gaps, batch_format="pandas").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    out["avg_gap_s"] = sql_round(out["avg_gap_s"], 4)
+    out["max_gap_s"] = sql_round(out["max_gap_s"], 4)
+    return pa.Table.from_pandas(out.sort_values("user_id"), preserve_index=False)

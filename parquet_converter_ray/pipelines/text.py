@@ -488,3 +488,146 @@ def curate_documents(
         list(ds.select_columns(["doc_id", "n_tokens"]).iter_batches(batch_format="pyarrow"))
     )
     return out.sort_by("doc_id").combine_chunks()
+
+
+# --- inverted index + TF-IDF (vocabulary / index build family) ---------------
+
+
+def _explode_terms(batch: pa.Table) -> pd.DataFrame:
+    """Flat (doc_id, term) rows for non-empty docs — lower/trim + RE2
+    whitespace split, doc ids repeated by per-doc token count (np.repeat over
+    the list lengths; no per-row Python)."""
+    t = pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"].fill_null("")))
+    keep = pc.not_equal(t, "")
+    ids = batch["doc_id"].filter(keep).to_numpy(zero_copy_only=False)
+    words = pc.split_pattern_regex(t.filter(keep), pattern=r"\s+").combine_chunks()
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    return pd.DataFrame(
+        {"doc_id": np.repeat(ids, lens), "term": words.flatten().to_pandas()}
+    )
+
+
+def term_postings(sf_dir: str, k: int = 30) -> pa.Table:
+    """Inverted-index build: for the k highest-document-frequency terms, the
+    full sorted posting list (doc ids joined by ','). Per-batch partials are
+    DISTINCT (term, doc_id) pairs (each doc lives in one batch, so per-batch
+    dedup is global dedup); one groupby(term) builds df + the posting string
+    inside the group; top-k by (df desc, term) via local-top-k partials
+    merged on the driver. At 100 TB an index build writes ALL terms out
+    partitioned by term hash (the output is corpus-sized by design) and caps
+    or shards stopword postings; the top-k cut here keeps the oracle cheap."""
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        return _explode_terms(batch).drop_duplicates()
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        return pd.DataFrame(
+            {
+                "term": [g["term"].iloc[0]],
+                "df": [len(ids)],
+                "postings": [",".join(map(str, ids))],
+            }
+        )
+
+    posting = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(build, batch_format="pandas")
+    )
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["df", "term"], ascending=[False, True]).head(k)
+
+    parts = posting.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out = parts.sort_values(["df", "term"], ascending=[False, True]).head(k)
+    out["df"] = out["df"].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def tfidf_top_terms(sf_dir: str) -> pa.Table:
+    """Most characteristic term per document by tf-idf (ties by term) — the
+    full distributed dataflow: one tokenize pass feeds BOTH per-doc term
+    frequencies and (via distinct-docs-per-batch partials + a vocab-sized
+    groupby) document frequencies; tf ⋈ idf is a hash-partitioned
+    ``Dataset.join`` on term (the idf side is vocab-sized, NOT broadcast);
+    the per-doc argmax is local best-per-doc partials merged per doc. Score =
+    tf * ln(n_docs / df)."""
+    from .dedup import _npartitions
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def tf_partial(batch: pa.Table) -> pd.DataFrame:
+        e = _explode_terms(batch)
+        return e.groupby(["doc_id", "term"], as_index=False).agg(tf=("term", "size"))
+
+    tf = docs.map_batches(tf_partial, batch_format="pyarrow")
+
+    # df partials: distinct docs per term per batch (each doc in one batch)
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("term", as_index=False).agg(df=("doc_id", "size"))
+
+    from ray.data.aggregate import Sum
+
+    dfreq = (
+        tf.map_batches(df_partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    n_docs = int(
+        docs.map_batches(
+            lambda b: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            pc.sum(
+                                pc.not_equal(
+                                    pc.utf8_trim_whitespace(b["text"].fill_null("")), ""
+                                ).cast(pa.int64())
+                            ).as_py()
+                            or 0
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sum("n")
+    )
+
+    scored = tf.join(
+        dfreq,
+        join_type="inner",
+        num_partitions=_npartitions(),
+        on=("term",),
+    )
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = b["tf"].to_numpy() * np.log(
+            float(n_docs) / b["df"].to_numpy(dtype=np.float64)
+        )
+        # local best-per-doc partial: ≤1 row per (batch, doc) to the exchange
+        b = b.sort_values(["score", "term"], ascending=[False, True], kind="mergesort")
+        return b.drop_duplicates("doc_id", keep="first")
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "term"], ascending=[False, True], kind="mergesort")
+        return g.head(1)
+
+    out = (
+        scored.map_batches(score, batch_format="pandas")
+        .groupby("doc_id")
+        .map_groups(best, batch_format="pandas")
+        .to_pandas()
+    )
+    from ._util import sql_round
+
+    out["score"] = sql_round(out["score"], 4)
+    for c in ("doc_id", "tf", "df"):
+        out[c] = out[c].astype("int64")
+    out = out[["doc_id", "term", "tf", "df", "score"]]
+    return pa.Table.from_pandas(out.sort_values("doc_id"), preserve_index=False)

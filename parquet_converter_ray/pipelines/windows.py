@@ -352,3 +352,39 @@ def price_quantiles(sf_dir: str) -> pa.Table:
             "value": pa.array([sql_round(v, 4) for v in vals], pa.float64()),
         }
     )
+
+
+# --- stratified sample: first-k per group (grouped top-k) -------------------
+
+
+def grouped_firstk(
+    ds: "ray.data.Dataset", keys: list[str], order: list[str], k: int
+) -> "ray.data.Dataset":
+    """First k rows per group ordered by ``order`` — the stratified-sample /
+    row_number()<=k shape. Per-batch local first-k partials (each batch
+    contributes at most k rows PER GROUP to the exchange, independent of
+    batch size), then a per-group merge of partials. The shuffle moves
+    k x n_groups x n_batches rows, not the table."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(order, kind="mergesort").groupby(keys, as_index=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order, kind="mergesort").head(k)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def docs_per_lang_sample(sf_dir: str, k: int = 3) -> pa.Table:
+    """Deterministic stratified sample: the k smallest doc_ids per language.
+    Oracle: QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id)<=k."""
+    ds = _t(sf_dir, "documents", columns=["lang", "doc_id"])
+    out = grouped_firstk(ds, ["lang"], ["doc_id"], k).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values(["lang", "doc_id"]), preserve_index=False
+    )

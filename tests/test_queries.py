@@ -78,6 +78,11 @@ SQL_CHECKED = [
     "events_hopping_window",
     "frequent_quantities",
     "top_bigrams",
+    "rollup_revenue",
+    "event_intervals",
+    "docs_per_lang_sample",
+    "term_postings",
+    "tfidf_top_terms",
 ]
 
 

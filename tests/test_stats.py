@@ -48,3 +48,29 @@ def test_stats_collector_direct():
 
     p = pickle.loads(out["partial"][0].as_py())["x"]
     assert p["n"] == 4 and p["nulls"] == 1 and p["distinct"] == 3
+
+
+def test_term_postings_within_doc_dup_counts_once(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray.pipelines.text import term_postings
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [7, 3, 9],
+            "text": ["cat cat dog", "Cat   mouse", None],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [11, 11, 0],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), f"{tmp_path}/documents.parquet")
+    got = term_postings(str(tmp_path), k=10).to_pandas()
+    by = got.set_index("term")
+    # 'cat' appears twice in doc 7 and once in doc 3 -> df=2, sorted postings
+    assert by.loc["cat", "df"] == 2 and by.loc["cat", "postings"] == "3,7"
+    assert by.loc["dog", "df"] == 1 and by.loc["mouse", "postings"] == "3"
+    # df-desc, term-asc ordering
+    assert list(got["term"]) == ["cat", "dog", "mouse"]

@@ -273,3 +273,56 @@ def test_top_bigrams_kernel_matches_python_reference(ray_session, tmp_path):
         ref.update(" ".join(p) for p in zip(w, w[1:]))
     exp = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got["bigram"], got["cnt"])) == exp
+
+
+def test_grouped_firstk_partials_merge_across_batches(ray_session):
+    """Rows for one group scattered across many blocks: first-k must merge
+    partials, and each batch's partial contributes at most k rows per group."""
+    import ray.data
+
+    from parquet_converter_ray.pipelines.windows import grouped_firstk
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    df = pd.DataFrame({"g": rng.integers(0, 5, n), "v": rng.permutation(n)})
+    tables = [
+        pa.Table.from_pandas(c, preserve_index=False) for c in np.array_split(df, 8)
+    ]
+    ds = ray.data.from_arrow(tables)
+    got = (
+        grouped_firstk(ds, ["g"], ["v"], 4)
+        .to_pandas()
+        .sort_values(["g", "v"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values("v").groupby("g", as_index=False).head(4)
+        .sort_values(["g", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_event_intervals_single_event_user_and_ties(ray_session, tmp_path):
+    from parquet_converter_ray.pipelines.relational import event_intervals
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:10", "2024-01-01 00:01:00",
+         "2024-01-01 05:00:00",  # user 2: single event -> dropped
+         "2024-01-01 00:00:00", "2024-01-01 00:00:00"]  # user 3: tie ts
+    )
+    events = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 6, 5],
+            "user_id": [1, 1, 1, 2, 3, 3],
+            "event_type": ["a"] * 6,
+            "ts": ts.astype("datetime64[us]"),
+            "value": [0.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    _write(tmp_path, "events", events)
+    got = event_intervals(str(tmp_path)).to_pandas().set_index("user_id")
+    assert list(got.index) == [1, 3]  # user 2 dropped
+    assert got.loc[1, "n_gaps"] == 2 and got.loc[1, "avg_gap_s"] == 30.0
+    assert got.loc[1, "max_gap_s"] == 50.0
+    assert got.loc[3, "n_gaps"] == 1 and got.loc[3, "max_gap_s"] == 0.0
