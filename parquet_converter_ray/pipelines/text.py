@@ -547,83 +547,68 @@ def term_postings(sf_dir: str, k: int = 30) -> pa.Table:
 
 
 def tfidf_top_terms(sf_dir: str) -> pa.Table:
-    """Most characteristic term per document by tf-idf (ties by term) — the
-    full distributed dataflow: one tokenize pass feeds BOTH per-doc term
-    frequencies and (via distinct-docs-per-batch partials + a vocab-sized
-    groupby) document frequencies; tf ⋈ idf is a hash-partitioned
-    ``Dataset.join`` on term (the idf side is vocab-sized, NOT broadcast);
-    the per-doc argmax is local best-per-doc partials merged per doc. Score =
-    tf * ln(n_docs / df)."""
-    from .dedup import _npartitions
+    """Most characteristic term per document by tf-idf (ties by term).
+    Score = tf * ln(n_docs / df).
 
+    Two streaming passes. Pass 1: per-batch (term, distinct-doc-count)
+    partials (each doc is ONE row of ``documents``, so a doc's term counts
+    are batch-local by construction) -> one VOCAB-sized groupby -> the df
+    table + n_docs. Pass 2: df broadcast once via ``ray.put`` — bounded,
+    vocabulary-sized state (contrast the corpus-sized keep-set this repo
+    deliberately avoids in ``curate_documents``); each batch maps term->df
+    with one vectorized ``pd.merge`` and takes the per-doc argmax WITHIN the
+    batch — no per-doc shuffle exists in the whole pipeline. If the vocab
+    ever outgrew broadcast (no min_df cut, web-scale n-grams), pass 2
+    becomes the hash-partitioned tf ⋈ df ``Dataset.join`` used by
+    ``curate_documents``."""
     docs = _docs(sf_dir, columns=["doc_id", "text"])
 
-    def tf_partial(batch: pa.Table) -> pd.DataFrame:
+    def tf_batch(batch: pa.Table) -> pd.DataFrame:
         e = _explode_terms(batch)
         return e.groupby(["doc_id", "term"], as_index=False).agg(tf=("term", "size"))
 
-    tf = docs.map_batches(tf_partial, batch_format="pyarrow")
-
-    # df partials: distinct docs per term per batch (each doc in one batch)
+    # df partials: docs are whole within a batch, so per-batch distinct
+    # (doc, term) counts sum to the global document frequency. Each partial
+    # is VOCAB-sized regardless of batch size, so the merge is a driver-side
+    # pandas sum over tiny tables — no all-to-all exchange at all (the same
+    # partial-merge shortcut profile.py uses; a Ray groupby here costs a full
+    # hash shuffle to aggregate a few-KB table).
     def df_partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby("term", as_index=False).agg(df=("doc_id", "size"))
+        g = b.groupby("term", as_index=False).agg(df=("doc_id", "size"))
+        g["nd"] = b["doc_id"].nunique()  # per-batch doc count rides along
+        g.loc[1:, "nd"] = 0
+        return g
 
-    from ray.data.aggregate import Sum
-
-    dfreq = (
-        tf.map_batches(df_partial, batch_format="pandas")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
+    part_list = list(
+        docs.map_batches(tf_batch, batch_format="pyarrow")
+        .map_batches(df_partial, batch_format="pandas")
+        .iter_batches(batch_format="pandas")
     )
-
-    n_docs = int(
-        docs.map_batches(
-            lambda b: pa.table(
-                {
-                    "n": pa.array(
-                        [
-                            pc.sum(
-                                pc.not_equal(
-                                    pc.utf8_trim_whitespace(b["text"].fill_null("")), ""
-                                ).cast(pa.int64())
-                            ).as_py()
-                            or 0
-                        ],
-                        pa.int64(),
-                    )
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .sum("n")
+    parts = (
+        pd.concat(part_list, ignore_index=True)
+        if part_list
+        else pd.DataFrame({"term": [], "df": [], "nd": []})
     )
+    n_docs = int(parts["nd"].sum()) if len(parts) else 0
+    agg = parts.groupby("term", as_index=False).agg(df=("df", "sum"))
+    df_ref = ray.put(agg[["term", "df"]])
 
-    scored = tf.join(
-        dfreq,
-        join_type="inner",
-        num_partitions=_npartitions(),
-        on=("term",),
-    )
-
-    def score(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
+    def best_per_doc(batch: pa.Table) -> pd.DataFrame:
+        tf = tf_batch(batch)
+        if tf.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.array([], dtype="int64"), "term": [],
+                 "tf": pd.array([], dtype="int64"),
+                 "df": pd.array([], dtype="int64"), "score": []}
+            )
+        b = tf.merge(ray.get(df_ref), on="term", how="left")
         b["score"] = b["tf"].to_numpy() * np.log(
             float(n_docs) / b["df"].to_numpy(dtype=np.float64)
         )
-        # local best-per-doc partial: ≤1 row per (batch, doc) to the exchange
         b = b.sort_values(["score", "term"], ascending=[False, True], kind="mergesort")
         return b.drop_duplicates("doc_id", keep="first")
 
-    def best(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "term"], ascending=[False, True], kind="mergesort")
-        return g.head(1)
-
-    out = (
-        scored.map_batches(score, batch_format="pandas")
-        .groupby("doc_id")
-        .map_groups(best, batch_format="pandas")
-        .to_pandas()
-    )
+    out = docs.map_batches(best_per_doc, batch_format="pyarrow").to_pandas()
     from ._util import sql_round
 
     out["score"] = sql_round(out["score"], 4)
