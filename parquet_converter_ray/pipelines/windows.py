@@ -271,29 +271,39 @@ _N_HOPS = 4  # 60 min window = 4 hops
 
 
 def events_hopping_window(sf_dir: str) -> pa.Table:
-    """Sliding 60-minute window hopping every 15 minutes, per event type:
-    each event belongs to 4 overlapping windows, expanded VECTORIZED inside
-    the batch (the flat-map shape — np.tile, not per-row emission), partially
-    aggregated before the shuffle. Contrast ``events_hourly_window``'s
-    stateless tumbling assignment. At 100 TB the expansion multiplies partial
-    rows (not raw rows) by window_size/hop — the combiner keeps the exchange
-    at one row per (batch, type, window)."""
+    """Sliding 60-minute window hopping every 15 minutes, per event type.
+    Each event belongs to 4 overlapping windows, but rows are NEVER expanded:
+    the batch first aggregates to tumbling 15-min HOP partials (one row per
+    (type, hop) — the finest grain every window is a union of), and only
+    those partials are tiled across the 4 window offsets. The 4x expansion
+    multiplies partial rows, not raw rows, so the exchange carries
+    ≤ 4 x types x hops-per-batch rows regardless of batch size. Contrast
+    ``events_hourly_window``'s single-grain tumbling assignment."""
     ds = _t(sf_dir, "events", columns=["ts", "event_type", "value"])
-    offs = (np.arange(_N_HOPS, dtype=np.int64) * _HOP_US)[:, None]
+    offs = np.arange(_N_HOPS, dtype=np.int64) * _HOP_US
 
     def assign(b: pa.Table) -> pd.DataFrame:
         ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        base = (ts // _HOP_US) * _HOP_US
-        starts = (base[None, :] - offs).ravel()
-        df = pd.DataFrame(
+        hop = pd.DataFrame(
             {
-                "event_type": np.tile(b["event_type"].to_numpy(zero_copy_only=False), _N_HOPS),
-                "window_start": starts.astype("datetime64[us]"),
-                "value": np.tile(b["value"].to_numpy(zero_copy_only=False), _N_HOPS),
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "base": (ts // _HOP_US) * _HOP_US,
+                "value": b["value"].to_numpy(zero_copy_only=False),
             }
-        )
-        return df.groupby(["event_type", "window_start"], as_index=False).agg(
+        ).groupby(["event_type", "base"], as_index=False).agg(
             n=("value", "size"), sum_value=("value", "sum")
+        )
+        m = len(hop)
+        return pd.DataFrame(
+            {
+                "event_type": np.tile(hop["event_type"].to_numpy(), _N_HOPS),
+                "window_start": (
+                    np.tile(hop["base"].to_numpy(), _N_HOPS)
+                    - np.repeat(offs, m)
+                ).astype("datetime64[us]"),
+                "n": np.tile(hop["n"].to_numpy(), _N_HOPS),
+                "sum_value": np.tile(hop["sum_value"].to_numpy(), _N_HOPS),
+            }
         )
 
     from ray.data.aggregate import Sum
