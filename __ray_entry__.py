@@ -43,6 +43,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from parquet_converter_ray.pipelines import (
+        analytics,
         dedup,
         multimodal,
         relational,
@@ -90,6 +91,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_per_lang_sample": windows.docs_per_lang_sample,
         "term_postings": text.term_postings,
         "tfidf_top_terms": text.tfidf_top_terms,
+        # --- distributed analytics (grouped distinct, sketches, histogram,
+        # streaming moments, Bloom semi-join, deterministic sampling) ---
+        "distinct_users_by_type": analytics.distinct_users_by_type,
+        "approx_distinct_users_by_type": analytics.approx_distinct_users_by_type,
+        "totalprice_histogram": analytics.totalprice_histogram,
+        "corr_quantity_price": analytics.corr_quantity_price,
+        "bloom_urgent_revenue": analytics.bloom_urgent_revenue,
+        "sample_orders_bottomk": analytics.sample_orders_bottomk,
+        "events_zscore_outliers": analytics.events_zscore_outliers,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "token_counts_bpe": text.token_counts_bpe,
@@ -398,7 +408,42 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
             LIMIT 10
         """,
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "totalprice_histogram": """
+            WITH b AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 5000000 AS bucket
+                       FROM orders)
+            SELECT bucket, bucket * 50000.0 AS bucket_lo, count(*) AS n
+            FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "corr_quantity_price": """
+            SELECT count(*) AS n,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+                   round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+            FROM lineitem
+        """,
+        "bloom_urgent_revenue": """
+            SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "sample_orders_bottomk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY md5('42:' || CAST(o_orderkey AS VARCHAR)) LIMIT 20
+        """,
+        "events_zscore_outliers": """
+            WITH s AS (SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+                       FROM events GROUP BY event_type)
+            SELECT e.event_type, count(*) AS n_outliers
+            FROM events e JOIN s ON e.event_type = s.event_type
+            WHERE abs(e.value - s.m) > 3 * s.sd
+            GROUP BY e.event_type ORDER BY e.event_type
+        """,
         # lang_quality / winnow_fingerprints / dedup_minhash / dedup_simhash /
-        # dedup_ngram_jaccard / knn_lsh / knn_ivf / transcript_* / multimodal_features:
+        # dedup_ngram_jaccard / knn_lsh / knn_ivf / transcript_* / multimodal_features /
+        # approx_distinct_users_by_type (approximate by design):
         # non-SQL-expressible (custom hashing / codec engine) -> rows-only check.
     }

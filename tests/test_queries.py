@@ -83,6 +83,12 @@ SQL_CHECKED = [
     "docs_per_lang_sample",
     "term_postings",
     "tfidf_top_terms",
+    "distinct_users_by_type",
+    "totalprice_histogram",
+    "corr_quantity_price",
+    "bloom_urgent_revenue",
+    "sample_orders_bottomk",
+    "events_zscore_outliers",
 ]
 
 
@@ -112,6 +118,7 @@ def test_all_queries_have_oracle_or_are_documented(ray_session):
         "transcript_codec_plan",
         "convert_csv_roundtrip",
         "approx_distinct_parts",
+        "approx_distinct_users_by_type",
         "multimodal_features",
         "multimodal_resize",
         "video_frame_sample",
