@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_urgent_revenue": analytics.bloom_urgent_revenue,
         "sample_orders_bottomk": analytics.sample_orders_bottomk,
         "events_zscore_outliers": analytics.events_zscore_outliers,
+        "median_price_by_priority": analytics.median_price_by_priority,
+        "customer_balance_ntile": analytics.customer_balance_ntile,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "token_counts_bpe": text.token_counts_bpe,
@@ -441,6 +443,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN s ON e.event_type = s.event_type
             WHERE abs(e.value - s.m) > 3 * s.sd
             GROUP BY e.event_type ORDER BY e.event_type
+        """,
+        "median_price_by_priority": """
+            SELECT o_orderpriority, round(median(o_totalprice), 4) AS median_price
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "customer_balance_ntile": """
+            WITH t AS (SELECT c_acctbal,
+                              NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS tile
+                       FROM customer)
+            SELECT tile, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+            FROM t GROUP BY tile ORDER BY tile
         """,
         # lang_quality / winnow_fingerprints / dedup_minhash / dedup_simhash /
         # dedup_ngram_jaccard / knn_lsh / knn_ivf / transcript_* / multimodal_features /

@@ -350,6 +350,215 @@ def sample_orders_bottomk(sf_dir: str, k: int = 20, seed: int = 42) -> pa.Table:
     return top.select(["o_orderkey", "o_totalprice"]).combine_chunks()
 
 
+# --- grouped order statistics (integer histogram selection, no shuffle) ------
+
+
+def _grouped_int_order_stats(
+    ds: "ray.data.Dataset",
+    group_col: str | None,
+    val_col: str,
+    ranks_for,
+    scale: int = 100,
+    n_bins: int = 65536,
+    max_rounds: int = 8,
+) -> dict:
+    """EXACT order statistics per group over a decimal column, by iterative
+    INTEGER histogram refinement — no shuffle, no sort, no collect pass.
+
+    Values are scaled to integers (cents for ``scale=100``), so bin membership
+    is exact arithmetic: each round one ``map_batches`` pass histograms every
+    group's remaining [lo, hi] range into <= ``n_bins`` integer-width buckets
+    (one flat bincount per batch, ``n_segments x n_bins`` int64 driver state),
+    the driver narrows each group's range to the bucket span containing its
+    unresolved ranks, and a bucket of width 1 IS the answer. Range
+    ``R`` resolves in ``ceil(log_{n_bins} R)`` passes (2 for cent-scaled
+    prices at the default 64k bins). ``ranks_for(n)`` maps a group's row count to its wanted
+    0-indexed ranks. Returns ``{group: (n, {rank: scaled_int_value})}``.
+
+    Scale: driver state is O(n_groups x n_bins); each pass streams with
+    column-pruned reads. Compare ``profile.exact_median``'s sort+pick (one
+    all-to-all) and ``profile.exact_quantiles`` (float edges, single group).
+    """
+
+    def extract(batch: pa.Table):
+        if group_col is None:
+            g = np.zeros(batch.num_rows, dtype=np.int64)
+        else:
+            g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        iv = np.floor(v * scale + 0.5)
+        valid = ~np.isnan(iv)
+        return g[valid], iv[valid].astype(np.int64)
+
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        g, iv = extract(batch)
+        if len(iv) == 0:
+            return pa.table({"g": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())})
+        order = np.argsort(g, kind="stable")
+        sg, siv = g[order], iv[order]
+        bounds = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1]])
+        rows = {"g": [], "n": [], "lo": [], "hi": []}
+        for i, lo_i in enumerate(bounds):
+            hi_i = bounds[i + 1] if i + 1 < len(bounds) else len(sg)
+            seg = siv[lo_i:hi_i]
+            rows["g"].append(str(sg[lo_i]))
+            rows["n"].append(hi_i - lo_i)
+            rows["lo"].append(int(seg.min()))
+            rows["hi"].append(int(seg.max()))
+        return pa.table({"g": pa.array(rows["g"]), "n": pa.array(rows["n"], pa.int64()),
+                         "lo": pa.array(rows["lo"], pa.int64()), "hi": pa.array(rows["hi"], pa.int64())})
+
+    mm = ds.map_batches(minmax_partial, batch_format="pyarrow").to_pandas()
+    agg = mm.groupby("g").agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+
+    # segments: disjoint (group, [lo, hi], base, ranks) refinement targets.
+    # Ranks that land in different buckets split into their OWN segments —
+    # narrowing one joint span would stall when two ranks straddle a value gap
+    # (the span stays as wide as the gap).
+    n_of: dict[str, int] = {}
+    resolved: dict[str, dict[int, int]] = {}
+    segs: list[dict] = []
+    for gname, row in agg.iterrows():
+        n_of[gname] = int(row["n"])
+        resolved[gname] = {}
+        segs.append(
+            {"g": gname, "lo": int(row["lo"]), "hi": int(row["hi"]), "base": 0,
+             "ranks": sorted(set(ranks_for(int(row["n"]))))}
+        )
+
+    for _ in range(max_rounds):
+        if not segs:
+            break
+        meta = [(s["g"], s["lo"], s["hi"], max((s["hi"] - s["lo"] + n_bins) // n_bins, 1)) for s in segs]
+
+        def hist_partial(batch: pa.Table, _meta=tuple(meta)) -> pa.Table:
+            g, iv = extract(batch)
+            gs = g.astype(str)
+            counts = np.zeros(len(_meta) * n_bins, dtype=np.int64)
+            for si, (sg, lo, hi, w) in enumerate(_meta):
+                ok = (gs == sg) & (iv >= lo) & (iv <= hi)
+                if ok.any():
+                    counts[si * n_bins : (si + 1) * n_bins] += np.bincount(
+                        (iv[ok] - lo) // w, minlength=n_bins
+                    )
+            return pa.table({"c": pa.array([counts.tobytes()], pa.binary())})
+
+        total = np.zeros(len(segs) * n_bins, dtype=np.int64)
+        for row in ds.map_batches(hist_partial, batch_format="pyarrow").take_all():
+            total += np.frombuffer(row["c"], dtype=np.int64)
+
+        next_segs: list[dict] = []
+        for si, s in enumerate(segs):
+            counts = total[si * n_bins : (si + 1) * n_bins]
+            cum = np.concatenate([[0], np.cumsum(counts)])
+            w = meta[si][3]
+            by_bin: dict[int, list[int]] = {}
+            for r in s["ranks"]:
+                b = int(np.searchsorted(cum, r - s["base"], side="right") - 1)
+                by_bin.setdefault(b, []).append(r)
+            if w == 1:
+                for b, rs in by_bin.items():
+                    for r in rs:
+                        resolved[s["g"]][r] = s["lo"] + b
+            else:
+                for b, rs in sorted(by_bin.items()):
+                    next_segs.append(
+                        {"g": s["g"], "lo": s["lo"] + b * w,
+                         "hi": min(s["lo"] + (b + 1) * w - 1, s["hi"]),
+                         "base": s["base"] + int(cum[b]), "ranks": rs}
+                    )
+        segs = next_segs
+    if segs:
+        raise RuntimeError(
+            f"order-statistic refinement did not converge for {sorted({s['g'] for s in segs})}"
+        )
+    return {g: (n_of[g], resolved[g]) for g in n_of}
+
+
+def median_price_by_priority(sf_dir: str) -> pa.Table:
+    """Exact per-group median (o_totalprice by o_orderpriority) via the
+    grouped integer-selection kernel: 1 + ~3 streaming passes total for ALL
+    groups simultaneously, vs either a per-group sort (all-to-all) or
+    ``map_groups`` (materialises each group — unbounded per-reducer state at
+    100 TB)."""
+    ds = _t(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    stats = _grouped_int_order_stats(
+        ds, "o_orderpriority", "o_totalprice", lambda n: [(n - 1) // 2, n // 2]
+    )
+    groups = sorted(stats)
+    med = [
+        sql_round((stats[g][1][(stats[g][0] - 1) // 2] + stats[g][1][stats[g][0] // 2]) / 2.0 / 100.0, 4)
+        for g in groups
+    ]
+    return pa.table(
+        {"o_orderpriority": pa.array(groups), "median_price": pa.array(med, pa.float64())}
+    )
+
+
+def customer_balance_ntile(sf_dir: str, tiles: int = 4) -> pa.Table:
+    """NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) summarised per tile —
+    global rank WITHOUT a global sort: tile boundaries are order statistics
+    of the balance (integer selection, ~3 passes), boundary TIES are settled
+    exactly by collecting only the tied rows' custkeys (one pass, tie
+    multiplicity is tiny for a continuous column) and cutting at the rank
+    offset; the final pass assigns tiles with pure comparisons and reduces
+    per-tile (count, cents-exact sum) partials on the driver."""
+    ds = _t(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    stats = _grouped_int_order_stats(
+        ds, None, "c_acctbal",
+        lambda n: [i * (n // tiles) + min(i, n % tiles) for i in range(1, tiles)],
+    )
+    (n, resolved), = stats.values()
+    bounds = [i * (n // tiles) + min(i, n % tiles) for i in range(1, tiles)]
+    bvals = np.array([resolved[b] for b in bounds], dtype=np.int64)
+
+    def below_ties(batch: pa.Table) -> pa.Table:
+        iv = np.floor(batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        rows = {"b": [], "below": [], "ties": []}
+        for i, v in enumerate(bvals):
+            rows["b"].append(i)
+            rows["below"].append(int((iv < v).sum()))
+            rows["ties"].append(ck[iv == v].astype(np.int64))
+        return pa.table({"b": pa.array(rows["b"], pa.int64()),
+                         "below": pa.array(rows["below"], pa.int64()),
+                         "ties": pa.array([t.tolist() for t in rows["ties"]], pa.list_(pa.int64()))})
+
+    below = np.zeros(len(bvals), dtype=np.int64)
+    ties: list[list[int]] = [[] for _ in bvals]
+    for row in ds.map_batches(below_ties, batch_format="pyarrow").take_all():
+        below[row["b"]] += row["below"]
+        ties[row["b"]].extend(row["ties"])
+    cuts = np.array(
+        [sorted(ties[i])[bounds[i] - below[i]] for i in range(len(bvals))], dtype=np.int64
+    )
+    ref = ray.put((bvals, cuts))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bv, ct = ray.get(ref)
+        iv = np.floor(batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        tile = np.ones(len(iv), dtype=np.int64)
+        for i in range(len(bv)):
+            tile += ((iv > bv[i]) | ((iv == bv[i]) & (ck >= ct[i]))).astype(np.int64)
+        counts = np.bincount(tile, minlength=len(bv) + 2)
+        sums = np.bincount(tile, weights=iv.astype(np.float64), minlength=len(bv) + 2)
+        nz = np.flatnonzero(counts)
+        return pa.table({"tile": pa.array(nz, pa.int64()),
+                         "n": pa.array(counts[nz], pa.int64()),
+                         "sum_cents": pa.array(sums[nz].astype(np.int64), pa.int64())})
+
+    parts = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("tile", as_index=False).agg(n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+    out["avg_bal"] = sql_round(out["sum_cents"] / 100.0 / out["n"], 4)
+    out["n"] = out["n"].astype("int64")
+    out["tile"] = out["tile"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["tile", "n", "avg_bal"]].sort_values("tile"), preserve_index=False
+    )
+
+
 # --- two-pass z-score outlier detection --------------------------------------
 
 

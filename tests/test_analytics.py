@@ -73,6 +73,30 @@ def test_comoment_merge_order_invariant():
         assert abs(corr_m - corr_w) < 1e-9
 
 
+def test_grouped_order_stats_exact_with_value_gap(ray_session):
+    """Two wanted ranks straddling a huge value gap must still converge (each
+    rank refines in its own segment; a joint-span narrowing would stall)."""
+    import ray.data
+
+    from parquet_converter_ray.pipelines.analytics import _grouped_int_order_stats
+
+    rng = np.random.default_rng(11)
+    # even count, the two middle values separated by a 1e7 gap
+    low = np.round(rng.uniform(0, 100, size=500), 2)
+    high = np.round(rng.uniform(1e5, 1e5 + 100, size=500), 2)
+    vals = np.concatenate([low, high])
+    groups = np.array(["a"] * 1000)
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array(groups), "v": pa.array(vals, pa.float64())})
+    ).repartition(7)
+    stats = _grouped_int_order_stats(ds, "g", "v", lambda n: [(n - 1) // 2, n // 2])
+    n, resolved = stats["a"]
+    assert n == 1000
+    cents = np.sort(np.floor(vals * 100 + 0.5).astype(np.int64))
+    assert resolved[499] == cents[499]
+    assert resolved[500] == cents[500]
+
+
 @pytest.mark.parametrize("override_rows", [64, 997])
 def test_bottomk_sample_partition_invariant(ray_session, override_rows, monkeypatch):
     """The sample must not depend on how Ray batched the input: force small

@@ -89,6 +89,8 @@ SQL_CHECKED = [
     "bloom_urgent_revenue",
     "sample_orders_bottomk",
     "events_zscore_outliers",
+    "median_price_by_priority",
+    "customer_balance_ntile",
 ]
 
 
