@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_roundtrip": transcripts.transcript_roundtrip,
         "transcript_codec_plan": transcripts.transcript_codec_plan,
         "convert_csv_roundtrip": transcripts.convert_csv_roundtrip,
+        "convert_jsonl_roundtrip": transcripts.convert_jsonl_roundtrip,
         "lineitem_codec_roundtrip": transcripts.lineitem_codec_roundtrip,
         # --- multimodal plumbing (stubbed decode) ---
         "multimodal_features": multimodal.multimodal_features,
@@ -443,6 +444,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN s ON e.event_type = s.event_type
             WHERE abs(e.value - s.m) > 3 * s.sd
             GROUP BY e.event_type ORDER BY e.event_type
+        """,
+        "convert_jsonl_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars,
+                   TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) SECOND AS ts
+            FROM documents
         """,
         "median_price_by_priority": """
             SELECT o_orderpriority, round(median(o_totalprice), 4) AS median_price

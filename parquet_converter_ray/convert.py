@@ -51,6 +51,9 @@ class ConversionStats:
         return asdict(self)
 
 
+_JSONL_SUFFIXES = (".jsonl", ".ndjson")
+
+
 def resolve_options(path: str, cfg: EngineConfig) -> ReaderOptions:
     """Suffix dispatch (reference converter.py:360-388); unsupported -> ValueError."""
     suffix = os.path.splitext(path)[1].lower()
@@ -105,6 +108,21 @@ def _read_sample(path: str, opts: ReaderOptions, sample_rows: int) -> pd.DataFra
         engine="python",
         **kwargs,
     )
+
+
+def _read_sample_jsonl(path: str, sample_rows: int) -> pd.DataFrame:
+    """Driver-side JSONL sample, stringified so the SAME inference plan as the
+    delimited path applies (a JSON int samples as '5' -> Int64 plan, an ISO
+    timestamp string upgrades to the datetime plan, etc.)."""
+    df = pd.read_json(path, lines=True, nrows=sample_rows, convert_dates=False)
+
+    def to_str(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return None
+        return str(v)
+
+    mapper = getattr(df, "map", None) or df.applymap  # pandas<2.1 fallback
+    return mapper(to_str)
 
 
 def infer_parse_plan(df: pd.DataFrame, formats: list[str], dtypes: dict | None = None) -> dict[str, tuple]:
@@ -266,6 +284,14 @@ def convert_file(
     cfg = cfg or EngineConfig()
     stats = ConversionStats(input_path=input_path)
     try:
+        if os.path.splitext(input_path)[1].lower() in _JSONL_SUFFIXES:
+            # JSONL source: Arrow's NDJSON reader streams typed batches; the
+            # sample-then-commit plan still runs (over stringified values) so
+            # string-encoded datetimes/numerics upgrade exactly like CSV
+            sample = _read_sample_jsonl(input_path, cfg.sample_rows)
+            plan = infer_parse_plan(sample, cfg.datetime_formats)
+            ds = ray.data.read_json(input_path)
+            return _commit_converted(ds, plan, input_path, output_dir, cfg, stats)
         opts = resolve_options(input_path, cfg)
         sample = _read_sample(input_path, opts, cfg.sample_rows)
         plan = infer_parse_plan(sample, cfg.datetime_formats, opts.dtypes)
@@ -296,20 +322,34 @@ def convert_file(
             ds = ray.data.from_pandas(df)
         else:
             ds = read_delimited(input_path, opts)
-        ds = ds.map_batches(ApplyParsePlan(plan), batch_format="pandas")
-        stem = os.path.splitext(os.path.basename(input_path))[0]
-        out = os.path.join(output_dir, stem)
-        if os.path.isdir(out):  # reruns overwrite (reference converter.py:222 semantics)
-            import shutil
-
-            shutil.rmtree(out)
-        ds.write_parquet(out, compression=cfg.compression)
-        written = ray.data.read_parquet(out)
-        stats.output_path = out
-        stats.rows_processed = stats.rows_converted = written.count()
-        stats.column_stats = _column_stats(written, cfg.profiling_column_limit)
+        return _commit_converted(ds, plan, input_path, output_dir, cfg, stats)
     except Exception as e:  # per-file failures are non-fatal (reference converter.py:245-253)
         stats.errors.append(f"{type(e).__name__}: {e}")
+    return stats
+
+
+def _commit_converted(
+    ds: "ray.data.Dataset",
+    plan: dict[str, tuple],
+    input_path: str,
+    output_dir: str,
+    cfg: EngineConfig,
+    stats: ConversionStats,
+) -> ConversionStats:
+    """Shared tail of every conversion source: cast stage -> parquet dataset
+    directory -> verification read + per-column stats."""
+    ds = ds.map_batches(ApplyParsePlan(plan), batch_format="pandas")
+    stem = os.path.splitext(os.path.basename(input_path))[0]
+    out = os.path.join(output_dir, stem)
+    if os.path.isdir(out):  # reruns overwrite (reference converter.py:222 semantics)
+        import shutil
+
+        shutil.rmtree(out)
+    ds.write_parquet(out, compression=cfg.compression)
+    written = ray.data.read_parquet(out)
+    stats.output_path = out
+    stats.rows_processed = stats.rows_converted = written.count()
+    stats.column_stats = _column_stats(written, cfg.profiling_column_limit)
     return stats
 
 
@@ -326,7 +366,7 @@ def convert_directory(
     files = sorted(
         os.path.join(input_dir, f)
         for f in os.listdir(input_dir)
-        if f.lower().endswith((".csv", ".txt"))
+        if f.lower().endswith((".csv", ".txt") + _JSONL_SUFFIXES)
     )
     return [convert_file(f, output_dir, cfg) for f in files]
 

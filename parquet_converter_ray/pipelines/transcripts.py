@@ -113,6 +113,36 @@ def convert_csv_roundtrip(sf_dir: str | None = None) -> pa.Table:
     return pa.Table.from_pandas(tbl, preserve_index=False)
 
 
+def convert_jsonl_roundtrip(sf_dir: str) -> pa.Table:
+    """JSONL source coverage, ORACLE-CHECKED: the documents table (plus a
+    derived ISO-timestamp string column) is serialised to NDJSON, converted
+    through the streaming ``convert_file`` pipeline (sample-then-commit
+    inference -> ``ray.data.read_json`` -> cast stage -> parquet), read back
+    and compared field-for-field against the original DuckDB view. Fixture
+    WRITING is driver-side on purpose (test-harness data generation); the
+    conversion under test streams."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..config import EngineConfig
+    from ..convert import convert_file
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    os.makedirs(_CACHE, exist_ok=True)
+    jsonl_path = os.path.join(_CACHE, f"docs_{tag}.jsonl")
+    df = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    df["ts"] = (
+        pd.Timestamp("2024-01-01") + pd.to_timedelta(df["doc_id"], unit="s")
+    ).dt.strftime("%Y-%m-%d %H:%M:%S")
+    df.to_json(jsonl_path, orient="records", lines=True)
+    out_dir = os.path.join(_CACHE, f"docs_jsonl_out_{tag}")
+    stats = convert_file(jsonl_path, out_dir, EngineConfig())
+    if stats.errors:
+        raise RuntimeError(f"jsonl conversion failed: {stats.errors}")
+    tbl = ray.data.read_parquet(stats.output_path).sort("doc_id").to_pandas()
+    return pa.Table.from_pandas(tbl, preserve_index=False)
+
+
 def lineitem_codec_roundtrip(sf_dir: str) -> pa.Table:
     """Generic-table codec roundtrip: the container engine is not transcript-
     specific — encode the TPC-H lineitem table (ints, floats, strings,

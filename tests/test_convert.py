@@ -50,6 +50,36 @@ def test_txt_roundtrip(ray_session, txt_file, tmp_path):
     assert sorted(df["col2"].tolist()) == ["a", "b", "c"]
 
 
+def test_jsonl_roundtrip_types(ray_session, tmp_path):
+    """JSONL source: typed JSON values AND string-encoded datetimes both land
+    on the committed schema; nulls survive; bools normalise."""
+    p = tmp_path / "data.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a", "amt": 1.5, "ok": true, "ts": "2024-01-02 03:04:05"}\n'
+        '{"id": 2, "name": null, "amt": 2.5, "ok": false, "ts": "2024-01-03 04:05:06"}\n'
+        '{"id": 3, "name": "c", "amt": null, "ok": true, "ts": null}\n'
+    )
+    stats = convert_file(str(p), str(tmp_path / "out"))
+    assert stats.errors == []
+    assert stats.rows_processed == 3
+    df = pd.read_parquet(stats.output_path).sort_values("id").reset_index(drop=True)
+    assert df["id"].tolist() == [1, 2, 3]
+    assert str(df["id"].dtype) in ("Int64", "int64")
+    assert df["name"].isna().tolist() == [False, True, False]
+    assert df["amt"].isna().tolist() == [False, False, True]
+    assert df["ok"].tolist()[:2] == [True, False]
+    assert str(df["ts"].dtype).startswith("datetime64")
+    assert df["ts"].iloc[0] == pd.Timestamp("2024-01-02 03:04:05")
+    assert pd.isna(df["ts"].iloc[2])
+
+
+def test_convert_directory_picks_up_jsonl(ray_session, tmp_path):
+    (tmp_path / "a.jsonl").write_text('{"x": 1}\n{"x": 2}\n')
+    stats = convert_directory(str(tmp_path), str(tmp_path / "out"))
+    assert len(stats) == 1 and stats[0].errors == []
+    assert stats[0].rows_processed == 2
+
+
 def test_unsupported_extension_yields_error_stats(ray_session, tmp_path):
     """Reference test_converter.py:102-113: unsupported file -> error stats, no raise."""
     p = tmp_path / "data.json"

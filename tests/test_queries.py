@@ -91,6 +91,7 @@ SQL_CHECKED = [
     "events_zscore_outliers",
     "median_price_by_priority",
     "customer_balance_ntile",
+    "convert_jsonl_roundtrip",
 ]
 
 
