@@ -75,6 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_mean": relational.events_json_mean,
         "user_event_sequence": relational.user_event_sequence,
         "order_lineitem_join": relational.order_lineitem_join,
+        "q5_local_supplier_revenue": relational.q5_local_supplier_revenue,
+        "q3_top_orders": relational.q3_top_orders,
+        "brand_revenue": relational.brand_revenue,
         # --- ordered / windowed operators (as-of, range join, windows, rank,
         # pivot, exact quantiles) ---
         "asof_join_events_orders": windows.asof_join_events_orders,
@@ -444,6 +447,33 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN s ON e.event_type = s.event_type
             WHERE abs(e.value - s.m) > 3 * s.sd
             GROUP BY e.event_type ORDER BY e.event_type
+        """,
+        "q5_local_supplier_revenue": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "q3_top_orders": """
+            SELECT o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+            LIMIT 10
+        """,
+        "brand_revenue": """
+            SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
         """,
         "convert_jsonl_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars,

@@ -505,6 +505,196 @@ def order_lineitem_join(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.sort_values("o_orderpriority"), preserve_index=False)
 
 
+# --- multi-table join chains (TPC-H Q3/Q5 shapes) ----------------------------
+
+
+def _broadcast_map(ds: "ray.data.Dataset", key: str, val: str):
+    """Materialise a DIMENSION-sized (key -> value) pair of arrays and ship it
+    once via ``ray.put``; batches look values up with vectorized index_in."""
+    df = ds.to_pandas()
+    return ray.put((pa.array(df[key].to_numpy()), df[val].to_numpy()))
+
+
+def _lookup(ref, keys: pa.ChunkedArray) -> np.ndarray:
+    ks, vs = ray.get(ref)
+    idx = pc.fill_null(pc.index_in(keys, value_set=ks), -1).to_numpy(zero_copy_only=False)
+    found = idx >= 0
+    out = np.full(len(idx), None, dtype=object)
+    out[found] = vs[idx[found]]
+    return out
+
+
+def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA") -> pa.Table:
+    """TPC-H Q5 shape: revenue per nation where the customer's and supplier's
+    nation match, inside one region — a SIX-table join chain. The dimension
+    chain (region -> nation -> supplier, plus customer's nation) broadcasts
+    once; the single genuinely large-large edge (orders ⋈ lineitem) is the
+    only shuffle; the final per-nation aggregate is a bounded driver merge.
+    At 100 TB customer outgrows broadcast — swap its lookup for a second hash
+    join keyed on custkey; every other edge stays broadcast."""
+    nation = _t(sf_dir, "nation").to_pandas()
+    reg = _t(sf_dir, "region").to_pandas()
+    ok_regions = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nation = nation[nation["n_regionkey"].isin(ok_regions)]
+    nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    supp = _t(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nation_name)]
+    supp_ref = ray.put((pa.array(supp["s_suppkey"].to_numpy()), supp["s_nationkey"].to_numpy()))
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nation_name)]
+    cust_ref = ray.put((pa.array(cust["c_custkey"].to_numpy()), cust["c_nationkey"].to_numpy()))
+
+    def orders_with_nation(batch: pa.Table) -> pa.Table:
+        ks, vs = ray.get(cust_ref)
+        idx = pc.fill_null(pc.index_in(batch["o_custkey"], value_set=ks), -1).to_numpy(zero_copy_only=False)
+        found = idx >= 0
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].filter(pa.array(found)),
+                "cust_nation": pa.array(vs[idx[found]], type=pa.int32()),
+            }
+        )
+
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        orders_with_nation, batch_format="pyarrow"
+    )
+
+    def item_rev(batch: pa.Table) -> pa.Table:
+        ks, vs = ray.get(supp_ref)
+        idx = pc.fill_null(pc.index_in(batch["l_suppkey"], value_set=ks), -1).to_numpy(zero_copy_only=False)
+        found = idx >= 0
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"].filter(pa.array(found)),
+                "supp_nation": pa.array(vs[idx[found]], type=pa.int32()),
+                "rev": rev.filter(pa.array(found)),
+            }
+        )
+
+    items = _t(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(item_rev, batch_format="pyarrow")
+
+    from .dedup import _npartitions
+
+    joined = orders.join(
+        items, join_type="inner", num_partitions=_npartitions(),
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        same = pc.equal(batch["cust_nation"], batch["supp_nation"])
+        b = batch.filter(same)
+        df = pd.DataFrame({"nk": b["cust_nation"].to_pandas(), "rev": b["rev"].to_pandas()})
+        g = df.groupby("nk", as_index=False).agg(revenue=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("nk", as_index=False).agg(revenue=("revenue", "sum"))
+    out["n_name"] = out["nk"].map(nation_name)
+    out["revenue"] = sql_round(out["revenue"], 2)
+    return pa.Table.from_pandas(
+        out[["n_name", "revenue"]].sort_values("n_name"), preserve_index=False
+    )
+
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pa.Table:
+    """TPC-H Q3 shape: top-k orders by discounted revenue for one customer
+    segment, orders placed before / lineitems shipped after a date — broadcast
+    the filtered customer keys, ONE hash join orders ⋈ lineitem, per-batch
+    revenue partials into a small keyed groupby, driver-merged local top-k
+    (no global sort)."""
+    cutoff = pa.scalar(np.datetime64("1998-01-01", "us"), type=pa.timestamp("us"))
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = pa.array(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].to_numpy())
+    cust_ref = ray.put(keys)
+
+    def filt_orders(batch: pa.Table) -> pa.Table:
+        ks = ray.get(cust_ref)
+        m = pc.and_(pc.is_in(batch["o_custkey"], value_set=ks), pc.less(batch["o_orderdate"], cutoff))
+        return batch.filter(m).select(["o_orderkey", "o_orderdate"])
+
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        filt_orders, batch_format="pyarrow"
+    )
+
+    def filt_items(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+
+    items = _t(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(filt_items, batch_format="pyarrow")
+
+    from .dedup import _npartitions
+
+    joined = orders.join(
+        items, join_type="inner", num_partitions=_npartitions(),
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_pandas(),
+                "o_orderdate": batch["o_orderdate"].to_pandas(),
+                "rev": batch["rev"].to_pandas(),
+            }
+        )
+        g = df.groupby(["o_orderkey", "o_orderdate"], as_index=False).agg(revenue=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        return batch.sort_by([("revenue", "descending"), ("o_orderkey", "ascending")]).slice(0, k)
+
+    parts = pa.concat_tables(
+        list(agg.map_batches(local_topk, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    )
+    top = parts.sort_by([("revenue", "descending"), ("o_orderkey", "ascending")]).slice(0, k)
+    out = top.to_pandas()
+    out["revenue"] = sql_round(out["revenue"], 2)
+    out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
+    return pa.Table.from_pandas(out[["o_orderkey", "o_orderdate", "revenue"]], preserve_index=False)
+
+
+def brand_revenue(sf_dir: str) -> pa.Table:
+    """Revenue per part brand — broadcast dimension join (part is
+    dimension-sized) + per-batch partials + bounded driver merge."""
+    part_ref = _broadcast_map(
+        _t(sf_dir, "part", columns=["p_partkey", "p_brand"]), "p_partkey", "p_brand"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        brand = _lookup(part_ref, batch["l_partkey"])
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        df = pd.DataFrame({"p_brand": brand, "rev": rev.to_pandas()})
+        df = df[df["p_brand"].notna()]
+        g = df.groupby("p_brand", as_index=False).agg(revenue=("rev", "sum"), n=("rev", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (
+        _t(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.groupby("p_brand", as_index=False).agg(revenue=("revenue", "sum"), n=("n", "sum"))
+    out["revenue"] = sql_round(out["revenue"], 2)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values("p_brand"), preserve_index=False)
+
+
 # --- hierarchical rollup (multi-level re-aggregation) ------------------------
 
 

@@ -92,6 +92,9 @@ SQL_CHECKED = [
     "median_price_by_priority",
     "customer_balance_ntile",
     "convert_jsonl_roundtrip",
+    "q5_local_supplier_revenue",
+    "q3_top_orders",
+    "brand_revenue",
 ]
 
 
