@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore_outliers": analytics.events_zscore_outliers,
         "median_price_by_priority": analytics.median_price_by_priority,
         "customer_balance_ntile": analytics.customer_balance_ntile,
+        "weighted_sample_orders": analytics.weighted_sample_orders,
+        "approx_price_quantiles": analytics.approx_price_quantiles,
+        "label_centroids": similarity.label_centroids,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "token_counts_bpe": text.token_counts_bpe,
@@ -483,6 +486,13 @@ def oracle_sql() -> dict[str, str]:
         "median_price_by_priority": """
             SELECT o_orderpriority, round(median(o_totalprice), 4) AS median_price
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "label_centroids": """
+            SELECT label, i AS dim, round(avg(e), 6) AS mean_v
+            FROM (SELECT label, unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings)
+            GROUP BY label, i ORDER BY label, i
         """,
         "customer_balance_ntile": """
             WITH t AS (SELECT c_acctbal,

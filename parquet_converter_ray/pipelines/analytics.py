@@ -627,3 +627,83 @@ def events_zscore_outliers(sf_dir: str, z: float = 3.0) -> pa.Table:
     out = parts.groupby("event_type", as_index=False).agg(n_outliers=("n_outliers", "sum"))
     out["n_outliers"] = out["n_outliers"].astype("int64")
     return pa.Table.from_pandas(out.sort_values("event_type"), preserve_index=False)
+
+
+# --- weighted sampling + sketch quantiles ------------------------------------
+
+
+def weighted_sample_orders(sf_dir: str, k: int = 50, seed: int = 9) -> pa.Table:
+    """Weighted sample WITHOUT replacement, probability ~ o_totalprice —
+    Efraimidis-Spirakis A-Res (2006): priority = u^(1/w) with u a
+    DETERMINISTIC per-key uniform from the seeded splitmix hash, keep the
+    global top-k priorities. Mergeable bottom-k partials per batch (k rows
+    each), one driver merge; independent of partitioning and resumable, no
+    RNG state. Approximate-free but hash-defined -> rows-only check;
+    determinism, partition-invariance and weight-bias are asserted in
+    tests."""
+    from ..partition import stable_hash_ints
+
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    seed64 = np.uint64(0x9E3779B97F4A7C15) * np.uint64(seed + 1)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        w = batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = stable_hash_ints(batch["o_orderkey"])
+        # fold the seed in (uint64 arithmetic, then one more avalanche round)
+        h = (h ^ seed64) * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        # uniform in (0,1): 53 mantissa bits of the hash
+        u = ((h >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
+        # log-space A-Res priority: ln(u)/w (monotone in u^(1/w)); larger is better
+        pri = np.log(u) / np.maximum(w, 1e-9)
+        idx = np.argsort(-pri, kind="stable")[:k]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys[idx], pa.int64()),
+                "o_totalprice": batch["o_totalprice"].take(pa.array(idx)),
+                "pri": pa.array(pri[idx], pa.float64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(ds.map_batches(local_topk, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    )
+    top = parts.sort_by([("pri", "descending"), ("o_orderkey", "ascending")]).slice(0, k)
+    return top.select(["o_orderkey", "o_totalprice"]).combine_chunks()
+
+
+def approx_price_quantiles(sf_dir: str, qs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9), k: int = 2000) -> pa.Table:
+    """Approximate quantiles from a DETERMINISTIC bottom-k-hash sample: every
+    batch keeps its k smallest ``hash(o_orderkey)`` rows (a mergeable
+    partial), the driver merges to the global bottom-k — a uniform sample of
+    the column that is independent of partitioning — and reads the empirical
+    quantiles off it. ONE streaming pass, O(k) driver state, error
+    O(1/sqrt(k)); the at-scale alternative to ``windows.price_quantiles``'s
+    exact multi-pass selection. Approximate by design -> rows-only check;
+    accuracy vs the exact path asserted in tests."""
+    from ..partition import stable_hash_ints
+
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        h = stable_hash_ints(batch["o_orderkey"])
+        idx = np.argsort(h, kind="stable")[:k]
+        return pa.table(
+            {
+                "h": pa.array(h[idx].astype(np.int64), pa.int64()),
+                "v": batch["o_totalprice"].take(pa.array(idx)),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(ds.map_batches(local_bottomk, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    )
+    sample = parts.sort_by("h").slice(0, k)["v"].to_numpy(zero_copy_only=False)
+    vals = np.quantile(np.sort(sample), qs, method="linear")
+    return pa.table(
+        {
+            "q": pa.array(list(qs), pa.float64()),
+            "approx_value": pa.array(sql_round(vals, 4), pa.float64()),
+        }
+    )

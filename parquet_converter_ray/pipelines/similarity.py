@@ -214,3 +214,55 @@ def knn_lsh(sf_dir: str, query_id: int = 0, k: int = 10, n_planes: int = 8) -> p
     out = out.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
     out["cos"] = sql_round(out["cos"], 4)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def label_centroids(sf_dir: str) -> pa.Table:
+    """Per-label embedding centroid — the element-wise VECTOR aggregate
+    (class prototypes / cluster means). Per-batch float64 sum-vectors per
+    label (sorted-segment ``np.add.reduceat``), merged on the driver: state
+    is n_labels x dim floats, NO shuffle — the same mergeable-partial shape
+    as the scalar aggregates, lifted to vectors. Output is long-form
+    (label, dim, mean_v) to match the SQL unnest oracle."""
+    import pyarrow.parquet as pq_mod
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+        order = np.argsort(labels, kind="stable")
+        sl, sm = labels[order], m[order]
+        bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+        sums = np.add.reduceat(sm, bounds, axis=0)
+        ns = np.diff(np.r_[bounds, len(sl)])
+        return pa.table(
+            {
+                "label": pa.array(sl[bounds].astype(np.int64), pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "s": pa.array([row.tobytes() for row in sums], pa.binary()),
+            }
+        )
+
+    acc: dict[int, tuple[int, np.ndarray]] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        s = np.frombuffer(row["s"], dtype=np.float64)
+        n0, s0 = acc.get(row["label"], (0, np.zeros_like(s)))
+        acc[row["label"]] = (n0 + row["n"], s0 + s)
+    labels = sorted(acc)
+    dim = len(next(iter(acc.values()))[1])
+    out_label, out_dim, out_mean = [], [], []
+    for lb in labels:
+        n, s = acc[lb]
+        out_label.extend([lb] * dim)
+        out_dim.extend(range(1, dim + 1))
+        out_mean.extend(sql_round(s / n, 6))
+    return pa.table(
+        {
+            "label": pa.array(out_label, pa.int64()),
+            "dim": pa.array(out_dim, pa.int64()),
+            "mean_v": pa.array(out_mean, pa.float64()),
+        }
+    )

@@ -120,3 +120,56 @@ def test_bottomk_sample_partition_invariant(ray_session, override_rows, monkeypa
         base.sort_values("o_orderkey").reset_index(drop=True),
         got.sort_values("o_orderkey").reset_index(drop=True),
     )
+
+
+def test_weighted_sample_deterministic_and_biased(ray_session):
+    from parquet_converter_ray.pipelines import analytics
+
+    a = analytics.weighted_sample_orders(SF_DIR).to_pandas()
+    b = analytics.weighted_sample_orders(SF_DIR).to_pandas()
+    assert a.equals(b)
+    # probability ~ totalprice: the sample's mean price must sit well above
+    # the population mean (weighted sampling bias)
+    import pyarrow.parquet as pq
+
+    pop = pq.read_table(f"{SF_DIR}/orders.parquet", columns=["o_totalprice"])
+    pop_mean = float(np.mean(pop["o_totalprice"].to_numpy()))
+    assert a["o_totalprice"].mean() > 1.15 * pop_mean
+    # a different seed gives a different sample
+    c = analytics.weighted_sample_orders(SF_DIR, seed=123).to_pandas()
+    assert set(c["o_orderkey"]) != set(a["o_orderkey"])
+
+
+def test_weighted_sample_partition_invariant(ray_session, monkeypatch):
+    import pandas as pd
+
+    from parquet_converter_ray.pipelines import analytics
+
+    base = analytics.weighted_sample_orders(SF_DIR).to_pandas()
+    orig = analytics._t
+
+    def small(sf_dir, name, columns=None):
+        ds = orig(sf_dir, name, columns)
+        return ds.repartition(13)
+
+    monkeypatch.setattr(analytics, "_t", small)
+    got = analytics.weighted_sample_orders(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(
+        base.sort_values("o_orderkey").reset_index(drop=True),
+        got.sort_values("o_orderkey").reset_index(drop=True),
+    )
+
+
+def test_approx_quantiles_close_to_exact(ray_session):
+    from parquet_converter_ray.pipelines import analytics
+    from parquet_converter_ray.profile import exact_quantiles
+
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9)
+    approx = analytics.approx_price_quantiles(SF_DIR, qs=qs).to_pandas()
+    ds = analytics._t(SF_DIR, "orders", columns=["o_totalprice"])
+    exact = exact_quantiles(ds, "o_totalprice", list(qs))
+    spread = exact[-1] - exact[0]
+    for got, want in zip(approx["approx_value"], exact):
+        # bottom-k-hash sample of k=2000 over 1000 rows IS the full population
+        # at sf0.001; allow sampling error at larger sf
+        assert abs(got - want) <= 0.05 * spread + 1e-6, (got, want)

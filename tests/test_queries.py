@@ -95,6 +95,7 @@ SQL_CHECKED = [
     "q5_local_supplier_revenue",
     "q3_top_orders",
     "brand_revenue",
+    "label_centroids",
 ]
 
 
@@ -125,6 +126,8 @@ def test_all_queries_have_oracle_or_are_documented(ray_session):
         "convert_csv_roundtrip",
         "approx_distinct_parts",
         "approx_distinct_users_by_type",
+        "weighted_sample_orders",
+        "approx_price_quantiles",
         "multimodal_features",
         "multimodal_resize",
         "video_frame_sample",
