@@ -59,3 +59,50 @@ def join_num_partitions(n_rows: int, rows_per_partition: int = 2000, lo: int = 2
     except Exception:
         cpus = 8
     return max(lo, min(cpus, -(-n_rows // rows_per_partition)))
+
+
+def salted_join(
+    left,
+    right,
+    on: str,
+    right_on: str,
+    salt: int = 8,
+    num_partitions: int | None = None,
+):
+    """Skew-resistant inner hash join: a hot key on ``left`` would pin one
+    reducer in a plain hash join (every matching row lands in one partition).
+    Salting splits each left key across ``salt`` sub-keys (cyclic assignment —
+    any spread works, the inner-join result is invariant to it) and replicates
+    each RIGHT row once per salt value, so the hot key's probe work fans out
+    over ``salt`` reducers at the cost of a ``salt``x blow-up of the right
+    side — use when right is the smaller-but-not-broadcastable side and left
+    is skewed. Output equals the unsalted join (asserted in tests).
+    """
+    import pyarrow as pa
+
+    import ray
+
+    def add_salt(batch: "pa.Table") -> "pa.Table":
+        s = (np.arange(batch.num_rows, dtype=np.int64) % salt).astype(np.int32)
+        return batch.append_column("__salt", pa.array(s, pa.int32()))
+
+    def replicate(batch: "pa.Table") -> "pa.Table":
+        idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), salt)
+        rep = batch.take(pa.array(idx))
+        s = np.tile(np.arange(salt, dtype=np.int32), batch.num_rows)
+        return rep.append_column("__salt", pa.array(s, pa.int32()))
+
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, cpus)
+    joined = left.map_batches(add_salt, batch_format="pyarrow").join(
+        right.map_batches(replicate, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(on, "__salt"),
+        right_on=(right_on, "__salt"),
+    )
+    return joined.drop_columns(["__salt"])

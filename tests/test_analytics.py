@@ -173,3 +173,26 @@ def test_approx_quantiles_close_to_exact(ray_session):
         # bottom-k-hash sample of k=2000 over 1000 rows IS the full population
         # at sf0.001; allow sampling error at larger sf
         assert abs(got - want) <= 0.05 * spread + 1e-6, (got, want)
+
+
+def test_salted_join_matches_plain_join(ray_session):
+    """One mega-key (60% of the left side) — the salted join must return the
+    exact multiset of rows the plain key-equality join produces."""
+    import pandas as pd
+    import ray.data
+
+    from parquet_converter_ray.pipelines._util import salted_join
+
+    rng = np.random.default_rng(5)
+    keys = np.concatenate([np.zeros(6000, dtype=np.int64), rng.integers(1, 500, 4000)])
+    left = pa.table({"k": pa.array(keys), "lv": pa.array(np.arange(len(keys)))})
+    rkeys = np.arange(0, 500, dtype=np.int64)
+    right = pa.table({"rk": pa.array(rkeys), "rv": pa.array(rkeys * 10)})
+    lds = ray.data.from_arrow(left).repartition(6)
+    rds = ray.data.from_arrow(right).repartition(3)
+    got = salted_join(lds, rds, on="k", right_on="rk", salt=4).to_pandas()
+    want = left.to_pandas().merge(right.to_pandas(), left_on="k", right_on="rk")
+    got_s = got.sort_values(["k", "lv"]).reset_index(drop=True)
+    want_s = want[["k", "lv", "rv"]].sort_values(["k", "lv"]).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    pd.testing.assert_frame_equal(got_s[["k", "lv", "rv"]], want_s)
