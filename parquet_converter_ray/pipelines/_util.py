@@ -106,3 +106,18 @@ def salted_join(
         right_on=(right_on, "__salt"),
     )
     return joined.drop_columns(["__salt"])
+
+
+def finish_on_driver(ds, keys: list[str], sums: list[str]):
+    """Final aggregate for BOUNDED group spaces: stream the per-batch partials
+    to the driver and finish with one in-memory groupby — the combiner-tree
+    root. On this host the groupby exchange has a fixed ~0.5-5 s cost
+    regardless of partial count; when the distinct-group space is bounded
+    (dozens .. ~1e6 rows: segments, hours x types, months, priorities) the
+    driver merge is strictly cheaper AND removes the only all-to-all from the
+    query. For DATA-SIZED key spaces (per-order, per-doc) keep the Ray
+    groupby — those partials don't fit one node."""
+    import pandas as pd  # noqa: F401 (driver-side only)
+
+    parts = ds.to_pandas()
+    return parts.groupby(keys, as_index=False).agg(**{c: (c, "sum") for c in sums})

@@ -12,8 +12,10 @@ plus filter/project/groupby pipelines and a broadcast hash join.
 
 Scale notes (how each would behave at 100 TB):
  - aggregates use per-batch partial pre-aggregation inside ``map_batches``
-   before the (tiny) final ``groupby`` — the combiner pattern, so the shuffle
-   moves one row per (batch, key), not per input row;
+   (the combiner pattern, so only one row per (batch, key) leaves the map);
+   BOUNDED group spaces (segments, months, hours x types) finish on the
+   driver (``_util.finish_on_driver`` — no exchange at all), DATA-SIZED key
+   spaces (per-order, per-user) finish in a Ray ``groupby``;
  - the join broadcasts the small side once via ``ray.put`` and does a
    vectorized ``index_in`` lookup per batch — no shuffle of the big side;
  - reads prune columns at the parquet scan.
@@ -29,7 +31,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ._util import read_parquet_clean, sql_round
+from ._util import finish_on_driver, read_parquet_clean, sql_round
 
 
 def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
@@ -164,7 +166,8 @@ def head_lineitem(sf_dir: str) -> pa.Table:
 
 def pricing_summary(sf_dir: str) -> pa.Table:
     """TPC-H Q1-shaped: per (returnflag, linestatus) sums/averages with the
-    per-batch combiner pattern — the shuffle carries partials, not rows."""
+    per-batch combiner pattern; the 6-group final merge happens on the driver
+    (no exchange)."""
     cutoff = pa.scalar(np.datetime64("2000-09-02", "us"), type=pa.timestamp("us"))
     ds = _t(
         sf_dir,
@@ -193,18 +196,10 @@ def pricing_summary(sf_dir: str) -> pa.Table:
         )
         return g
 
-    from ray.data.aggregate import Sum
-
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
-            Sum("count_order", alias_name="count_order"),
-        )
-        .to_pandas()
+    agg = finish_on_driver(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_base_price", "sum_disc_price", "count_order"],
     )
     agg["avg_qty"] = sql_round(agg["sum_qty"] / agg["count_order"], 4)
     agg["avg_price"] = sql_round(agg["sum_base_price"] / agg["count_order"], 4)
@@ -220,12 +215,11 @@ def pricing_summary(sf_dir: str) -> pa.Table:
 def orders_by_month(sf_dir: str) -> pa.Table:
     ds = _t(sf_dir, "orders", columns=["o_orderdate"])
 
-    def trunc(batch: pa.Table) -> pa.Table:
-        m = pc.floor_temporal(batch["o_orderdate"], unit="month")
-        return pa.table({"month": m})
+    def trunc(batch: pa.Table) -> pd.DataFrame:
+        m = pc.floor_temporal(batch["o_orderdate"], unit="month").to_pandas()
+        return pd.DataFrame({"month": m}).groupby("month", as_index=False).agg(n=("month", "size"))
 
-    out = ds.map_batches(trunc, batch_format="pyarrow").groupby("month").count().to_pandas()
-    out = out.rename(columns={"count()": "n"})
+    out = finish_on_driver(ds.map_batches(trunc, batch_format="pyarrow"), ["month"], ["n"])
     out["n"] = out["n"].astype("int64")
     return pa.Table.from_pandas(out.sort_values("month"), preserve_index=False)
 
@@ -235,7 +229,8 @@ def orders_by_month(sf_dir: str) -> pa.Table:
 
 def events_hourly_window(sf_dir: str) -> pa.Table:
     """Tumbling 1h window per event_type: window assignment is a vectorized
-    map (no state needed for tumbling), aggregation is partial+final."""
+    map (no state needed for tumbling); per-batch (type, hour) partials
+    finish on the driver — the window space is time-bounded."""
     ds = _t(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def assign(batch: pa.Table) -> pd.DataFrame:
@@ -250,13 +245,10 @@ def events_hourly_window(sf_dir: str) -> pa.Table:
             n=("value", "size"), sum_value=("value", "sum")
         )
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
-        .to_pandas()
+    out = finish_on_driver(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["event_type", "window_start"],
+        ["n", "sum_value"],
     )
     out["n"] = out["n"].astype("int64")
     out["sum_value"] = sql_round(out["sum_value"], 4)
@@ -286,14 +278,12 @@ def segment_revenue(sf_dir: str) -> pa.Table:
             total=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
         )
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(lookup, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(Sum("total", alias_name="total"), Sum("n_orders", alias_name="n_orders"))
-        .to_pandas()
+    out = finish_on_driver(
+        _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+            lookup, batch_format="pyarrow"
+        ),
+        ["c_mktsegment"],
+        ["total", "n_orders"],
     )
     out["total"] = sql_round(out["total"], 2)
     out["n_orders"] = out["n_orders"].astype("int64")
@@ -407,14 +397,12 @@ def events_json_mean(sf_dir: str) -> pa.Table:
         )
         return df.groupby("event_type", as_index=False).agg(k_sum=("k", "sum"), n=("k", "size"))
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        _t(sf_dir, "events", columns=["event_type", "props"])
-        .map_batches(extract, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("k_sum", alias_name="k_sum"), Sum("n", alias_name="n"))
-        .to_pandas()
+    out = finish_on_driver(
+        _t(sf_dir, "events", columns=["event_type", "props"]).map_batches(
+            extract, batch_format="pyarrow"
+        ),
+        ["event_type"],
+        ["k_sum", "n"],
     )
     out["mean_k"] = sql_round(out["k_sum"] / out["n"], 4)
     out["n"] = out["n"].astype("int64")
@@ -492,13 +480,8 @@ def order_lineitem_join(sf_dir: str) -> pa.Table:
         )
         return df.groupby("o_orderpriority", as_index=False).agg(revenue=("rev", "sum"), n=("rev", "size"))
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n", alias_name="n"))
-        .to_pandas()
+    out = finish_on_driver(
+        joined.map_batches(partial, batch_format="pyarrow"), ["o_orderpriority"], ["revenue", "n"]
     )
     out["revenue"] = sql_round(out["revenue"], 2)
     out["n"] = out["n"].astype("int64")
@@ -725,13 +708,8 @@ def rollup_revenue(sf_dir: str) -> pa.Table:
             n=("disc", "size"), s=("disc", "sum")
         )
 
-    from ray.data.aggregate import Sum
-
-    fine = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
-        .to_pandas()
+    fine = finish_on_driver(
+        ds.map_batches(partial, batch_format="pyarrow"), ["l_returnflag", "l_linestatus"], ["n", "s"]
     )
     lvl1 = fine.groupby("l_returnflag", as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
     lvl1["l_linestatus"] = None

@@ -38,7 +38,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ._util import read_parquet_clean, sql_round
+from ._util import finish_on_driver, read_parquet_clean, sql_round
 
 
 def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
@@ -142,13 +142,8 @@ def quantity_band_revenue(sf_dir: str) -> pa.Table:
         df = pd.DataFrame({"band": _QTY_BANDS[idx[ok]], "rev": rev[ok]})
         return df.groupby("band", as_index=False).agg(n=("rev", "size"), revenue=("rev", "sum"))
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(band_partial, batch_format="pyarrow")
-        .groupby("band")
-        .aggregate(Sum("n", alias_name="n"), Sum("revenue", alias_name="revenue"))
-        .to_pandas()
+    out = finish_on_driver(
+        ds.map_batches(band_partial, batch_format="pyarrow"), ["band"], ["n", "revenue"]
     )
     out["n"] = out["n"].astype("int64")
     out["revenue"] = sql_round(out["revenue"], 2)
@@ -306,13 +301,10 @@ def events_hopping_window(sf_dir: str) -> pa.Table:
             }
         )
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
-        .to_pandas()
+    out = finish_on_driver(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["event_type", "window_start"],
+        ["n", "sum_value"],
     )
     out["n"] = out["n"].astype("int64")
     out["sum_value"] = sql_round(out["sum_value"], 4)
