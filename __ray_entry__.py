@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from parquet_converter_ray.pipelines import (
         analytics,
         dedup,
+        export,
         multimodal,
         relational,
         similarity,
@@ -116,6 +117,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.doc_fingerprint,
         "lang_quality": text.lang_quality,
         "winnow_fingerprints": text.winnow_fingerprints,
+        "scrub_pii": text.scrub_pii,
+        "chunk_documents": text.chunk_documents,
+        "token_dup_stats": text.token_dup_stats,
+        "decontaminate": text.decontaminate,
         # --- dedup ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -124,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
         "dedup_components": dedup.dedup_components,
+        "dedup_substring": dedup.dedup_substring,
         # --- similarity search ---
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,
@@ -134,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convert_csv_roundtrip": transcripts.convert_csv_roundtrip,
         "convert_jsonl_roundtrip": transcripts.convert_jsonl_roundtrip,
         "lineitem_codec_roundtrip": transcripts.lineitem_codec_roundtrip,
+        # --- training-shard export (shuffle + sharded write, read-back checked) ---
+        "export_shards": export.export_shards,
         # --- multimodal plumbing (stubbed decode) ---
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_resize": multimodal.multimodal_resize,
@@ -500,6 +508,60 @@ def oracle_sql() -> dict[str, str]:
                        FROM customer)
             SELECT tile, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
             FROM t GROUP BY tile ORDER BY tile
+        """,
+        "scrub_pii": r"""
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\b(customer|supplier|user)\b', '<ENTITY>', 'g') AS clean_text,
+              len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+              + len(regexp_extract_all(text, '\b(customer|supplier|user)\b')) AS n_redactions
+            FROM documents
+        """,
+        "chunk_documents": """
+            WITH t AS (SELECT doc_id, string_split(coalesce(text,''), ' ') AS toks
+                       FROM documents),
+            c AS (SELECT doc_id, (i-1)//56 AS chunk_idx,
+                    array_to_string(list_slice(toks, i, i+63), ' ') AS chunk_text,
+                    least(64, len(toks)-i+1) AS n_tokens
+                  FROM t, unnest(range(1, greatest(len(toks)-8,1)+1, 56)) AS s(i))
+            SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM c
+        """,
+        "token_dup_stats": """
+            WITH toks AS (SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS tok
+                          FROM documents),
+            cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+            SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+                   round(max(c)::DOUBLE / sum(c), 4) AS top_unigram_frac,
+                   round(1.0 - count(*)::DOUBLE / sum(c), 4) AS dup_token_frac
+            FROM cnt GROUP BY doc_id
+        """,
+        "decontaminate": """
+            WITH t AS (SELECT doc_id, string_split(coalesce(text,''), ' ') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id, array_to_string(list_slice(toks, i, i+7), ' ') AS gram
+                  FROM t, unnest(range(1, greatest(len(toks)-7, 0)+1)) AS s(i)),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 7)
+            SELECT g.doc_id, count(DISTINCT g.gram) AS n_hit_grams
+            FROM g JOIN bench USING (gram) WHERE g.doc_id % 101 <> 7
+            GROUP BY g.doc_id
+        """,
+        "dedup_substring": """
+            WITH t AS (SELECT doc_id, string_split(coalesce(text,''), ' ') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id, array_to_string(list_slice(toks, i, i+15), ' ') AS gram
+                  FROM t, unnest(range(1, greatest(len(toks)-15, 0)+1)) AS s(i)),
+            dupg AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd
+                                       FROM g GROUP BY gram) WHERE nd >= 2)
+            SELECT g.doc_id, count(DISTINCT g.gram) AS n_dup_spans
+            FROM g JOIN dupg USING (gram) GROUP BY g.doc_id
+        """,
+        "export_shards": """
+            SELECT count(*)::BIGINT AS total_rows, sum(doc_id)::BIGINT AS sum_doc_id,
+                   sum(doc_id*doc_id)::BIGINT AS sum_doc_id_sq
+            FROM documents
         """,
         # lang_quality / winnow_fingerprints / dedup_minhash / dedup_simhash /
         # dedup_ngram_jaccard / knn_lsh / knn_ivf / transcript_* / multimodal_features /

@@ -47,6 +47,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -867,3 +868,76 @@ def label_propagation(pairs: pa.Table, max_rounds: int = 16) -> pa.Table:
     out = pa.concat_tables(list(labels.iter_batches(batch_format="pyarrow")))
     out = out.rename_columns(["vec_id", "canonical_id"]).sort_by("vec_id")
     return out.combine_chunks()
+
+
+# --- cross-document duplicate-span detection (substring-level dedup) ---------
+
+
+def dedup_substring(sf_dir: str, w: int = 16) -> pa.Table:
+    """Duplicate-span detection: for every document, count the distinct
+    ``w``-token windows that also occur in at least one OTHER document — the
+    hashed-window approximation of suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL'22;
+    exact suffix arrays don't distribute, rolling-hash windows do).
+    Returns (doc_id, n_dup_spans) for docs with at least one duplicated span.
+
+    Scale shape — no corpus-sized driver or broadcast state:
+      1. map_batches emits distinct (gram, doc_id) pairs per doc (each doc is
+         one row, so per-batch dedup IS global dedup for the pair set);
+      2. one hash-partitioned groupby(gram).count() finds window hashes with
+         >= 2 docs (pairs are distinct, so count == distinct-doc count);
+      3. pairs ⋈ dup-grams on gram (both sides partitioned on gram);
+      4. groupby(doc_id).count() gives the per-doc duplicated-span count.
+    Window hashes are 64-bit; a cross-window collision would need ~2^32
+    windows in one doc to matter (documented approximation)."""
+    from .text import distinct_gram_doc_pairs
+
+    def pairs_batch(batch: pa.Table) -> pa.Table:
+        # pyarrow in/out: a pandas-format return would stamp pandas metadata
+        # on the schema and defeat Ray's schema-dedup in the exchange
+        g, d = distinct_gram_doc_pairs(
+            batch["text"].to_pandas(), batch["doc_id"].to_numpy(zero_copy_only=False), w
+        )
+        return pa.table({"gram": g, "doc_id": d})
+
+    pairs = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(pairs_batch, batch_format="pyarrow")
+        .materialize()
+    )
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "n_dup_spans": pa.array([], pa.int64())})
+
+    dup_grams = (
+        pairs.groupby("gram")
+        .count()
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["count()"], 2)).select(["gram"]).rename_columns(["dgram"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    # partition count sized to the SMALL side: Ray's hash join crashes when a
+    # partition gets no rows of one side (Acero: "No match ... FieldRef")
+    n_dup = dup_grams.count()
+    if n_dup == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "n_dup_spans": pa.array([], pa.int64())})
+    hits = pairs.join(
+        dup_grams,
+        join_type="inner",
+        num_partitions=join_num_partitions(n_dup, lo=1),
+        on=("gram",),
+        right_on=("dgram",),
+    )
+    out = (
+        hits.groupby("doc_id")
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns(["doc_id", "n_dup_spans"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out["n_dup_spans"] = out["n_dup_spans"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values("doc_id"), preserve_index=False)

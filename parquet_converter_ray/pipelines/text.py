@@ -616,3 +616,251 @@ def tfidf_top_terms(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype("int64")
     out = out[["doc_id", "term", "tf", "df", "score"]]
     return pa.Table.from_pandas(out.sort_values("doc_id"), preserve_index=False)
+
+
+# --- PII / pattern redaction (scrub stage of a training-data pipeline) -------
+
+# Default scrub rules: (RE2 pattern, replacement), applied IN ORDER. Counts
+# are taken per-pattern against the ORIGINAL text (so a replacement can never
+# create or hide a match for a later pattern's count). Both Arrow and DuckDB
+# compile these with RE2, so semantics match the oracle exactly.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b(customer|supplier|user)\b", "<ENTITY>"),
+]
+
+
+def scrub_pii(
+    sf_dir: str, patterns: list[tuple[str, str]] | None = None
+) -> pa.Table:
+    """Redact PII-shaped patterns from every document — one RE2 kernel per
+    pattern per batch (``pc.replace_substring_regex`` / ``count_substring_regex``),
+    no per-row Python. Returns (doc_id, clean_text, n_redactions) where
+    n_redactions sums per-pattern match counts on the original text.
+
+    The default rules carry the real email/IPv4 redactors plus an entity-term
+    rule that actually fires on the synthetic corpus, so the oracle comparison
+    exercises genuine replacements (null text stays null on both sides)."""
+    pats = PII_PATTERNS if patterns is None else patterns
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        clean = text
+        n = pa.nulls(len(text), pa.int64())
+        first = True
+        for pat, rep in pats:
+            c = pc.count_substring_regex(text, pattern=pat).cast(pa.int64())
+            n = c if first else pc.add(n, c)
+            first = False
+            clean = pc.replace_substring_regex(clean, pattern=pat, replacement=rep)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "clean_text": clean, "n_redactions": n}
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow"))).sort_by("doc_id")
+
+
+# --- fixed-size token-window chunking (context-length packing) ---------------
+
+
+def chunk_documents(sf_dir: str, size: int = 64, overlap: int = 8) -> pa.Table:
+    """Split every document into ``size``-token chunks overlapping by
+    ``overlap`` tokens (stride = size - overlap) — the context-window packing
+    step before tokenized training shards.
+
+    Chunk starts are 0, stride, 2*stride, ... while start < max(ntok-overlap,1),
+    so every token is covered and the final chunk may be short. Tokenization is
+    a single-space split (matching SQL ``string_split(text, ' ')``; null -> '').
+
+    Fully vectorized per batch: the flat token buffer is re-gathered once via a
+    ragged-range index (np.repeat/cumsum), chunks become one ListArray, and the
+    chunk text is one ``pc.binary_join`` — no per-doc Python loop even though
+    chunks overlap (overlapped tokens are duplicated by the gather)."""
+    if not (0 <= overlap < size):
+        raise ValueError("require 0 <= overlap < size")
+    stride = size - overlap
+
+    def f(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"].fill_null(""), pattern=" ").combine_chunks()
+        flat = toks.flatten()  # respects list offsets
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_off = np.concatenate([[0], np.cumsum(lens)])
+        grange = np.maximum(lens - overlap, 1)  # starts s: 0 <= s < grange, step stride
+        n_chunks = (grange - 1) // stride + 1
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), n_chunks)
+        chunk_off = np.concatenate([[0], np.cumsum(n_chunks)])
+        rank = np.arange(int(chunk_off[-1]), dtype=np.int64) - np.repeat(
+            chunk_off[:-1], n_chunks
+        )
+        start = rank * stride
+        clen = np.minimum(size, lens[doc_idx] - start)
+        out_off = np.concatenate([[0], np.cumsum(clen)])
+        idx = (
+            np.arange(int(out_off[-1]), dtype=np.int64)
+            - np.repeat(out_off[:-1], clen)
+            + np.repeat(doc_off[doc_idx] + start, clen)
+        )
+        taken = flat.take(pa.array(idx))
+        chunks = pa.ListArray.from_arrays(pa.array(out_off, pa.int32()), taken)
+        chunk_text = pc.binary_join(chunks, " ")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)[doc_idx],
+                "chunk_idx": rank,
+                "chunk_text": chunk_text,
+                "n_tokens": clen,
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+    out = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return out.sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")]).combine_chunks()
+
+
+# --- repetition / quality signals (Gopher-style filters) ----------------------
+
+
+def token_dup_stats(sf_dir: str) -> pa.Table:
+    """Per-document repetition signals for quality filtering (the Gopher-rule
+    family): token count, distinct-token count, the fraction of tokens taken
+    by the single most frequent token (top_unigram_frac) and the duplicate
+    token fraction (1 - distinct/total).
+
+    Exact (factorized token codes, not hashes) and batch-vectorized: one
+    ``pd.factorize`` over the batch's flat token list, one lexsort per batch,
+    per-doc distinct/max-run via run-length boundaries + ``np.maximum.reduceat``.
+    Tokenization matches SQL ``string_split(text, ' ')`` (null -> '' -> 1 token)."""
+    from ._util import sql_round
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.split(" ")
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        import itertools
+
+        flat = list(itertools.chain.from_iterable(toks))
+        if not flat:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "n_tokens": pd.array([], dtype="int64"),
+                    "n_distinct": pd.array([], dtype="int64"),
+                    "top_unigram_frac": pd.array([], dtype="float64"),
+                    "dup_token_frac": pd.array([], dtype="float64"),
+                }
+            )
+        codes, _ = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        order = np.lexsort((codes, doc_of))
+        d, c = doc_of[order], codes[order]
+        # run boundaries over (doc, token-code)
+        nb = np.empty(len(d), dtype=bool)
+        nb[0] = True
+        nb[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+        run_starts = np.nonzero(nb)[0]
+        run_lens = np.diff(np.append(run_starts, len(d)))
+        run_doc = d[run_starts]
+        n_distinct = np.bincount(run_doc, minlength=len(lens)).astype(np.int64)
+        doc_first_run = np.searchsorted(run_doc, np.arange(len(lens)))
+        max_run = np.maximum.reduceat(run_lens, doc_first_run)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_tokens": lens,
+                "n_distinct": n_distinct,
+                "top_unigram_frac": sql_round(max_run / lens, 4),
+                "dup_token_frac": sql_round(1.0 - n_distinct / lens, 4),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow"))).sort_by("doc_id")
+
+
+# --- distinct (k-gram, doc) pairs — the wire format for span-level ops --------
+
+
+def distinct_gram_doc_pairs(
+    texts: "pd.Series", doc_ids: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (gram_hash, doc_id) pairs over SQL-parity token k-grams.
+
+    Tokenization is a single-space split on the RAW text (no lowercasing —
+    matches ``string_split(text, ' ')``); documents with fewer than ``k``
+    tokens contribute no grams (matches ``greatest(len - k + 1, 0)``). One
+    rolling pass over the batch's flat token-hash buffer, then one lexsort to
+    deduplicate per doc. Returns int64 gram hashes (uint64 bit-pattern wrapped)
+    so the arrays are directly Arrow/DuckDB-friendly."""
+    import itertools
+
+    toks = texts.fillna("").str.split(" ")
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    flat = list(itertools.chain.from_iterable(toks))
+    th = hash_tokens(flat)
+    n, total = len(lens), len(th)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    if total < k:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    m = total - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _G1 + th[j : m + j] * _G2
+    acc ^= acc >> np.uint64(29)
+    valid = doc_of[:m] == doc_of[k - 1 :]
+    grams, docs = acc[valid], doc_of[:m][valid]
+    order = np.lexsort((grams, docs))
+    docs, grams = docs[order], grams[order]
+    if len(docs):
+        keep = np.empty(len(docs), dtype=bool)
+        keep[0] = True
+        keep[1:] = (docs[1:] != docs[:-1]) | (grams[1:] != grams[:-1])
+        docs, grams = docs[keep], grams[keep]
+    return grams.view(np.int64), np.asarray(doc_ids, dtype=np.int64)[docs]
+
+
+# --- benchmark decontamination (test-set n-gram overlap removal) --------------
+
+
+def decontaminate(
+    sf_dir: str, k: int = 8, mod: int = 101, rem: int = 7
+) -> pa.Table:
+    """Benchmark decontamination: flag every corpus document that shares any
+    ``k``-token n-gram with the benchmark set (here: docs with
+    ``doc_id % mod == rem`` stand in for a held-out eval set). Returns
+    (doc_id, n_hit_grams) for contaminated non-benchmark docs — the rows a
+    training pipeline would drop before export.
+
+    Scale shape: the benchmark set is SMALL BY DEFINITION (an eval suite, not
+    the corpus), so its distinct gram hashes are reduced per batch, merged
+    once on the driver, and broadcast via ``ray.put`` — a bounded small-side
+    lookup, not a corpus-sized keep-set. The corpus then streams through one
+    ``map_batches`` doing a searchsorted membership probe per batch; no
+    shuffle at all."""
+
+    def bench_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[(batch["doc_id"] % mod) == rem]
+        g, _ = distinct_gram_doc_pairs(sel["text"], sel["doc_id"].to_numpy(), k)
+        return pd.DataFrame({"gram": np.unique(g)})
+
+    parts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(bench_grams, batch_format="pandas")
+        .to_pandas()
+    )
+    bench = np.unique(parts["gram"].to_numpy(dtype=np.int64))
+    bench_ref = ray.put(bench)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bench_ref)
+        sel = batch[(batch["doc_id"] % mod) != rem]
+        g, d = distinct_gram_doc_pairs(sel["text"], sel["doc_id"].to_numpy(), k)
+        pos = np.searchsorted(b, g)
+        hit = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)] == g) if len(b) else np.zeros(len(g), bool)
+        d = d[hit]
+        ids, counts = np.unique(d, return_counts=True)
+        return pd.DataFrame({"doc_id": ids, "n_hit_grams": counts.astype(np.int64)})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(probe, batch_format="pandas")
+    out = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return out.sort_by("doc_id").combine_chunks()

@@ -96,6 +96,12 @@ SQL_CHECKED = [
     "q3_top_orders",
     "brand_revenue",
     "label_centroids",
+    "scrub_pii",
+    "chunk_documents",
+    "token_dup_stats",
+    "decontaminate",
+    "dedup_substring",
+    "export_shards",
 ]
 
 
