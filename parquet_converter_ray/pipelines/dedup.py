@@ -923,6 +923,48 @@ def dedup_substring(sf_dir: str, w: int = 16) -> pa.Table:
     n_dup = dup_grams.count()
     if n_dup == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()), "n_dup_spans": pa.array([], pa.int64())})
+
+    bcast_max = int(os.environ.get("PCR_BCAST_DUPGRAMS", "2000000"))
+    if n_dup <= bcast_max:
+        # fast path: the duplicated-window set is bounded-small (it is the
+        # OVERLAP, not the corpus) — broadcast it once and count hits per
+        # pairs block (a doc's pairs are contiguous within a block, so block
+        # partials only need a cheap driver-side sum to absorb block splits).
+        # The join path below is the at-scale dataflow; tests force the
+        # threshold to 0 and assert byte-identical output.
+        dup_arr = np.sort(
+            pa.concat_tables(list(dup_grams.iter_batches(batch_format="pyarrow")))["dgram"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        dup_ref = ray.put(dup_arr)
+
+        def count_hits(batch: pa.Table) -> pa.Table:
+            dup = ray.get(dup_ref)
+            g = batch["gram"].to_numpy(zero_copy_only=False)
+            d = batch["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(dup, g)
+            hit = (pos < len(dup)) & (dup[np.minimum(pos, len(dup) - 1)] == g)
+            ids, counts = np.unique(d[hit], return_counts=True)
+            return pa.table(
+                {"doc_id": ids.astype(np.int64), "n_dup_spans": counts.astype(np.int64)}
+            )
+
+        parts = pa.concat_tables(
+            list(
+                pairs.map_batches(count_hits, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+            )
+        )
+        out = (
+            parts.to_pandas()
+            .groupby("doc_id", as_index=False)["n_dup_spans"]
+            .sum()
+            .sort_values("doc_id")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     hits = pairs.join(
         dup_grams,
         join_type="inner",

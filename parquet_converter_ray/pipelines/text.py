@@ -862,5 +862,9 @@ def decontaminate(
         return pd.DataFrame({"doc_id": ids, "n_hit_grams": counts.astype(np.int64)})
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(probe, batch_format="pandas")
-    out = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
-    return out.sort_by("doc_id").combine_chunks()
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if not batches:  # nothing contaminated: iter_batches can yield zero tables
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n_hit_grams": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(batches).sort_by("doc_id").combine_chunks()

@@ -160,3 +160,14 @@ def test_distinct_gram_doc_pairs_matches_naive(ray_session):
         assert got.get(doc_id, 0) == n
     # pairs are distinct
     assert len(set(zip(g.tolist(), d.tolist()))) == len(g)
+
+
+def test_dedup_substring_join_path_matches_broadcast(ray_session, monkeypatch):
+    """The at-scale join dataflow must produce byte-identical output to the
+    broadcast fast path (threshold forced to 0 disables broadcasting)."""
+    from parquet_converter_ray.pipelines.dedup import dedup_substring
+
+    fast = dedup_substring(SF_DIR, w=16)
+    monkeypatch.setenv("PCR_BCAST_DUPGRAMS", "0")
+    slow = dedup_substring(SF_DIR, w=16)
+    assert fast.equals(slow)
