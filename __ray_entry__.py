@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
         "dedup_components": dedup.dedup_components,
         "dedup_substring": dedup.dedup_substring,
+        "dedup_incremental": dedup.dedup_incremental,
         # --- similarity search ---
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,
@@ -140,7 +141,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convert_csv_roundtrip": transcripts.convert_csv_roundtrip,
         "convert_jsonl_roundtrip": transcripts.convert_jsonl_roundtrip,
         "lineitem_codec_roundtrip": transcripts.lineitem_codec_roundtrip,
-        # --- training-shard export (shuffle + sharded write, read-back checked) ---
+        # --- training-shard preparation (mixture, split, packing, export) ---
+        "mix_sources": export.mix_sources,
+        "split_assign": export.split_assign,
+        "pack_sequences": export.pack_sequences,
         "export_shards": export.export_shards,
         # --- multimodal plumbing (stubbed decode) ---
         "multimodal_features": multimodal.multimodal_features,
@@ -563,6 +567,31 @@ def oracle_sql() -> dict[str, str]:
                    sum(doc_id*doc_id)::BIGINT AS sum_doc_id_sq
             FROM documents
         """,
+        "mix_sources": r"""
+            WITH kept AS (
+              SELECT source, CASE WHEN trim(text) = '' THEN 0
+                     ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+              FROM documents
+              WHERE doc_id % 100 <
+                    (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 100 ELSE 35 END))
+            SELECT source, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+            FROM kept GROUP BY source
+        """,
+        "split_assign": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+                        WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "dedup_incremental": """
+            SELECT DISTINCT n.doc_id FROM documents n
+            WHERE n.doc_id >= (SELECT count(*) // 2 FROM documents)
+              AND EXISTS (SELECT 1 FROM documents s
+                          WHERE s.doc_id < (SELECT count(*) // 2 FROM documents)
+                            AND coalesce(s.text, '') = coalesce(n.text, ''))
+        """,
+        # pack_sequences (order-dependent greedy packing — invariants pytest-checked) /
         # lang_quality / winnow_fingerprints / dedup_minhash / dedup_simhash /
         # dedup_ngram_jaccard / knn_lsh / knn_ivf / transcript_* / multimodal_features /
         # approx_distinct_users_by_type (approximate by design):

@@ -983,3 +983,68 @@ def dedup_substring(sf_dir: str, w: int = 16) -> pa.Table:
     )
     out["n_dup_spans"] = out["n_dup_spans"].astype("int64")
     return pa.Table.from_pandas(out.sort_values("doc_id"), preserve_index=False)
+
+
+# --- incremental dedup (new batch vs an existing corpus) ----------------------
+
+
+def dedup_incremental(sf_dir: str, threshold_id: int | None = None) -> pa.Table:
+    """Incremental exact dedup: which documents of a NEW batch already exist
+    (by exact text) in the ALREADY-INGESTED corpus — the append-mode shape of
+    a continuously-fed training pipeline, where re-deduplicating the whole
+    corpus per delivery is not an option. Here the 'existing' corpus is the
+    first half by doc_id (``doc_id < total // 2``) and the 'new' batch is the
+    rest. Returns the new doc_ids to DROP, sorted.
+
+    Scale shape: both sides reduce to (h1, h2[, doc_id]) rows via the
+    vectorized 128-bit content hash; the seen side is collapsed to DISTINCT
+    hash keys by a hash-partitioned groupby (so the join emits each new doc at
+    most once — no post-join distinct), then one hash-partitioned inner join.
+    No corpus-sized broadcast or driver state; nulls hash as empty strings on
+    both sides (oracle uses coalesce(text, ''))."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    total = pq.read_metadata(path).num_rows
+    t = total // 2 if threshold_id is None else threshold_id
+
+    def hashes(lo: int | None, hi: int | None):
+        def f(batch: pd.DataFrame) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            m = np.ones(len(ids), bool)
+            if lo is not None:
+                m &= ids >= lo
+            if hi is not None:
+                m &= ids < hi
+            sel = batch[m]
+            h1, h2 = text_hash128(sel["text"])
+            return pa.table({"doc_id": sel["doc_id"].to_numpy(), "h1": h1, "h2": h2})
+
+        return read_parquet_clean(path, columns=["doc_id", "text"]).map_batches(
+            f, batch_format="pandas"
+        )
+
+    seen_keys = (
+        hashes(None, t)
+        .groupby(["h1", "h2"])
+        .min("doc_id")
+        .map_batches(
+            lambda b: b.select(["h1", "h2"]).rename_columns(["s1", "s2"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_seen = seen_keys.count()
+    if n_seen == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    dup_new = hashes(t, None).join(
+        seen_keys,
+        join_type="inner",
+        num_partitions=join_num_partitions(n_seen, lo=1),
+        on=("h1", "h2"),
+        right_on=("s1", "s2"),
+    )
+    batches = list(dup_new.select_columns(["doc_id"]).iter_batches(batch_format="pyarrow"))
+    if not batches:  # no duplicates: iter_batches can yield zero tables
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return pa.concat_tables(batches).sort_by("doc_id").combine_chunks()

@@ -102,6 +102,9 @@ SQL_CHECKED = [
     "decontaminate",
     "dedup_substring",
     "export_shards",
+    "mix_sources",
+    "split_assign",
+    "dedup_incremental",
 ]
 
 
@@ -137,6 +140,7 @@ def test_all_queries_have_oracle_or_are_documented(ray_session):
         "multimodal_features",
         "multimodal_resize",
         "video_frame_sample",
+        "pack_sequences",
     }
     assert set(oracles) <= set(qs)
 

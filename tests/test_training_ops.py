@@ -171,3 +171,70 @@ def test_dedup_substring_join_path_matches_broadcast(ray_session, monkeypatch):
     monkeypatch.setenv("PCR_BCAST_DUPGRAMS", "0")
     slow = dedup_substring(SF_DIR, w=16)
     assert fast.equals(slow)
+
+
+def test_dedup_incremental_planted_duplicates(ray_session, tmp_path):
+    """A new-batch doc whose text exists in the seen half is flagged; novel
+    and within-new-only duplicates are not."""
+    from parquet_converter_ray.pipelines.dedup import dedup_incremental
+
+    texts = [
+        "seen alpha",          # 0: seen
+        "seen beta",           # 1: seen
+        "seen alpha",          # 2: new, dup of seen -> flagged
+        "fresh gamma",         # 3: new, novel
+    ]
+    sf = _mini_docs_dir(tmp_path, texts)
+    out = dedup_incremental(sf).to_pandas()
+    assert out["doc_id"].tolist() == [2]
+    # within-new duplicate without a seen twin is NOT flagged
+    (tmp_path / "b").mkdir(exist_ok=True)
+    sf2 = _mini_docs_dir(tmp_path / "b", ["a", "b", "new dup", "new dup"])
+    out2 = dedup_incremental(sf2).to_pandas()
+    assert out2.empty
+
+
+def test_pack_sequences_invariants(ray_session):
+    from parquet_converter_ray.pipelines.export import pack_sequences
+    import pyarrow.parquet as pq2
+
+    capacity = 256
+    p = pack_sequences(SF_DIR, capacity=capacity).to_pandas()
+    n_docs = pq2.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    # every doc lands in exactly one bin
+    assert p["n_docs"].sum() == n_docs
+    # a bin over capacity must be a single oversize document
+    over = p[p["n_tokens"] > capacity]
+    assert (over["n_docs"] == 1).all()
+    # packing is dense: average fill of multi-doc bins is over half capacity
+    multi = p[p["n_docs"] > 1]
+    assert multi["n_tokens"].mean() > capacity / 2
+
+
+def test_mix_sources_rates(ray_session):
+    """Even-numbered sources keep everything, odd-numbered keep ~35%."""
+    import duckdb
+
+    from parquet_converter_ray.pipelines.export import mix_sources
+
+    out = mix_sources(SF_DIR).to_pandas().set_index("source")
+    full = duckdb.sql(
+        f"SELECT source, count(*) n FROM read_parquet('{SF_DIR}/documents.parquet') GROUP BY source"
+    ).df().set_index("source")
+    for src in full.index:
+        num = int(src[3:])
+        if num % 2 == 0:
+            assert out.loc[src, "n_docs"] == full.loc[src, "n"]
+        else:
+            assert out.loc[src, "n_docs"] < full.loc[src, "n"]
+
+
+def test_split_assign_proportions_and_stability(ray_session):
+    from parquet_converter_ray.pipelines.export import split_assign
+
+    a = split_assign(SF_DIR).to_pandas()
+    b = split_assign(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.70 < frac["train"] < 0.88
+    assert 0.04 < frac["val"] < 0.17 and 0.04 < frac["test"] < 0.17
