@@ -108,6 +108,8 @@ def run_bench() -> dict:
         ("token_counts", text.token_counts),
         ("dedup_exact", dedup.dedup_exact),
         ("dedup_minhash", dedup.dedup_minhash),
+        ("dedup_substring", dedup.dedup_substring),
+        ("scrub_pii", text.scrub_pii),
         ("knn_bruteforce", similarity.knn_bruteforce),
     ]
     for name, fn in query_list:
