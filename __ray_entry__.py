@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- north-star transcript codec engine (non-SQL) ---
         "transcript_roundtrip": transcripts.transcript_roundtrip,
         "transcript_codec_plan": transcripts.transcript_codec_plan,
+        "transcript_lookup": transcripts.transcript_lookup,
         "convert_csv_roundtrip": transcripts.convert_csv_roundtrip,
         "convert_jsonl_roundtrip": transcripts.convert_jsonl_roundtrip,
         "lineitem_codec_roundtrip": transcripts.lineitem_codec_roundtrip,

@@ -56,6 +56,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("output")
     p.add_argument("--columns", nargs="*", default=None)
 
+    p = sub.add_parser("lookup", help="fetch ONE conversation by key (decodes only its container(s))")
+    p.add_argument("encoded_dir")
+    p.add_argument("key", help="conversation key; use --int for integer-keyed columns")
+    p.add_argument("--int", dest="as_int", action="store_true")
+    p.add_argument("--columns", nargs="*", default=None)
+    p.add_argument("--limit", type=int, default=20, help="max rows printed (count is always exact)")
+
     p = sub.add_parser("verify", help="decode + compare bit-identical vs original parquet")
     p.add_argument("encoded_dir")
     p.add_argument("original")
@@ -116,6 +123,16 @@ def main(argv: list[str] | None = None) -> int:
             ds = decode_dataset(args.input, columns=args.columns)
             ds.write_parquet(args.output, compression=cfg.compression)
             print(json.dumps({"rows": ray.data.read_parquet(args.output).count()}))
+        elif args.cmd == "lookup":
+            from .decode import lookup_conversation
+
+            key = int(args.key) if args.as_int else args.key
+            tbl = lookup_conversation(args.encoded_dir, key, columns=args.columns)
+            print(json.dumps({
+                "rows": tbl.num_rows,
+                "columns": tbl.column_names,
+                "sample": tbl.slice(0, max(args.limit, 0)).to_pylist(),
+            }, default=str))
         elif args.cmd == "verify":
             if args.distributed:
                 from .decode import verify_distributed

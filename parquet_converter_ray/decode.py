@@ -216,3 +216,106 @@ def verify_distributed(source: "ray.data.Dataset | str", out_dir: str) -> tuple[
     a = dataset_fingerprint(source, cols)
     b = dataset_fingerprint(decode_dataset(out_dir, columns=cols), cols)
     return a == b, {"source": a, "decoded": b}
+
+
+# --- O(1) point lookup: fetch one conversation from an encoded dataset --------
+
+
+def _part_for(h: "np.uint64", k: int, n_parts: int) -> int:
+    """Partition id for hash ``h`` and salt chunk ``k`` — the exact mix used
+    by ``partition.assign_part_id`` (kept in lockstep; HASH_VERSION guards)."""
+    import numpy as np
+
+    from .partition import GOLDEN
+
+    arr = np.array([h], dtype=np.uint64)  # array ops: silent mod-2^64 wrap
+    if k:
+        kk = np.array([k], dtype=np.uint64)
+        arr = (arr ^ (kk * GOLDEN)) + kk
+    return int(arr[0] % np.uint64(n_parts))
+
+
+def lookup_conversation(
+    out_dir: str, conv_value, columns: list[str] | None = None
+) -> pa.Table:
+    """Fetch ONE conversation from an encoded dataset by key — decoding only
+    the container(s) its rows can live in, never scanning the dataset.
+
+    This is the point-access path a 100 TB store needs: ``part_id`` is a pure
+    function of (conv_value, salt chunk), recorded in ``_run.json``, so the
+    lookup computes the candidate partition for salt chunk k = 0, 1, ... and
+    stops at the first chunk with fewer than ``salt_rows`` rows (turn indices
+    are dense per conversation — the transcript model — so a partial chunk is
+    the last one). Cost: O(ceil(n_turns / salt_rows)) container decodes with
+    container-level column pruning; a missing key costs exactly one.
+
+    ``conv_value``'s Python type selects the hash (int -> integer-column
+    hash, str/bytes -> byte hash), matching how the column was hashed at
+    encode time."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from . import manifest as mf
+    from .partition import stable_hash_ints, stable_hash_strings
+
+    params = mf.load_run_record(out_dir)
+    if params is None:
+        raise ValueError(
+            f"no run record in {out_dir} — lookup needs the partitioning "
+            "parameters written by encode_dataset (_run.json)"
+        )
+    n_parts = int(params["n_parts"])
+    salt_rows = int(params.get("salt_rows") or 0)
+    conv_col = params["conv_col"]
+    order_col = params.get("order_col")
+
+    recs = {r["part_id"]: r for r in mf.load_records(out_dir)}
+    files = container_files(out_dir)  # validates manifest/glob consistency
+    by_part = {}
+    for r in recs.values():
+        path = r["path"]
+        if not os.path.isfile(path):
+            path = os.path.join(out_dir, os.path.basename(path))
+        by_part[int(r["part_id"])] = path
+    if not by_part:  # glob-only layout (no manifest): part-<id>.pcc names
+        for f in files:
+            pid = int(os.path.basename(f).split("-")[1].split(".")[0])
+            by_part[pid] = f
+
+    if isinstance(conv_value, (int, np.integer)):
+        h = stable_hash_ints(pa.array([int(conv_value)], pa.int64()))[0]
+    else:
+        h = stable_hash_strings(pa.array([conv_value]))[0]
+
+    salted = bool(salt_rows) and order_col is not None
+    read_cols = None
+    if columns is not None:
+        read_cols = list(dict.fromkeys([conv_col] + ([order_col] if salted and order_col else []) + columns))
+
+    decoded: dict[int, pa.Table] = {}
+    chunks: list[pa.Table] = []
+    k = 0
+    while True:
+        part = _part_for(np.uint64(h), k if salted else 0, n_parts)
+        if part not in decoded:
+            if part not in by_part:
+                raise FileNotFoundError(f"partition {part} missing from {out_dir}")
+            with open(by_part[part], "rb") as f:
+                data = f.read()
+            decoded[part] = decode_table(data, columns=read_cols)
+        tbl = decoded[part]
+        sel = tbl.filter(pc.equal(tbl[conv_col], conv_value))
+        if salted:
+            order = pc.fill_null(sel[order_col], 0).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            sel = sel.filter(pa.array(order // salt_rows == k))
+        chunks.append(sel)
+        if not salted or sel.num_rows < salt_rows:
+            break
+        k += 1
+
+    out = pa.concat_tables(chunks)
+    if salted and out.num_rows:
+        out = out.sort_by([(conv_col, "ascending"), (order_col, "ascending")])
+    if columns is not None:
+        out = out.select(columns)
+    return out.combine_chunks()

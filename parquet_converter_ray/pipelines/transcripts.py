@@ -163,3 +163,21 @@ def lineitem_codec_roundtrip(sf_dir: str) -> pa.Table:
     decoded = decode_dataset(out)
     tbl = pa.concat_tables(list(decoded.iter_batches(batch_format="pyarrow")))
     return tbl.sort_by([("l_orderkey", "ascending"), ("l_linenumber", "ascending")])
+
+
+def transcript_lookup(sf_dir: str | None = None) -> pa.Table:
+    """Point-lookup check: fetch one known conversation (the first conv_id of
+    the synthetic table) straight from the encoded containers — decoding only
+    the container(s) that conversation's salt chunks map to — and return its
+    turns in stable order. Rows-only (the codec store isn't SQL-visible);
+    equality vs the full-decode filter is asserted in tests."""
+    from ..decode import lookup_conversation
+
+    n = _scale_rows(sf_dir)
+    out = os.path.join(_CACHE, f"encoded-{n}")
+    if not os.path.exists(os.path.join(out, "manifest.jsonl")):
+        encode_transcripts(sf_dir, out_dir=out)
+    # conv ids are synthesized as conv-%08d starting at 0 (synth.py:87), so
+    # the first conversation exists at every scale
+    got = lookup_conversation(out, "conv-00000000")
+    return got.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])

@@ -132,6 +132,7 @@ def test_all_queries_have_oracle_or_are_documented(ray_session):
         "knn_ivf",
         "transcript_roundtrip",
         "transcript_codec_plan",
+        "transcript_lookup",
         "convert_csv_roundtrip",
         "approx_distinct_parts",
         "approx_distinct_users_by_type",

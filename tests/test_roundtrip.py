@@ -340,3 +340,38 @@ def test_resume_without_run_record_raises(ray_session, transcripts, tmp_path):
     os.remove(mf.run_record_path(out))
     with pytest.raises(ValueError, match="no run record"):
         encode_dataset(ray.data.from_arrow(transcripts), out, n_parts=4, resume=True)
+
+
+def test_lookup_conversation_matches_full_decode(ray_session, tmp_path):
+    """Point lookup must return exactly the full-decode filter for every
+    conversation — across salt-chunk boundaries — touching only the
+    containers that conversation maps to."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray.decode import decode_dataset, lookup_conversation
+    from parquet_converter_ray.encode import encode_dataset
+    from parquet_converter_ray.synth import make_transcripts
+
+    t = make_transcripts(20000, seed=11)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(t, inp / "transcripts.parquet")
+    out = str(tmp_path / "enc")
+    # salt_rows=200 forces multi-chunk conversations (biggest conv ~1600 turns)
+    encode_dataset(str(inp), out, n_parts=5, salt_rows=200)
+    full = pa.concat_tables(list(decode_dataset(out).iter_batches(batch_format="pyarrow")))
+    counts = collections.Counter(full["conv_id"].to_pylist())
+    order = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    probe = [max(counts, key=counts.get), min(counts, key=counts.get)]
+    for cv in probe:
+        ref = full.filter(pc.equal(full["conv_id"], cv)).sort_by(order).combine_chunks()
+        got = lookup_conversation(out, cv).sort_by(order).combine_chunks()
+        assert got.equals(ref), cv
+    # column pruning + missing key
+    one = lookup_conversation(out, probe[0], columns=["text"])
+    assert one.column_names == ["text"] and one.num_rows == counts[probe[0]]
+    assert lookup_conversation(out, "conv-99999999").num_rows == 0
