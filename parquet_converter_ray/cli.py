@@ -56,6 +56,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("output")
     p.add_argument("--columns", nargs="*", default=None)
 
+    p = sub.add_parser("compact", help="re-pack an encoded store into right-sized containers")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--target-mb", type=int, default=96, help="arrow bytes per partition")
+
     p = sub.add_parser("lookup", help="fetch ONE conversation by key (decodes only its container(s))")
     p.add_argument("encoded_dir")
     p.add_argument("key", help="conversation key; use --int for integer-keyed columns")
@@ -123,6 +128,10 @@ def main(argv: list[str] | None = None) -> int:
             ds = decode_dataset(args.input, columns=args.columns)
             ds.write_parquet(args.output, compression=cfg.compression)
             print(json.dumps({"rows": ray.data.read_parquet(args.output).count()}))
+        elif args.cmd == "compact":
+            from .encode import compact_dataset
+
+            print(json.dumps(compact_dataset(args.input, args.output, target_part_bytes=args.target_mb << 20)))
         elif args.cmd == "lookup":
             from .decode import lookup_conversation
 

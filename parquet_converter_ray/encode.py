@@ -372,3 +372,43 @@ def encode_dataset(
     summary = mf.consolidate(out_dir)
     summary["n_parts"] = n_parts
     return summary
+
+
+def compact_dataset(
+    in_dir: str,
+    out_dir: str,
+    target_part_bytes: int = TARGET_PART_BYTES,
+    **kw,
+) -> dict:
+    """Compact an encoded store: decode -> re-encode with a partition count
+    sized to the data that is actually THERE.
+
+    The lifecycle op every long-lived store needs: after curation/dedup drops
+    a large fraction of rows (or after many small incremental deliveries),
+    the original n_parts leaves skewed, undersized containers — per-container
+    codec tables stop paying for themselves and the decode fans out over
+    mostly-empty files. Compaction re-derives n_parts from the manifest's
+    recorded in-memory bytes, reuses the ORIGINAL partitioning parameters
+    (conv/order columns, salt) from ``_run.json`` so the output is the same
+    logical layout, and re-encodes through the normal partition-atomic path —
+    the result decodes bit-identically (tested).
+    """
+    from . import manifest as mf
+    from .decode import decode_dataset
+
+    prior = mf.load_run_record(in_dir)
+    if prior is None:
+        raise ValueError(f"no run record in {in_dir} — not an encoded store?")
+    recs = mf.load_records(in_dir)
+    bytes_in = sum(r["bytes_in"] for r in recs) or (64 << 20)
+    n_parts = kw.pop("n_parts", None) or max(1, -(-bytes_in // target_part_bytes))
+    ds = decode_dataset(in_dir)
+    return encode_dataset(
+        ds,
+        out_dir,
+        n_parts=int(n_parts),
+        conv_col=kw.pop("conv_col", prior["conv_col"]),
+        order_col=kw.pop("order_col", prior["order_col"]),
+        salt_rows=kw.pop("salt_rows", int(prior.get("salt_rows") or 0)),
+        **kw,
+    )

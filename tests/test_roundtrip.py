@@ -375,3 +375,30 @@ def test_lookup_conversation_matches_full_decode(ray_session, tmp_path):
     one = lookup_conversation(out, probe[0], columns=["text"])
     assert one.column_names == ["text"] and one.num_rows == counts[probe[0]]
     assert lookup_conversation(out, "conv-99999999").num_rows == 0
+
+
+def test_compact_dataset_roundtrip_and_fewer_parts(ray_session, tmp_path):
+    """Compacting an over-partitioned store must shrink the container count
+    and decode bit-identically to the original table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray.decode import container_files, decode_dataset
+    from parquet_converter_ray.encode import compact_dataset, encode_dataset
+    from parquet_converter_ray.synth import make_transcripts
+
+    t = make_transcripts(8000, seed=3)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(t, inp / "transcripts.parquet")
+    enc = str(tmp_path / "enc")
+    encode_dataset(str(inp), enc, n_parts=12, salt_rows=2000)
+    assert len(container_files(enc)) == 12
+    cmp_dir = str(tmp_path / "compacted")
+    summary = compact_dataset(enc, cmp_dir)
+    assert summary["rows"] == 8000
+    assert len(container_files(cmp_dir)) < 12
+    order = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    a = pa.concat_tables(list(decode_dataset(enc).iter_batches(batch_format="pyarrow"))).sort_by(order).combine_chunks()
+    b = pa.concat_tables(list(decode_dataset(cmp_dir).iter_batches(batch_format="pyarrow"))).sort_by(order).combine_chunks()
+    assert a.equals(b)
