@@ -56,6 +56,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("output")
     p.add_argument("--columns", nargs="*", default=None)
 
+    p = sub.add_parser("append", help="append a new delivery of rows to an existing encoded store")
+    p.add_argument("input", help="parquet file/dir with the new rows")
+    p.add_argument("encoded_dir")
+
     p = sub.add_parser("compact", help="re-pack an encoded store into right-sized containers")
     p.add_argument("input")
     p.add_argument("output")
@@ -128,6 +132,10 @@ def main(argv: list[str] | None = None) -> int:
             ds = decode_dataset(args.input, columns=args.columns)
             ds.write_parquet(args.output, compression=cfg.compression)
             print(json.dumps({"rows": ray.data.read_parquet(args.output).count()}))
+        elif args.cmd == "append":
+            from .encode import append_dataset
+
+            print(json.dumps(append_dataset(args.input, args.encoded_dir)))
         elif args.cmd == "compact":
             from .encode import compact_dataset
 

@@ -269,18 +269,17 @@ def lookup_conversation(
     conv_col = params["conv_col"]
     order_col = params.get("order_col")
 
-    recs = {r["part_id"]: r for r in mf.load_records(out_dir)}
     files = container_files(out_dir)  # validates manifest/glob consistency
-    by_part = {}
-    for r in recs.values():
+    by_part: dict[int, list[str]] = {}
+    for r in mf.load_records(out_dir):  # (part, generation) order — appends included
         path = r["path"]
         if not os.path.isfile(path):
             path = os.path.join(out_dir, os.path.basename(path))
-        by_part[int(r["part_id"])] = path
-    if not by_part:  # glob-only layout (no manifest): part-<id>.pcc names
+        by_part.setdefault(int(r["part_id"]), []).append(path)
+    if not by_part:  # glob-only layout (no manifest): part-<id>[...].pcc names
         for f in files:
             pid = int(os.path.basename(f).split("-")[1].split(".")[0])
-            by_part[pid] = f
+            by_part.setdefault(pid, []).append(f)
 
     if isinstance(conv_value, (int, np.integer)):
         h = stable_hash_ints(pa.array([int(conv_value)], pa.int64()))[0]
@@ -300,9 +299,11 @@ def lookup_conversation(
         if part not in decoded:
             if part not in by_part:
                 raise FileNotFoundError(f"partition {part} missing from {out_dir}")
-            with open(by_part[part], "rb") as f:
-                data = f.read()
-            decoded[part] = decode_table(data, columns=read_cols)
+            parts = []
+            for path in by_part[part]:  # base container + any appended deliveries
+                with open(path, "rb") as f:
+                    parts.append(decode_table(f.read(), columns=read_cols))
+            decoded[part] = pa.concat_tables(parts)
         tbl = decoded[part]
         sel = tbl.filter(pc.equal(tbl[conv_col], conv_value))
         if salted:

@@ -93,11 +93,13 @@ class EncodePartition:
         codec: str | dict = "auto",
         sort_key: Sequence[str] = ("conv_id", "turn_idx"),
         fault_hook: Callable[[int], None] | None = None,
+        generation: int = 0,
     ):
         self.out_dir = out_dir
         self.codec = codec
         self.sort_key = list(sort_key)
         self.fault_hook = fault_hook
+        self.generation = int(generation)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         pin_arrow_threads(1)
@@ -121,9 +123,11 @@ class EncodePartition:
         t_enc = time.monotonic()
         payload = pack_container(
             blobs,
-            extra={"part_id": part_id, "rows": table.num_rows, "sort_key": sort_cols},
+            extra={"part_id": part_id, "rows": table.num_rows, "sort_key": sort_cols,
+                   "generation": self.generation},
         )
-        path = os.path.join(self.out_dir, f"part-{part_id:05d}.pcc")
+        gsuf = f"-g{self.generation:04d}" if self.generation else ""
+        path = os.path.join(self.out_dir, f"part-{part_id:05d}{gsuf}.pcc")
         write_container_atomic(path, payload)
         timings = {
             "in_chunks": n_chunks,
@@ -142,6 +146,7 @@ class EncodePartition:
             wall_s=time.monotonic() - t0,
             path=path,
             timings=timings,
+            generation=self.generation,
         )
         mf.write_record(self.out_dir, rec)
         import json
@@ -412,3 +417,71 @@ def compact_dataset(
         salt_rows=kw.pop("salt_rows", int(prior.get("salt_rows") or 0)),
         **kw,
     )
+
+
+def append_dataset(
+    source,
+    out_dir: str,
+    codec: str | dict = "auto",
+) -> dict:
+    """Append a NEW delivery of rows to an EXISTING encoded store without
+    touching its base containers — the continuous-ingestion path.
+
+    The delivery is partitioned with the store's RECORDED parameters
+    (``_run.json``: n_parts, salt, conv/order columns, hash version), so each
+    partition gains one extra container ``part-{id}-g{gen:04d}.pcc`` and every
+    reader (decode, verify, lookup) sees base + deliveries transparently via
+    the manifest. Generations are monotone per delivery; run
+    ``compact_dataset`` periodically to fold fragmented deliveries back into
+    right-sized containers. Base-run resume semantics are untouched
+    (``completed_parts`` ignores appended generations)."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    from . import manifest as mf
+    from .partition import HASH_VERSION
+
+    prior = mf.load_run_record(out_dir)
+    if prior is None:
+        raise ValueError(f"no run record in {out_dir} — append needs an existing store")
+    if prior.get("hash_version") != HASH_VERSION:
+        raise ValueError(
+            f"store {out_dir} was partitioned with hash {prior.get('hash_version')!r}; "
+            f"this build uses {HASH_VERSION!r} — appending would mispartition rows"
+        )
+    n_parts = int(prior["n_parts"])
+    conv_col, order_col = prior["conv_col"], prior["order_col"]
+    salt_rows = int(prior.get("salt_rows") or 0)
+    sort_key = tuple(prior.get("sort_key") or (conv_col, order_col))
+    gen = max((int(r.get("generation", 0)) for r in mf.load_records(out_dir)), default=0) + 1
+
+    if isinstance(source, (str, list)):
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        ds = read_parquet_clean(source, override_num_blocks=max(3 * cpus, n_parts))
+    else:
+        ds = source
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        return assign_part_id(
+            batch, n_parts, conv_col=conv_col, order_col=order_col, salt_rows=salt_rows
+        )
+
+    encoder = EncodePartition(out_dir, codec=codec, sort_key=sort_key, generation=gen)
+    lineage = (
+        ds.map_batches(_assign, batch_format="pyarrow")
+        .groupby("part_id")
+        .map_groups(lambda g: encoder(g), batch_format="pyarrow")
+    )
+    ctx = DataContext.get_current()
+    prev_strategy = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        lineage.take_all()
+    finally:
+        ctx.shuffle_strategy = prev_strategy
+    summary = mf.consolidate(out_dir)
+    summary["n_parts"] = n_parts
+    summary["generation"] = gen
+    return summary

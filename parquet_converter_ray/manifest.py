@@ -26,6 +26,7 @@ class LineageRecord:
     wall_s: float = 0.0
     path: str = ""
     timings: dict = field(default_factory=dict)  # phase -> seconds (observability)
+    generation: int = 0  # 0 = base encode; >0 = appended delivery (append_dataset)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self))
@@ -61,16 +62,20 @@ def load_run_record(out_dir: str) -> dict | None:
         return None
 
 
-def record_path(out_dir: str, part_id: int) -> str:
-    return os.path.join(manifest_dir(out_dir), f"part-{part_id:05d}.json")
+def record_path(out_dir: str, part_id: int, generation: int = 0) -> str:
+    # generation 0 keeps the original name (backward compatible with stores
+    # written before append existed); appended deliveries get a -gNNNN suffix
+    suffix = f"-g{generation:04d}" if generation else ""
+    return os.path.join(manifest_dir(out_dir), f"part-{part_id:05d}{suffix}.json")
 
 
 def write_record(out_dir: str, rec: LineageRecord) -> None:
     os.makedirs(manifest_dir(out_dir), exist_ok=True)
-    tmp = record_path(out_dir, rec.part_id) + ".tmp"
+    dst = record_path(out_dir, rec.part_id, getattr(rec, "generation", 0))
+    tmp = dst + ".tmp"
     with open(tmp, "w") as f:
         f.write(rec.to_json())
-    os.replace(tmp, record_path(out_dir, rec.part_id))
+    os.replace(tmp, dst)
 
 
 def completed_parts(out_dir: str) -> set[int]:
@@ -85,6 +90,8 @@ def completed_parts(out_dir: str) -> set[int]:
         try:
             with open(os.path.join(mdir, fn)) as f:
                 rec = json.load(f)
+            if rec.get("generation", 0):
+                continue  # appended deliveries are not base-run checkpoints
             if os.path.getsize(rec["path"]) == rec["bytes_out"]:
                 done.add(int(rec["part_id"]))
         except (OSError, ValueError, KeyError):
@@ -100,6 +107,9 @@ def load_records(out_dir: str) -> list[dict]:
             if fn.startswith("part-") and fn.endswith(".json"):
                 with open(os.path.join(mdir, fn)) as f:
                     recs.append(json.load(f))
+    # deterministic (part, delivery) order — filename sort would put
+    # "part-00003-g0001.json" BEFORE "part-00003.json" ('-' < '.')
+    recs.sort(key=lambda r: (int(r["part_id"]), int(r.get("generation", 0))))
     return recs
 
 

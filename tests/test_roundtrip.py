@@ -402,3 +402,69 @@ def test_compact_dataset_roundtrip_and_fewer_parts(ray_session, tmp_path):
     a = pa.concat_tables(list(decode_dataset(enc).iter_batches(batch_format="pyarrow"))).sort_by(order).combine_chunks()
     b = pa.concat_tables(list(decode_dataset(cmp_dir).iter_batches(batch_format="pyarrow"))).sort_by(order).combine_chunks()
     assert a.equals(b)
+
+
+def test_append_dataset_lifecycle(ray_session, tmp_path):
+    """Base encode + two appended deliveries: decode sees base+deliveries,
+    base-run resume checkpoints are untouched, lookup spans generations, and
+    compaction folds everything back into right-sized containers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray import manifest as mf
+    from parquet_converter_ray.decode import (
+        container_files,
+        decode_dataset,
+        lookup_conversation,
+    )
+    from parquet_converter_ray.encode import append_dataset, compact_dataset, encode_dataset
+    from parquet_converter_ray.synth import make_transcripts
+
+    base = make_transcripts(6000, seed=21)
+    d1 = make_transcripts(2000, seed=22)
+    d2 = make_transcripts(1000, seed=23)
+    paths = {}
+    for name, t in [("base", base), ("d1", d1), ("d2", d2)]:
+        p = tmp_path / name
+        p.mkdir()
+        pq.write_table(t, p / "transcripts.parquet")
+        paths[name] = str(p)
+    enc = str(tmp_path / "enc")
+    encode_dataset(paths["base"], enc, n_parts=4, salt_rows=500)
+    s1 = append_dataset(paths["d1"], enc)
+    s2 = append_dataset(paths["d2"], enc)
+    assert (s1["generation"], s2["generation"]) == (1, 2)
+    assert s2["rows"] == 9000
+    # base checkpoints unaffected by appended generations
+    assert mf.completed_parts(enc) == {0, 1, 2, 3}
+    assert len(container_files(enc)) > 4
+
+    order = [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+    expect = pa.concat_tables([base, d1, d2]).sort_by(order).combine_chunks()
+    got = (
+        pa.concat_tables(list(decode_dataset(enc).iter_batches(batch_format="pyarrow")))
+        .select(expect.column_names)
+        .sort_by(order)
+        .combine_chunks()
+    )
+    assert got.equals(expect)
+
+    # lookup spans base + deliveries (synth reuses low conv ids across seeds)
+    cv = "conv-00000000"
+    ref = expect.filter(pc.equal(expect["conv_id"], cv)).combine_chunks()
+    found = lookup_conversation(enc, cv).select(expect.column_names).sort_by(order).combine_chunks()
+    assert found.equals(ref)
+
+    # compaction folds the fragmented deliveries into few containers
+    cmp_dir = str(tmp_path / "compacted")
+    summary = compact_dataset(enc, cmp_dir)
+    assert summary["rows"] == 9000
+    assert len(container_files(cmp_dir)) < len(container_files(enc))
+    got2 = (
+        pa.concat_tables(list(decode_dataset(cmp_dir).iter_batches(batch_format="pyarrow")))
+        .select(expect.column_names)
+        .sort_by(order)
+        .combine_chunks()
+    )
+    assert got2.equals(expect)
