@@ -23,6 +23,31 @@ from .container import decode_table
 from .pipelines._util import read_parquet_clean
 
 
+def resolve_container_path(out_dir: str, rec: dict) -> str:
+    """Resolve a lineage record's container file, preferring the LOCAL copy.
+
+    Records carry the absolute path written at encode time; a store that was
+    copied/moved (another host, another mount, a snapshot) still has the
+    container next to its manifest, so the basename under ``out_dir`` wins
+    whenever it exists with the recorded size — otherwise the recorded path.
+    This is what makes a relocated store decode/lookup/append cleanly while
+    the stray-file guard still fires on files the manifest doesn't know."""
+    local = os.path.join(out_dir, os.path.basename(rec["path"]))
+    try:
+        if os.path.getsize(local) == rec["bytes_out"]:
+            return local
+    except OSError:
+        pass
+    if os.path.isfile(rec["path"]):
+        return rec["path"]
+    if os.path.isfile(local):  # size mismatch but present: surface the real file
+        return local
+    raise FileNotFoundError(
+        f"manifest records partition {rec['part_id']} at {rec['path']} "
+        "but the container file is missing"
+    )
+
+
 def container_files(out_dir: str) -> list[str]:
     """Container files to decode — manifest-driven when a manifest exists.
 
@@ -36,17 +61,7 @@ def container_files(out_dir: str) -> list[str]:
     if recs:
         files = []
         for r in sorted(recs, key=lambda r: r["part_id"]):
-            path = r["path"]
-            if not os.path.isfile(path):
-                # manifest written on another host/mount: resolve by basename
-                local = os.path.join(out_dir, os.path.basename(path))
-                if not os.path.isfile(local):
-                    raise FileNotFoundError(
-                        f"manifest records partition {r['part_id']} at {path} "
-                        "but the container file is missing"
-                    )
-                path = local
-            files.append(path)
+            files.append(resolve_container_path(out_dir, r))
         stray = set(glob.glob(os.path.join(out_dir, "part-*.pcc"))) - set(files)
         if stray:
             raise ValueError(
@@ -272,10 +287,7 @@ def lookup_conversation(
     files = container_files(out_dir)  # validates manifest/glob consistency
     by_part: dict[int, list[str]] = {}
     for r in mf.load_records(out_dir):  # (part, generation) order — appends included
-        path = r["path"]
-        if not os.path.isfile(path):
-            path = os.path.join(out_dir, os.path.basename(path))
-        by_part.setdefault(int(r["part_id"]), []).append(path)
+        by_part.setdefault(int(r["part_id"]), []).append(resolve_container_path(out_dir, r))
     if not by_part:  # glob-only layout (no manifest): part-<id>[...].pcc names
         for f in files:
             pid = int(os.path.basename(f).split("-")[1].split(".")[0])

@@ -468,3 +468,38 @@ def test_append_dataset_lifecycle(ray_session, tmp_path):
         .combine_chunks()
     )
     assert got2.equals(expect)
+
+
+def test_store_relocation(ray_session, tmp_path):
+    """A copied/moved store (manifest records carry the ORIGINAL absolute
+    paths) must decode and look up cleanly from its new location — and still
+    reject files the manifest doesn't know."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray.decode import container_files, decode_dataset, lookup_conversation
+    from parquet_converter_ray.encode import encode_dataset
+    from parquet_converter_ray.synth import make_transcripts
+
+    t = make_transcripts(3000, seed=5)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(t, inp / "transcripts.parquet")
+    enc = str(tmp_path / "enc")
+    encode_dataset(str(inp), enc, n_parts=3, salt_rows=1000)
+    moved = str(tmp_path / "moved")
+    shutil.copytree(enc, moved)
+    # decodes from the new location even though records point at `enc`
+    assert all(f.startswith(moved) for f in container_files(moved))
+    got = pa.concat_tables(list(decode_dataset(moved).iter_batches(batch_format="pyarrow")))
+    assert got.num_rows == 3000
+    assert lookup_conversation(moved, "conv-00000000").num_rows > 0
+    # stray guard still fires on unknown container files
+    with open(f"{moved}/part-99999.pcc", "wb") as f:
+        f.write(b"junk")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in the manifest"):
+        container_files(moved)
