@@ -44,6 +44,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from parquet_converter_ray.pipelines import (
         analytics,
+        behavior,
         dedup,
         export,
         multimodal,
@@ -109,6 +110,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_orders": analytics.weighted_sample_orders,
         "approx_price_quantiles": analytics.approx_price_quantiles,
         "label_centroids": similarity.label_centroids,
+        "customer_year_overlap": analytics.customer_year_overlap,
+        # --- behavioral / product analytics over the event stream ---
+        "event_funnel": behavior.event_funnel,
+        "cohort_retention": behavior.cohort_retention,
+        "latest_event_per_user": behavior.latest_event_per_user,
+        "events_daily_gapfill": behavior.events_daily_gapfill,
+        "revenue_mom_growth": behavior.revenue_mom_growth,
+        "unpivot_customer": windows.unpivot_customer,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "token_counts_bpe": text.token_counts_bpe,
@@ -591,6 +600,68 @@ def oracle_sql() -> dict[str, str]:
               AND EXISTS (SELECT 1 FROM documents s
                           WHERE s.doc_id < (SELECT count(*) // 2 FROM documents)
                             AND coalesce(s.text, '') = coalesce(n.text, ''))
+        """,
+        "event_funnel": """
+            WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t1 ON e.user_id = t1.user_id
+                   WHERE e.event_type = 'click' AND e.ts >= t1.t GROUP BY e.user_id),
+            t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t2 ON e.user_id = t2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts >= t2.t GROUP BY e.user_id)
+            SELECT 1 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM t1)::BIGINT AS n_users
+            UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+            UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+        """,
+        "cohort_retention": """
+            WITH f AS (SELECT user_id, date_trunc('month', min(ts)) AS cohort
+                       FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id, date_trunc('month', ts) AS m FROM events)
+            SELECT f.cohort AS cohort_month,
+                   datediff('month', f.cohort, a.m)::BIGINT AS month_offset,
+                   count(*)::BIGINT AS n_users
+            FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, ts AS last_ts, event_type AS last_event_type FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "events_daily_gapfill": """
+            WITH b AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            d AS (SELECT unnest(generate_series((SELECT min(day) FROM b),
+                                                (SELECT max(day) FROM b),
+                                                INTERVAL 1 DAY)) AS day),
+            t AS (SELECT DISTINCT event_type FROM events)
+            SELECT t.event_type, d.day, coalesce(b.n, 0)::BIGINT AS n
+            FROM t CROSS JOIN d LEFT JOIN b ON b.event_type = t.event_type AND b.day = d.day
+            ORDER BY 1, 2
+        """,
+        "revenue_mom_growth": """
+            WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+                              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                       FROM orders GROUP BY 1)
+            SELECT month, round(cents / 100.0, 2) AS revenue,
+                   round((cents - lag(cents) OVER (ORDER BY month)) * 100.0
+                         / lag(cents) OVER (ORDER BY month), 4) AS mom_pct
+            FROM m ORDER BY month
+        """,
+        "unpivot_customer": """
+            SELECT c_custkey, 'c_nationkey' AS measure, CAST(c_nationkey AS DOUBLE) AS value
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, 'c_acctbal', c_acctbal FROM customer
+        """,
+        "customer_year_overlap": """
+            WITH y AS (SELECT DISTINCT o_custkey, year(o_orderdate) AS y FROM orders
+                       WHERE year(o_orderdate) IN (1996, 1997)),
+            f AS (SELECT o_custkey,
+                         max(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS h96,
+                         max(CASE WHEN y = 1997 THEN 1 ELSE 0 END) AS h97
+                  FROM y GROUP BY o_custkey)
+            SELECT CASE WHEN h96 = 1 AND h97 = 1 THEN 'both'
+                        WHEN h96 = 1 THEN 'only_1996' ELSE 'only_1997' END AS category,
+                   count(*)::BIGINT AS n
+            FROM f GROUP BY 1 ORDER BY 1
         """,
         # pack_sequences (order-dependent greedy packing — invariants pytest-checked) /
         # lang_quality / winnow_fingerprints / dedup_minhash / dedup_simhash /

@@ -51,7 +51,7 @@ def run_bench() -> dict:
 
     from parquet_converter_ray.decode import decode_dataset
     from parquet_converter_ray.encode import encode_dataset
-    from parquet_converter_ray.pipelines import dedup, relational, similarity, text
+    from parquet_converter_ray.pipelines import behavior, dedup, relational, similarity, text
     from parquet_converter_ray.pipelines.transcripts import _input_dir, _scale_rows
 
     n_turns = int(os.environ.get("PCR_BENCH_ROWS", 0)) or _scale_rows(SF_DIR)
@@ -111,6 +111,7 @@ def run_bench() -> dict:
         ("dedup_substring", dedup.dedup_substring),
         ("scrub_pii", text.scrub_pii),
         ("knn_bruteforce", similarity.knn_bruteforce),
+        ("event_funnel", behavior.event_funnel),
     ]
     for name, fn in query_list:
         t0 = time.monotonic()

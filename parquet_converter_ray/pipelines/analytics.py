@@ -707,3 +707,52 @@ def approx_price_quantiles(sf_dir: str, qs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9),
             "approx_value": pa.array(sql_round(vals, 4), pa.float64()),
         }
     )
+
+
+# --- set-op overlap (INTERSECT / EXCEPT counts) ------------------------------
+
+
+def customer_year_overlap(sf_dir: str, y_a: int = 1996, y_b: int = 1997) -> pa.Table:
+    """Customers ordering in both years vs only one — the INTERSECT/EXCEPT
+    shape, computed by inclusion-exclusion so no per-customer state ever
+    reaches the driver: per-batch distinct (custkey, year) pairs (pair-dedup
+    combiner) -> one global pair dedup groupby -> side counts |A|, |B| from
+    bounded per-batch partials, |A ∪ B| from a second groupby over the
+    (≤ 2 rows/key) deduped pair set; |A ∩ B| = |A| + |B| - |A ∪ B|.
+    Categories with zero members are omitted (matching the SQL oracle)."""
+    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch["o_orderdate"])
+        t = batch.append_column("y", yr).filter(
+            pc.is_in(yr, value_set=pa.array([y_a, y_b], pa.int64()))
+        )
+        df = pd.DataFrame(
+            {"o_custkey": t["o_custkey"].to_numpy(), "y": t["y"].to_numpy()}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    uniq = ds.map_batches(pairs, batch_format="pyarrow").groupby(["o_custkey", "y"]).count()
+
+    def side_counts(batch: pa.Table) -> pa.Table:
+        y = batch["y"].to_numpy()
+        return pa.table(
+            {
+                "n_a": pa.array([int((y == y_a).sum())], pa.int64()),
+                "n_b": pa.array([int((y == y_b).sum())], pa.int64()),
+            }
+        )
+
+    uniq = uniq.materialize()
+    sides = uniq.map_batches(side_counts, batch_format="pyarrow").to_pandas()
+    n_a, n_b = int(sides["n_a"].sum()), int(sides["n_b"].sum())
+    n_union = uniq.groupby("o_custkey").count().count()
+    both = n_a + n_b - n_union
+    out = pd.DataFrame(
+        {
+            "category": ["both", f"only_{y_a}", f"only_{y_b}"],
+            "n": np.array([both, n_a - both, n_b - both], dtype=np.int64),
+        }
+    )
+    out = out[out["n"] > 0]
+    return pa.Table.from_pandas(out.sort_values("category"), preserve_index=False)

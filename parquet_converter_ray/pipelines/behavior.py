@@ -1,0 +1,242 @@
+"""Behavioral / product-analytics operators over the events stream: funnel
+progression, cohort retention, last-event-per-user (argmax), dense gap-filled
+daily series, and month-over-month growth on an aggregate.
+
+All five follow the mergeable-partial discipline used across this package:
+per-batch vectorized kernels emit bounded partials, finished on the driver
+when the final key space is bounded (users, months, days x types). The funnel
+and cohort operators additionally exploit that the USER dimension of an
+events stream is orders of magnitude smaller than the event count (every
+events-table operator here — sessionize, pivot, sequence — already holds a
+per-user row); the per-user state carried between funnel passes is one int64
+timestamp per user, broadcast once via ``ray.put``, never per batch.
+
+Scale notes (100 TB):
+ - ``event_funnel`` is k sequential PRUNED scans (user_id, event_type, ts
+   only) for a k-stage funnel — no shuffle at all; stage timestamps are
+   per-batch min-partials merged on the driver. Sequential passes are the
+   price of the *ordered* semantics (stage n must happen AFTER stage n-1);
+   a single-scan variant would need per-user event-time lists in a shuffle.
+ - ``cohort_retention`` carries distinct (user, month) pairs per batch —
+   the same pair-dedup combiner as ``analytics.distinct_users_by_type``.
+ - ``latest_event_per_user`` is the argmax-by-key shape: one candidate row
+   per (user, batch) partial, driver keeps the lexicographic max.
+ - ``events_daily_gapfill`` merges (type, day) count partials, then builds
+   the dense spine driver-side — spine size is time-bounded, not data-bounded.
+ - ``revenue_mom_growth`` sums integer cents per month (exact, order-free)
+   and applies the lag/pct window on the bounded month table driver-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ._util import finish_on_driver, read_parquet_clean, sql_round
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# --- funnel analysis ---------------------------------------------------------
+
+
+def _stage_min_ts(sf_dir: str, etype: str, prev: "pd.Series | None") -> "pd.Series":
+    """min event ts (int64 us) per user for ``etype``, restricted to events at
+    or after the user's ``prev``-stage timestamp. ``prev`` (one int64 per
+    funnel-qualified user) is broadcast once via ``ray.put``."""
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    if prev is not None:
+        prev_ref = ray.put((pa.array(prev.index.to_numpy()), prev.to_numpy()))
+    else:
+        prev_ref = None
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        t = batch.filter(pc.equal(batch["event_type"], etype))
+        uid = t["user_id"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        if prev_ref is not None:
+            keys, tmin = ray.get(prev_ref)
+            idx = pc.fill_null(pc.index_in(t["user_id"], value_set=keys), -1).to_numpy(
+                zero_copy_only=False
+            )
+            ok = (idx >= 0) & (ts >= tmin[np.maximum(idx, 0)])
+            uid, ts = uid[ok], ts[ok]
+        return (
+            pd.DataFrame({"user_id": uid, "t": ts})
+            .groupby("user_id", as_index=False)
+            .agg(t=("t", "min"))
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return parts.groupby("user_id")["t"].min()
+
+
+def event_funnel(
+    sf_dir: str, stages: tuple[str, ...] = ("view", "click", "purchase")
+) -> pa.Table:
+    """Ordered funnel: a user reaches stage n if they performed stages[n] at
+    or after their stage n-1 completion time (min-time semantics). One pruned
+    scan per stage, min-timestamp partials merged driver-side, previous-stage
+    times broadcast once — zero shuffles."""
+    rows = []
+    prev = None
+    for i, etype in enumerate(stages):
+        prev = _stage_min_ts(sf_dir, etype, prev)
+        rows.append({"stage_idx": i + 1, "stage": etype, "n_users": len(prev)})
+    out = pd.DataFrame(rows)
+    out["stage_idx"] = out["stage_idx"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- cohort retention --------------------------------------------------------
+
+
+def cohort_retention(sf_dir: str) -> pa.Table:
+    """Users active in month (cohort + offset), cohort = month of first event.
+    Two partial families from ONE scan: per-batch per-user min ts, and
+    per-batch distinct (user, month) pairs; both driver-merged (users x months
+    is bounded). The join of activity months to cohorts happens on the merged
+    per-user table — never on the event stream."""
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        uid = batch["user_id"].to_numpy()
+        month = pc.floor_temporal(batch["ts"], unit="month").to_pandas().to_numpy()
+        pairs = pd.DataFrame({"user_id": uid, "m": month}).drop_duplicates()
+        first = (
+            pd.DataFrame({"user_id": uid, "t": batch["ts"].to_pandas().to_numpy()})
+            .groupby("user_id", as_index=False)
+            .agg(t=("t", "min"))
+        )
+        return pairs.merge(first, on="user_id", how="left")
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    first = parts.groupby("user_id")["t"].min()
+    cohort = first.dt.to_period("M").dt.to_timestamp()
+    active = parts[["user_id", "m"]].drop_duplicates()
+    co = cohort.loc[active["user_id"]].to_numpy()
+    off = active["m"].to_numpy().astype("datetime64[M]").astype(np.int64) - co.astype(
+        "datetime64[M]"
+    ).astype(np.int64)
+    out = (
+        pd.DataFrame({"cohort_month": co, "month_offset": off})
+        .groupby(["cohort_month", "month_offset"], as_index=False)
+        .agg(n_users=("month_offset", "size"))
+    )
+    out["month_offset"] = out["month_offset"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values(["cohort_month", "month_offset"]), preserve_index=False
+    )
+
+
+# --- argmax-by-key: last event per user --------------------------------------
+
+
+def latest_event_per_user(sf_dir: str) -> pa.Table:
+    """LAST_VALUE per user (argmax by (ts, event_id)): each batch keeps one
+    candidate row per user present in it, the driver keeps the lexicographic
+    max of the candidates — no sort, no shuffle."""
+    ds = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def candidates(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "event_id": batch["event_id"].to_numpy(),
+                "last_ts": batch["ts"].to_pandas().to_numpy(),
+                "last_event_type": batch["event_type"].to_pandas().to_numpy(),
+            }
+        )
+        return df.sort_values(["user_id", "last_ts", "event_id"]).drop_duplicates(
+            "user_id", keep="last"
+        )
+
+    parts = ds.map_batches(candidates, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["user_id", "last_ts", "event_id"])
+        .drop_duplicates("user_id", keep="last")
+        .drop(columns=["event_id"])
+    )
+    return pa.Table.from_pandas(out.sort_values("user_id"), preserve_index=False)
+
+
+# --- dense gap-filled daily series -------------------------------------------
+
+
+def events_daily_gapfill(sf_dir: str) -> pa.Table:
+    """Daily event counts per type on a DENSE day spine (missing days emit 0)
+    — the time-series gap-fill shape. Count partials merge driver-side; the
+    spine (days x types) is built in numpy from the merged bounds, so the
+    fill never touches the event stream."""
+    ds = _t(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "day": pc.floor_temporal(batch["ts"], unit="day").to_pandas(),
+            }
+        )
+        return df.groupby(["event_type", "day"], as_index=False).agg(n=("day", "size"))
+
+    counts = finish_on_driver(
+        ds.map_batches(partial, batch_format="pyarrow"), ["event_type", "day"], ["n"]
+    )
+    days = counts["day"].to_numpy().astype("datetime64[D]")
+    spine_days = np.arange(days.min(), days.max() + np.timedelta64(1, "D"))
+    types = np.sort(counts["event_type"].unique())
+    spine = pd.DataFrame(
+        {
+            "event_type": np.repeat(types, len(spine_days)),
+            "day": np.tile(spine_days.astype("datetime64[us]"), len(types)),
+        }
+    )
+    out = spine.merge(counts, on=["event_type", "day"], how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values(["event_type", "day"]), preserve_index=False
+    )
+
+
+# --- window-over-aggregate: month-over-month growth --------------------------
+
+
+def revenue_mom_growth(sf_dir: str) -> pa.Table:
+    """Monthly revenue with month-over-month % change. Per-batch integer-cent
+    sums per month (exact under any merge order) finish on the driver; the
+    lag window runs on the bounded month table. First month's pct is NULL."""
+    ds = _t(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "month": pc.floor_temporal(batch["o_orderdate"], unit="month").to_pandas(),
+                "cents": cents,
+            }
+        )
+        return df.groupby("month", as_index=False).agg(cents=("cents", "sum"))
+
+    m = finish_on_driver(
+        ds.map_batches(partial, batch_format="pyarrow"), ["month"], ["cents"]
+    ).sort_values("month")
+    cents = m["cents"].to_numpy()
+    prev = np.roll(cents, 1).astype(np.float64)
+    mom = sql_round((cents - np.roll(cents, 1)) * 100.0 / prev, 4)
+    out = pd.DataFrame(
+        {
+            "month": m["month"].to_numpy(),
+            "revenue": sql_round(cents / 100.0, 2),
+            "mom_pct": np.where(np.arange(len(cents)) == 0, np.nan, mom),
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -390,3 +390,27 @@ def docs_per_lang_sample(sf_dir: str, k: int = 3) -> pa.Table:
     return pa.Table.from_pandas(
         out.sort_values(["lang", "doc_id"]), preserve_index=False
     )
+
+
+def unpivot_customer(sf_dir: str) -> "ray.data.Dataset":
+    """UNPIVOT / melt — the inverse of ``user_event_pivot``: wide numeric
+    columns become (key, measure, value) long form. Pure map-only reshape
+    (each batch melts independently via repeat/tile, no Python row loop, no
+    shuffle); returned as a streaming Dataset since the output is input-sized."""
+    measures = ["c_nationkey", "c_acctbal"]
+    ds = _t(sf_dir, "customer", columns=["c_custkey", *measures])
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys = batch["c_custkey"].to_numpy()
+        return pa.table(
+            {
+                "c_custkey": np.concatenate([keys] * len(measures)),
+                "measure": pa.array(np.repeat(measures, n)),
+                "value": np.concatenate(
+                    [batch[m].cast(pa.float64()).to_numpy() for m in measures]
+                ),
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -105,6 +105,13 @@ SQL_CHECKED = [
     "mix_sources",
     "split_assign",
     "dedup_incremental",
+    "event_funnel",
+    "cohort_retention",
+    "latest_event_per_user",
+    "events_daily_gapfill",
+    "revenue_mom_growth",
+    "unpivot_customer",
+    "customer_year_overlap",
 ]
 
 
