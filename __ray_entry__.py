@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_roundtrip": transcripts.transcript_roundtrip,
         "transcript_codec_plan": transcripts.transcript_codec_plan,
         "transcript_lookup": transcripts.transcript_lookup,
+        "transcript_role_stats": transcripts.transcript_role_stats,
+        "transcript_length_histogram": transcripts.transcript_length_histogram,
+        "transcript_tool_usage": transcripts.transcript_tool_usage,
         "convert_csv_roundtrip": transcripts.convert_csv_roundtrip,
         "convert_jsonl_roundtrip": transcripts.convert_jsonl_roundtrip,
         "lineitem_codec_roundtrip": transcripts.lineitem_codec_roundtrip,

@@ -165,6 +165,106 @@ def lineitem_codec_roundtrip(sf_dir: str) -> pa.Table:
     return tbl.sort_by([("l_orderkey", "ascending"), ("l_linenumber", "ascending")])
 
 
+def _store_dir(sf_dir: str | None) -> str:
+    """Encoded-store path for this scale; encode (cached) if absent."""
+    n = _scale_rows(sf_dir)
+    out = os.path.join(_CACHE, f"encoded-{n}")
+    if not os.path.exists(os.path.join(out, "manifest.jsonl")):
+        encode_transcripts(sf_dir, out_dir=out)
+    return out
+
+
+def transcript_role_stats(sf_dir: str | None = None) -> pa.Table:
+    """Per-role turn counts and text volume computed DIRECTLY ON THE ENCODED
+    STORE: ``decode_dataset(columns=["role", "text"])`` prunes at the
+    container level, so the conv_id/turn_idx/tool/ts buffers are never even
+    decompressed. Per-batch partials, bounded driver merge (4 roles).
+    Rows-only for the driver (the store is not SQL-visible); pytest oracles
+    it against DuckDB over the raw input parquet."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ._util import finish_on_driver, sql_round
+
+    ds = decode_dataset(_store_dir(sf_dir), columns=["role", "text"])
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        chars = pc.fill_null(pc.utf8_length(batch["text"]), 0).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"role": batch["role"].to_pandas(), "n_chars": chars})
+        return df.groupby("role", as_index=False).agg(
+            n_turns=("n_chars", "size"), n_chars=("n_chars", "sum")
+        )
+
+    out = finish_on_driver(
+        ds.map_batches(partial, batch_format="pyarrow"), ["role"], ["n_turns", "n_chars"]
+    )
+    out["n_turns"] = out["n_turns"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    out["avg_chars"] = sql_round(out["n_chars"] / out["n_turns"], 4)
+    return pa.Table.from_pandas(out.sort_values("role"), preserve_index=False)
+
+
+def transcript_length_histogram(sf_dir: str | None = None) -> pa.Table:
+    """Conversation-length distribution (log2 buckets) WITHOUT any per-
+    conversation aggregation: turn indices are dense per conversation, so
+    ``count(rows with turn_idx == t)`` IS the number of conversations longer
+    than t (a survival function). One pruned decode of turn_idx, per-batch
+    bincount partials, driver differencing — no groupby(conv_id) exchange,
+    state bounded by the max conversation length, not the conversation count."""
+    import numpy as np
+    import pandas as pd
+
+    from ._util import finish_on_driver
+
+    ds = decode_dataset(_store_dir(sf_dir), columns=["turn_idx"])
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        t = batch["turn_idx"].to_numpy()
+        c = np.bincount(t)
+        nz = np.flatnonzero(c)
+        return pd.DataFrame({"t": nz.astype(np.int64), "c": c[nz].astype(np.int64)})
+
+    merged = finish_on_driver(ds.map_batches(partial, batch_format="pyarrow"), ["t"], ["c"])
+    surv = np.zeros(int(merged["t"].max()) + 2, dtype=np.int64)
+    surv[merged["t"].to_numpy()] = merged["c"].to_numpy()
+    # conversations of length exactly L: S(L-1) - S(L)
+    lengths = np.arange(1, len(surv), dtype=np.int64)
+    exact = surv[:-1] - surv[1:]
+    keep = exact > 0
+    lengths, exact = lengths[keep], exact[keep]
+    bucket_lo = np.left_shift(np.int64(1), np.floor(np.log2(lengths)).astype(np.int64))
+    out = (
+        pd.DataFrame({"bucket_lo": bucket_lo, "n_convs": exact, "n_turns": lengths * exact})
+        .groupby("bucket_lo", as_index=False)
+        .agg(n_convs=("n_convs", "sum"), n_turns=("n_turns", "sum"))
+    )
+    return pa.Table.from_pandas(out.sort_values("bucket_lo"), preserve_index=False)
+
+
+def transcript_tool_usage(sf_dir: str | None = None) -> pa.Table:
+    """Tool-call mix per role from the encoded store (role + tool columns
+    only); bounded (role x tool) driver merge. Null tool = not a tool call."""
+    import pandas as pd
+
+    from ._util import finish_on_driver
+
+    ds = decode_dataset(_store_dir(sf_dir), columns=["role", "tool"])
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        t = batch.filter(batch["tool"].is_valid())
+        df = pd.DataFrame(
+            {"role": t["role"].to_pandas(), "tool": t["tool"].to_pandas()}
+        )
+        df["n"] = 1
+        return df.groupby(["role", "tool"], as_index=False).agg(n=("n", "sum"))
+
+    out = finish_on_driver(
+        ds.map_batches(partial, batch_format="pyarrow"), ["role", "tool"], ["n"]
+    )
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values(["role", "tool"]), preserve_index=False)
+
+
 def transcript_lookup(sf_dir: str | None = None) -> pa.Table:
     """Point-lookup check: fetch one known conversation (the first conv_id of
     the synthetic table) straight from the encoded containers — decoding only

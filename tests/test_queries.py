@@ -140,6 +140,9 @@ def test_all_queries_have_oracle_or_are_documented(ray_session):
         "transcript_roundtrip",
         "transcript_codec_plan",
         "transcript_lookup",
+        "transcript_role_stats",
+        "transcript_length_histogram",
+        "transcript_tool_usage",
         "convert_csv_roundtrip",
         "approx_distinct_parts",
         "approx_distinct_users_by_type",
@@ -426,3 +429,49 @@ def test_flat_packed_respects_array_offset():
     data, starts, lens = _flat_packed(col, np.uint8)
     flat = _gather_flat(data.view(np.uint64), starts // 8, lens // 8)
     assert flat.tolist() == [3, 4, 5, 6, 7, 8, 9]
+
+
+def test_store_analytics_match_sql_over_raw_input(ray_session):
+    """The encoded-store analytics (decode with column pruning -> partials)
+    must equal SQL over the RAW synth input parquet — an independent oracle
+    that also re-proves codec fidelity through a second lens."""
+    from parquet_converter_ray.pipelines import transcripts as tr
+
+    got_roles = _normalize(tr.transcript_role_stats(SF_DIR).to_pandas())
+    got_hist = _normalize(tr.transcript_length_histogram(SF_DIR).to_pandas())
+    got_tools = _normalize(tr.transcript_tool_usage(SF_DIR).to_pandas())
+
+    inp = tr._input_dir(tr._scale_rows(SF_DIR))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{inp}/*.parquet'")
+    exp_roles = _normalize(
+        con.sql(
+            """
+            SELECT role, count(*)::BIGINT AS n_turns,
+                   sum(length(coalesce(text, '')))::BIGINT AS n_chars,
+                   round(sum(length(coalesce(text, ''))) / count(*), 4) AS avg_chars
+            FROM t GROUP BY role ORDER BY role
+            """
+        ).df()
+    )
+    exp_hist = _normalize(
+        con.sql(
+            """
+            WITH l AS (SELECT conv_id, count(*)::BIGINT AS len FROM t GROUP BY conv_id)
+            SELECT CAST(power(2, floor(log2(len))) AS BIGINT) AS bucket_lo,
+                   count(*)::BIGINT AS n_convs, sum(len)::BIGINT AS n_turns
+            FROM l GROUP BY 1 ORDER BY 1
+            """
+        ).df()
+    )
+    exp_tools = _normalize(
+        con.sql(
+            """
+            SELECT role, tool, count(*)::BIGINT AS n FROM t
+            WHERE tool IS NOT NULL GROUP BY role, tool ORDER BY role, tool
+            """
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got_roles, exp_roles)
+    pd.testing.assert_frame_equal(got_hist, exp_hist)
+    pd.testing.assert_frame_equal(got_tools, exp_tools)
