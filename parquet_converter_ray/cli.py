@@ -72,6 +72,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--columns", nargs="*", default=None)
     p.add_argument("--limit", type=int, default=20, help="max rows printed (count is always exact)")
 
+    p = sub.add_parser(
+        "storestats",
+        help="analytics directly on an encoded store (column-pruned container decodes)",
+    )
+    p.add_argument("encoded_dir")
+    p.add_argument("--role-col", default="role")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--tool-col", default="tool")
+    p.add_argument("--order-col", default=None,
+                   help="dense order column for the length histogram (default: from _run.json)")
+
     p = sub.add_parser("verify", help="decode + compare bit-identical vs original parquet")
     p.add_argument("encoded_dir")
     p.add_argument("original")
@@ -150,6 +161,31 @@ def main(argv: list[str] | None = None) -> int:
                 "columns": tbl.column_names,
                 "sample": tbl.slice(0, max(args.limit, 0)).to_pylist(),
             }, default=str))
+        elif args.cmd == "storestats":
+            from .manifest import load_records, load_run_record
+            from .pipelines.transcripts import (
+                store_length_histogram,
+                store_role_stats,
+                store_tool_usage,
+            )
+
+            cols = set(load_records(args.encoded_dir)[0]["codecs"])
+            run = load_run_record(args.encoded_dir) or {}
+            order_col = args.order_col or run.get("order_col", "turn_idx")
+            out: dict = {}
+            if {args.role_col, args.text_col} <= cols:
+                out["role_stats"] = store_role_stats(
+                    args.encoded_dir, args.role_col, args.text_col
+                ).to_pylist()
+            if order_col in cols:
+                out["length_histogram"] = store_length_histogram(
+                    args.encoded_dir, order_col
+                ).to_pylist()
+            if {args.role_col, args.tool_col} <= cols:
+                out["tool_usage"] = store_tool_usage(
+                    args.encoded_dir, args.role_col, args.tool_col
+                ).to_pylist()
+            print(json.dumps(out, default=str))
         elif args.cmd == "verify":
             if args.distributed:
                 from .decode import verify_distributed

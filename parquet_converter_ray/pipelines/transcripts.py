@@ -174,23 +174,21 @@ def _store_dir(sf_dir: str | None) -> str:
     return out
 
 
-def transcript_role_stats(sf_dir: str | None = None) -> pa.Table:
+def store_role_stats(store_dir: str, role_col: str = "role", text_col: str = "text") -> pa.Table:
     """Per-role turn counts and text volume computed DIRECTLY ON THE ENCODED
-    STORE: ``decode_dataset(columns=["role", "text"])`` prunes at the
+    STORE: ``decode_dataset(columns=[role, text])`` prunes at the
     container level, so the conv_id/turn_idx/tool/ts buffers are never even
-    decompressed. Per-batch partials, bounded driver merge (4 roles).
-    Rows-only for the driver (the store is not SQL-visible); pytest oracles
-    it against DuckDB over the raw input parquet."""
+    decompressed. Per-batch partials, bounded driver merge (4 roles)."""
     import pandas as pd
     import pyarrow.compute as pc
 
     from ._util import finish_on_driver, sql_round
 
-    ds = decode_dataset(_store_dir(sf_dir), columns=["role", "text"])
+    ds = decode_dataset(store_dir, columns=[role_col, text_col])
 
     def partial(batch: pa.Table) -> "pd.DataFrame":
-        chars = pc.fill_null(pc.utf8_length(batch["text"]), 0).to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"role": batch["role"].to_pandas(), "n_chars": chars})
+        chars = pc.fill_null(pc.utf8_length(batch[text_col]), 0).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"role": batch[role_col].to_pandas(), "n_chars": chars})
         return df.groupby("role", as_index=False).agg(
             n_turns=("n_chars", "size"), n_chars=("n_chars", "sum")
         )
@@ -204,7 +202,13 @@ def transcript_role_stats(sf_dir: str | None = None) -> pa.Table:
     return pa.Table.from_pandas(out.sort_values("role"), preserve_index=False)
 
 
-def transcript_length_histogram(sf_dir: str | None = None) -> pa.Table:
+def transcript_role_stats(sf_dir: str | None = None) -> pa.Table:
+    """Rows-only driver query (the store is not SQL-visible); pytest oracles
+    it against DuckDB over the raw input parquet."""
+    return store_role_stats(_store_dir(sf_dir))
+
+
+def store_length_histogram(store_dir: str, order_col: str = "turn_idx") -> pa.Table:
     """Conversation-length distribution (log2 buckets) WITHOUT any per-
     conversation aggregation: turn indices are dense per conversation, so
     ``count(rows with turn_idx == t)`` IS the number of conversations longer
@@ -216,10 +220,10 @@ def transcript_length_histogram(sf_dir: str | None = None) -> pa.Table:
 
     from ._util import finish_on_driver
 
-    ds = decode_dataset(_store_dir(sf_dir), columns=["turn_idx"])
+    ds = decode_dataset(store_dir, columns=[order_col])
 
     def partial(batch: pa.Table) -> "pd.DataFrame":
-        t = batch["turn_idx"].to_numpy()
+        t = batch[order_col].to_numpy()
         c = np.bincount(t)
         nz = np.flatnonzero(c)
         return pd.DataFrame({"t": nz.astype(np.int64), "c": c[nz].astype(np.int64)})
@@ -241,19 +245,23 @@ def transcript_length_histogram(sf_dir: str | None = None) -> pa.Table:
     return pa.Table.from_pandas(out.sort_values("bucket_lo"), preserve_index=False)
 
 
-def transcript_tool_usage(sf_dir: str | None = None) -> pa.Table:
+def transcript_length_histogram(sf_dir: str | None = None) -> pa.Table:
+    return store_length_histogram(_store_dir(sf_dir))
+
+
+def store_tool_usage(store_dir: str, role_col: str = "role", tool_col: str = "tool") -> pa.Table:
     """Tool-call mix per role from the encoded store (role + tool columns
     only); bounded (role x tool) driver merge. Null tool = not a tool call."""
     import pandas as pd
 
     from ._util import finish_on_driver
 
-    ds = decode_dataset(_store_dir(sf_dir), columns=["role", "tool"])
+    ds = decode_dataset(store_dir, columns=[role_col, tool_col])
 
     def partial(batch: pa.Table) -> "pd.DataFrame":
-        t = batch.filter(batch["tool"].is_valid())
+        t = batch.filter(batch[tool_col].is_valid())
         df = pd.DataFrame(
-            {"role": t["role"].to_pandas(), "tool": t["tool"].to_pandas()}
+            {"role": t[role_col].to_pandas(), "tool": t[tool_col].to_pandas()}
         )
         df["n"] = 1
         return df.groupby(["role", "tool"], as_index=False).agg(n=("n", "sum"))
@@ -263,6 +271,10 @@ def transcript_tool_usage(sf_dir: str | None = None) -> pa.Table:
     )
     out["n"] = out["n"].astype("int64")
     return pa.Table.from_pandas(out.sort_values(["role", "tool"]), preserve_index=False)
+
+
+def transcript_tool_usage(sf_dir: str | None = None) -> pa.Table:
+    return store_tool_usage(_store_dir(sf_dir))
 
 
 def transcript_lookup(sf_dir: str | None = None) -> pa.Table:

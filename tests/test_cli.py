@@ -55,6 +55,13 @@ def test_cli_encode_verify_decode(small_parquet, tmp_path_factory):
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(r.stdout.strip().splitlines()[-1])["rows"] == 3000
 
+    r = run_cli("storestats", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert set(stats) == {"role_stats", "length_histogram", "tool_usage"}
+    assert sum(row["n_turns"] for row in stats["role_stats"]) == 3000
+    assert sum(row["n_turns"] for row in stats["length_histogram"]) == 3000
+
 
 def test_cli_convert_and_analyze(tmp_path):
     src = tmp_path / "d.csv"
