@@ -67,6 +67,25 @@ def read_footer(data: bytes) -> dict:
     return json.loads(data[fstart : fstart + flen].decode())
 
 
+def read_footer_file(path: str) -> dict:
+    """Read ONLY a container's footer from disk (tail seek — no column bytes).
+
+    Used by append's schema-conform step to learn the store schema without
+    decoding anything: footer_len sits in the last 14 bytes, the JSON right
+    before it."""
+    with open(path, "rb") as f:
+        head = f.read(len(MAGIC))
+        if head != MAGIC:
+            raise ValueError("bad container magic")
+        f.seek(-(len(MAGIC) + 8), os.SEEK_END)
+        tail = f.read()
+        if tail[-len(MAGIC) :] != MAGIC:
+            raise ValueError("bad container magic")
+        flen = int.from_bytes(tail[: 8], "little")
+        f.seek(-(len(MAGIC) + 8 + flen), os.SEEK_END)
+        return json.loads(f.read(flen).decode())
+
+
 def unpack_container(
     data: bytes, columns: list[str] | None = None, verify_crc: bool = False
 ) -> tuple[dict, dict[str, ColumnBlob]]:

@@ -463,6 +463,53 @@ def append_dataset(
     else:
         ds = source
 
+    # --- schema-conform the delivery to the STORE schema (footer of any base
+    # container — a tail seek, no column bytes). Reordered columns are
+    # harmless; columns the store has but the delivery lacks are filled with
+    # typed nulls (additive drift over months of ingest); extra or
+    # type-changed columns would silently corrupt decode, so they raise.
+    from .codecs import str_to_type
+    from .container import read_footer_file
+    from .decode import container_files
+
+    footer = read_footer_file(container_files(out_dir)[0])
+    store_schema = [(c["name"], str_to_type(c["type"])) for c in footer["columns"]]
+    store_names = [n for n, _ in store_schema]
+    del_schema = ds.schema()
+    del_names = list(del_schema.names)
+    extra = [n for n in del_names if n not in store_names]
+    if extra:
+        raise ValueError(
+            f"delivery has columns {extra} the store {out_dir} does not; "
+            "schema evolution is additive on the STORE side only — compact "
+            "into a new store to add columns"
+        )
+    missing = [n for n in store_names if n not in del_names]
+    if conv_col in missing or order_col in missing:
+        raise ValueError(
+            f"delivery lacks the partition/order column(s) "
+            f"{[c for c in (conv_col, order_col) if c in missing]} — cannot append"
+        )
+    for n, t in store_schema:
+        if n in del_names:
+            dt = del_schema.base_schema.field(n).type
+            if dt != t:
+                raise ValueError(
+                    f"column {n!r}: delivery type {dt} != store type {t} — "
+                    "appending would mix physical encodings"
+                )
+
+    def _conform(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                n: batch[n] if n in batch.column_names else pa.nulls(batch.num_rows, t)
+                for n, t in store_schema
+            }
+        )
+
+    if missing or del_names != store_names:
+        ds = ds.map_batches(_conform, batch_format="pyarrow")
+
     def _assign(batch: pa.Table) -> pa.Table:
         return assign_part_id(
             batch, n_parts, conv_col=conv_col, order_col=order_col, salt_rows=salt_rows

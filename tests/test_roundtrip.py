@@ -503,3 +503,73 @@ def test_store_relocation(ray_session, tmp_path):
 
     with _pytest.raises(ValueError, match="not in the manifest"):
         container_files(moved)
+
+
+def test_append_schema_conform(ray_session, tmp_path):
+    """Deliveries with reordered or additively-missing columns conform to the
+    STORE schema (typed null fill); extra columns, type changes, and a
+    missing partition column raise before anything is written."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from parquet_converter_ray.decode import decode_dataset
+    from parquet_converter_ray.encode import append_dataset, encode_dataset
+    from parquet_converter_ray.synth import make_transcripts
+
+    base = make_transcripts(3000, seed=31)
+    d1 = make_transcripts(1000, seed=32)
+    inp = tmp_path / "base"
+    inp.mkdir()
+    pq.write_table(base, inp / "t.parquet")
+    enc = str(tmp_path / "enc")
+    encode_dataset(str(inp), enc, n_parts=3, salt_rows=500)
+
+    # reordered columns + dropped 'tool' column: conforms, tool -> nulls
+    reordered = d1.select(["ts", "text", "conv_id", "role", "turn_idx"])
+    p1 = tmp_path / "d1"
+    p1.mkdir()
+    pq.write_table(reordered, p1 / "t.parquet")
+    s = append_dataset(str(p1), enc)
+    assert s["rows"] == 4000
+
+    order = [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+    d1_conformed = d1.set_column(
+        d1.column_names.index("tool"), "tool", pa.nulls(d1.num_rows, pa.string())
+    )
+    expect = pa.concat_tables([base, d1_conformed]).sort_by(order).combine_chunks()
+    got = (
+        pa.concat_tables(list(decode_dataset(enc).iter_batches(batch_format="pyarrow")))
+        .select(expect.column_names)
+        .sort_by(order)
+        .combine_chunks()
+    )
+    assert got.equals(expect)
+
+    # extra column -> raises
+    extra = d1.append_column("new_col", pa.nulls(d1.num_rows, pa.int64()))
+    p2 = tmp_path / "d2"
+    p2.mkdir()
+    pq.write_table(extra, p2 / "t.parquet")
+    with pytest.raises(ValueError, match="schema evolution is additive"):
+        append_dataset(str(p2), enc)
+
+    # type change -> raises
+    retyped = d1.set_column(
+        d1.column_names.index("turn_idx"),
+        "turn_idx",
+        d1["turn_idx"].cast(pa.int64()),
+    )
+    p3 = tmp_path / "d3"
+    p3.mkdir()
+    pq.write_table(retyped, p3 / "t.parquet")
+    with pytest.raises(ValueError, match="delivery type"):
+        append_dataset(str(p3), enc)
+
+    # missing partition column -> raises
+    noconv = d1.drop_columns(["conv_id"])
+    p4 = tmp_path / "d4"
+    p4.mkdir()
+    pq.write_table(noconv, p4 / "t.parquet")
+    with pytest.raises(ValueError, match="partition/order column"):
+        append_dataset(str(p4), enc)
