@@ -59,6 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("append", help="append a new delivery of rows to an existing encoded store")
     p.add_argument("input", help="parquet file/dir with the new rows")
     p.add_argument("encoded_dir")
+    p.add_argument("--skip-existing", action="store_true",
+                   help="idempotent delivery: drop rows whose (conv, order) key is already stored")
 
     p = sub.add_parser("compact", help="re-pack an encoded store into right-sized containers")
     p.add_argument("input")
@@ -146,7 +148,7 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "append":
             from .encode import append_dataset
 
-            print(json.dumps(append_dataset(args.input, args.encoded_dir)))
+            print(json.dumps(append_dataset(args.input, args.encoded_dir, skip_existing=args.skip_existing)))
         elif args.cmd == "compact":
             from .encode import compact_dataset
 

@@ -419,10 +419,52 @@ def compact_dataset(
     )
 
 
+def _row_keys(conv, order) -> "pa.ChunkedArray":
+    """(conv, order) composed into one binary key, vectorized (0x1f separator
+    — cannot occur inside the decimal order rendering)."""
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise(
+        pc.cast(conv, pa.string()), pc.cast(order, pa.string()), "\x1f"
+    )
+
+
+def _existing_part_keys(out_dir: str, part_id: int, conv_col: str, order_col: str):
+    """All (conv, order) keys already stored in ONE partition (base container
+    + every appended generation) — a partition-local pruned decode, never a
+    store scan: re-delivered rows hash to the same part_id, so idempotence
+    only needs the keys of the partition being written."""
+    from .container import decode_table
+    from .decode import resolve_container_path
+
+    chunks = []
+    for r in mf.load_records(out_dir):
+        if int(r["part_id"]) != part_id:
+            continue
+        with open(resolve_container_path(out_dir, r), "rb") as f:
+            t = decode_table(f.read(), columns=[conv_col, order_col])
+        k = _row_keys(t[conv_col], t[order_col])
+        chunks.extend(k.chunks if isinstance(k, pa.ChunkedArray) else [k])
+    return pa.chunked_array(chunks) if chunks else None
+
+
+_LINEAGE_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("rows", pa.int64()),
+        ("bytes_in", pa.int64()),
+        ("bytes_out", pa.int64()),
+        ("codecs", pa.string()),
+        ("wall_s", pa.float64()),
+    ]
+)
+
+
 def append_dataset(
     source,
     out_dir: str,
     codec: str | dict = "auto",
+    skip_existing: bool = False,
 ) -> dict:
     """Append a NEW delivery of rows to an EXISTING encoded store without
     touching its base containers — the continuous-ingestion path.
@@ -434,7 +476,15 @@ def append_dataset(
     the manifest. Generations are monotone per delivery; run
     ``compact_dataset`` periodically to fold fragmented deliveries back into
     right-sized containers. Base-run resume semantics are untouched
-    (``completed_parts`` ignores appended generations)."""
+    (``completed_parts`` ignores appended generations).
+
+    ``skip_existing=True`` makes deliveries IDEMPOTENT at row granularity:
+    inside each partition group, rows whose (conv, order) key already exists
+    in that partition (any generation) are dropped before encoding, and a
+    partition whose delivery rows are all duplicates writes no container at
+    all. The check is partition-LOCAL by construction — a re-delivered row
+    hashes to the same part_id — so a retried or overlapping delivery costs
+    one pruned two-column decode per touched partition, never a store scan."""
     from ray.data.context import DataContext, ShuffleStrategy
 
     from . import manifest as mf
@@ -516,19 +566,34 @@ def append_dataset(
         )
 
     encoder = EncodePartition(out_dir, codec=codec, sort_key=sort_key, generation=gen)
+
+    def _encode_group(g: pa.Table) -> pa.Table:
+        if skip_existing and g.num_rows:
+            import pyarrow.compute as pc
+
+            pid = int(g["part_id"][0].as_py())
+            existing = _existing_part_keys(out_dir, pid, conv_col, order_col)
+            if existing is not None:
+                keys = _row_keys(g[conv_col], g[order_col])
+                g = g.filter(pc.invert(pc.is_in(keys, value_set=existing)))
+            if g.num_rows == 0:
+                return _LINEAGE_SCHEMA.empty_table()
+        return encoder(g)
+
     lineage = (
         ds.map_batches(_assign, batch_format="pyarrow")
         .groupby("part_id")
-        .map_groups(lambda g: encoder(g), batch_format="pyarrow")
+        .map_groups(_encode_group, batch_format="pyarrow")
     )
     ctx = DataContext.get_current()
     prev_strategy = ctx.shuffle_strategy
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     try:
-        lineage.take_all()
+        taken = lineage.take_all()
     finally:
         ctx.shuffle_strategy = prev_strategy
     summary = mf.consolidate(out_dir)
     summary["n_parts"] = n_parts
     summary["generation"] = gen
+    summary["rows_appended"] = int(sum(r["rows"] for r in taken))
     return summary

@@ -573,3 +573,58 @@ def test_append_schema_conform(ray_session, tmp_path):
     pq.write_table(noconv, p4 / "t.parquet")
     with pytest.raises(ValueError, match="partition/order column"):
         append_dataset(str(p4), enc)
+
+
+def test_append_skip_existing_idempotent(ray_session, tmp_path):
+    """skip_existing=True makes deliveries idempotent at row granularity:
+    a full re-delivery appends nothing, an overlapping delivery appends only
+    its new rows, and decode equals the deduplicated union."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray.decode import container_files, decode_dataset
+    from parquet_converter_ray.encode import append_dataset, encode_dataset
+    from parquet_converter_ray.synth import make_transcripts
+
+    base = make_transcripts(4000, seed=41)
+    # conv_offset: synth reuses low conv ids across seeds; offset makes these
+    # conversations genuinely new to the store
+    fresh = make_transcripts(1500, seed=43, conv_offset=10_000_000)
+    inp = tmp_path / "base"
+    inp.mkdir()
+    pq.write_table(base, inp / "t.parquet")
+    enc = str(tmp_path / "enc")
+    encode_dataset(str(inp), enc, n_parts=4, salt_rows=500)
+    n_base_files = len(container_files(enc))
+
+    # exact re-delivery: nothing appended, no container written
+    p1 = tmp_path / "retry"
+    p1.mkdir()
+    pq.write_table(base, p1 / "t.parquet")
+    s = append_dataset(str(p1), enc, skip_existing=True)
+    assert s["rows_appended"] == 0
+    assert s["rows"] == 4000
+    assert len(container_files(enc)) == n_base_files
+
+    # overlapping delivery: half retry + genuinely new rows
+    overlap = pa.concat_tables([base.slice(0, 2000), fresh])
+    p2 = tmp_path / "overlap"
+    p2.mkdir()
+    pq.write_table(overlap, p2 / "t.parquet")
+    s2 = append_dataset(str(p2), enc, skip_existing=True)
+    assert s2["rows_appended"] == fresh.num_rows
+    assert s2["rows"] == 4000 + fresh.num_rows
+
+    order = [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+    expect = pa.concat_tables([base, fresh]).sort_by(order).combine_chunks()
+    got = (
+        pa.concat_tables(list(decode_dataset(enc).iter_batches(batch_format="pyarrow")))
+        .select(expect.column_names)
+        .sort_by(order)
+        .combine_chunks()
+    )
+    assert got.equals(expect)
+
+    # a second identical overlapping delivery is a no-op
+    s3 = append_dataset(str(p2), enc, skip_existing=True)
+    assert s3["rows_appended"] == 0
