@@ -28,6 +28,43 @@ def _init_ray(num_cpus: int | None):
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
 
+def _parse_where(clause: str) -> tuple[str, str, object]:
+    """Parse one ``--where`` conjunct into a (column, op, value) triple.
+
+    Grammar: ``col OP value`` with OP one of ``== != <= >= < >``,
+    ``col in v1,v2,...``, or ``col between lo,hi``. Values stay strings
+    unless they parse as int/float — the zone-map layer coerces them to the
+    column's stored type, so ``ts>=2024-01-01T00:00:00`` also works.
+    """
+    import re
+
+    def _val(s: str):
+        s = s.strip()
+        for conv in (int, float):
+            try:
+                return conv(s)
+            except ValueError:
+                pass
+        return s
+
+    m = re.match(r"^\s*(\w+)\s+(in|between)\s+(.+)$", clause, re.IGNORECASE)
+    if m:
+        col, op, rest = m.group(1), m.group(2).lower(), m.group(3)
+        vals = [_val(v) for v in rest.split(",") if v.strip() != ""]
+        if op == "between":
+            if len(vals) != 2:
+                raise ValueError(f"between needs 'lo,hi': {clause!r}")
+            return (col, op, (vals[0], vals[1]))
+        return (col, op, vals)
+    m = re.match(r"^\s*(\w+)\s*(==|!=|<=|>=|<|>)\s*(.+?)\s*$", clause)
+    if not m:
+        raise ValueError(
+            f"cannot parse --where clause {clause!r} "
+            "(expected 'col OP value', 'col in a,b', or 'col between lo,hi')"
+        )
+    return (m.group(1), m.group(2), _val(m.group(3)))
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="parquet-converter-ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -84,6 +121,31 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--tool-col", default="tool")
     p.add_argument("--order-col", default=None,
                    help="dense order column for the length histogram (default: from _run.json)")
+
+    p = sub.add_parser(
+        "scan",
+        help="predicate-pushdown scan of an encoded store (zone-map + dictionary pruning)",
+    )
+    p.add_argument("encoded_dir")
+    p.add_argument(
+        "--where", action="append", required=True, metavar="CLAUSE",
+        help="conjunct like 'turn_idx>=100', 'role==user', 'tool in search,browser', "
+             "'ts between 1000,2000' (repeatable, ANDed)",
+    )
+    p.add_argument("--columns", nargs="*", default=None)
+    p.add_argument("--output", default=None, help="write matches as parquet instead of counting")
+    p.add_argument("--limit", type=int, default=5, help="sample rows printed when not writing")
+
+    p = sub.add_parser(
+        "storeprofile",
+        help="profile an encoded store from manifest metadata only (no container reads)",
+    )
+    p.add_argument("encoded_dir")
+
+    p = sub.add_parser("fsck", help="check store integrity (manifest <-> containers <-> bytes)")
+    p.add_argument("encoded_dir")
+    p.add_argument("--deep", action="store_true",
+                   help="also CRC-verify and decode every container (distributed)")
 
     p = sub.add_parser("verify", help="decode + compare bit-identical vs original parquet")
     p.add_argument("encoded_dir")
@@ -188,6 +250,35 @@ def main(argv: list[str] | None = None) -> int:
                     args.encoded_dir, args.role_col, args.tool_col
                 ).to_pylist()
             print(json.dumps(out, default=str))
+        elif args.cmd == "scan":
+            from .zonemap import scan_store
+
+            clauses = [_parse_where(w) for w in args.where]
+            ds, plan = scan_store(
+                args.encoded_dir, clauses, columns=args.columns, return_plan=True
+            )
+            if args.output:
+                ds.write_parquet(args.output, compression=cfg.compression)
+                rows = ray.data.read_parquet(args.output).count()
+                print(json.dumps({"plan": plan, "rows": rows, "output": args.output}))
+            else:
+                # streaming: never materialize the full match set on the driver
+                sample = ds.take(max(args.limit, 0)) if args.limit > 0 else []
+                print(json.dumps({
+                    "plan": plan,
+                    "rows": ds.count(),
+                    "sample": sample,
+                }, default=str))
+        elif args.cmd == "storeprofile":
+            from .zonemap import store_profile
+
+            print(json.dumps(store_profile(args.encoded_dir), default=str))
+        elif args.cmd == "fsck":
+            from .fsck import fsck_store
+
+            rep = fsck_store(args.encoded_dir, deep=args.deep)
+            print(json.dumps(rep))
+            return 0 if rep["ok"] else 1
         elif args.cmd == "verify":
             if args.distributed:
                 from .decode import verify_distributed

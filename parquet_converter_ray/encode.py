@@ -121,10 +121,13 @@ class EncodePartition:
         t_sort = time.monotonic()
         blobs = encode_table(table, codec=self.codec)
         t_enc = time.monotonic()
+        from .zonemap import column_stats
+
+        stats = column_stats(table, {name: blob.codec for name, blob in blobs.items()})
         payload = pack_container(
             blobs,
             extra={"part_id": part_id, "rows": table.num_rows, "sort_key": sort_cols,
-                   "generation": self.generation},
+                   "generation": self.generation, "stats": stats},
         )
         gsuf = f"-g{self.generation:04d}" if self.generation else ""
         path = os.path.join(self.out_dir, f"part-{part_id:05d}{gsuf}.pcc")
@@ -147,6 +150,7 @@ class EncodePartition:
             path=path,
             timings=timings,
             generation=self.generation,
+            stats=stats,
         )
         mf.write_record(self.out_dir, rec)
         import json

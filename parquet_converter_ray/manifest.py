@@ -27,6 +27,7 @@ class LineageRecord:
     path: str = ""
     timings: dict = field(default_factory=dict)  # phase -> seconds (observability)
     generation: int = 0  # 0 = base encode; >0 = appended delivery (append_dataset)
+    stats: dict = field(default_factory=dict)  # column -> zone map (zonemap.column_stats)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self))

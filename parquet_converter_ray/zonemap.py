@@ -1,0 +1,538 @@
+"""Zone maps: per-column min/max/null statistics captured at encode time.
+
+Every partition's container footer and lineage record gain a ``stats`` map
+(``column -> {min, max, nulls, t[, approx]}``), computed once on the sorted
+partition table right before packing. They power two at-scale features:
+
+* ``store_profile`` — profile a store from MANIFEST METADATA ONLY: global
+  per-column bounds, null counts, codec mix, rows/bytes/ratio. Kilobytes of
+  JSON reads regardless of store size (the 100 TB answer to "what is in
+  here?" — no container is opened).
+* ``scan_store`` — predicate-pushdown reads. Containers whose zone map
+  proves no row can match are never opened; for ``==`` / ``in`` predicates
+  on dict-encoded columns a second-level probe reads ONLY the dictionary
+  buffers (footer tail seek + ranged reads, a few KB) and drops containers
+  whose dictionary lacks the value — all before a single data buffer is
+  decoded. Survivors stream through the normal pruned decode with the exact
+  filter applied batch-wise.
+
+The design follows Parquet's row-group statistics (public format spec) at
+container granularity; string bounds use the standard truncate-and-increment
+trick so they stay conservative. The reference engine has no analogue — it
+always rewrites and rereads whole files (reference converter.py, analyzer.py
+read full tables for every question).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .codecs import str_to_type, type_to_str
+from .codecs.strings import dec_plain_s
+from .codecs.util import unwrap_buf
+
+STR_BOUND_LEN = 64  # string zone-map bounds are truncated to this many chars
+
+_OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "between")
+
+
+# --- bound helpers -----------------------------------------------------------
+
+
+def _trunc_min(s: str) -> tuple[str, bool]:
+    """Lower bound for a string: a prefix is always <= the full string."""
+    if len(s) <= STR_BOUND_LEN:
+        return s, False
+    return s[:STR_BOUND_LEN], True
+
+
+def _trunc_max(s: str) -> tuple[str | None, bool]:
+    """Upper bound for a truncated string: increment the last code point of
+    the prefix (skipping the surrogate gap). Returns (None, True) in the
+    degenerate all-U+10FFFF case — an unbounded maximum."""
+    if len(s) <= STR_BOUND_LEN:
+        return s, False
+    p = s[:STR_BOUND_LEN]
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            nc = c + 1
+            if 0xD800 <= nc <= 0xDFFF:
+                nc = 0xE000
+            return p[:i] + chr(nc), True
+    return None, True
+
+
+def _is_strlike(t: pa.DataType) -> bool:
+    return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
+def _int_physical(t: pa.DataType) -> pa.DataType | None:
+    """Integer view type for ordered non-float scalars (None = not integral)."""
+    if pa.types.is_boolean(t) or pa.types.is_date32(t):
+        return pa.int32()
+    if pa.types.is_integer(t) or pa.types.is_timestamp(t) or pa.types.is_date64(t):
+        return pa.int64()
+    return None
+
+
+def column_stats(table: pa.Table, codecs: dict[str, str] | None = None) -> dict[str, dict]:
+    """Per-column zone-map entries for one partition table.
+
+    Numeric / timestamp / date / bool columns always get bounds (SIMD
+    ``min_max``, integer domain stored for exact JSON round-trips; floats via
+    ``nanmin`` so NaN rows — which never satisfy a comparison — don't poison
+    the bounds). String columns get bounds only when dict-encoded: free text
+    (fsst/plain) has useless bounds at real scale and ``min_max`` over it
+    would rescan the heaviest payload. Binary columns record nulls only.
+    """
+    out: dict[str, dict] = {}
+    for name in table.column_names:
+        col = table.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        ent: dict = {"nulls": int(col.null_count), "t": type_to_str(t)}
+        mn = mx = None
+        if len(col) > col.null_count:
+            it = _int_physical(t)
+            if it is not None:
+                mm = pc.min_max(col.cast(it))
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            elif pa.types.is_floating(t):
+                v = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+                with np.errstate(invalid="ignore"):
+                    lo, hi = np.nanmin(v), np.nanmax(v)
+                if not np.isnan(lo):
+                    mn, mx = float(lo), float(hi)
+            elif _is_strlike(t) and (codecs is None or codecs.get(name) == "dict"):
+                mm = pc.min_max(col)
+                mn, lo_approx = _trunc_min(mm["min"].as_py())
+                mx, hi_approx = _trunc_max(mm["max"].as_py())
+                if lo_approx or hi_approx:
+                    ent["approx"] = True
+        ent["min"], ent["max"] = mn, mx
+        out[name] = ent
+    return out
+
+
+# --- predicates ---------------------------------------------------------------
+
+
+def _normalize(predicate) -> list[tuple[str, str, object]]:
+    """Predicate = iterable of (column, op, value) conjuncts.
+
+    ``in`` takes a list/tuple/set of values, ``between`` an inclusive
+    (lo, hi) pair; everything is ANDed (disjunctions don't prune anyway).
+    """
+    clauses = []
+    for cl in predicate:
+        col, op, val = cl
+        if op not in _OPS:
+            raise ValueError(f"unsupported predicate op {op!r}; one of {_OPS}")
+        if op == "in":
+            val = list(val)
+            if not val:
+                raise ValueError(f"empty 'in' list for column {col!r}")
+        if op == "between":
+            lo, hi = val
+            val = (lo, hi)
+        clauses.append((str(col), op, val))
+    return clauses
+
+
+def _coerce(value, type_str: str):
+    """Coerce a predicate value into the zone-map's stored domain for one
+    column: int for int/bool/timestamp/date (timestamps accept datetime or
+    ISO strings), float for floats, str for strings."""
+    t = str_to_type(type_str)
+    if _is_strlike(t):
+        if not isinstance(value, str):
+            raise TypeError(f"string column predicate needs str, got {type(value)}")
+        return value
+    try:
+        s = pa.scalar(value, type=t)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+        s = pa.scalar(value).cast(t)
+    if pa.types.is_floating(t):
+        return float(s.as_py())
+    it = _int_physical(t)
+    if it is not None:
+        return s.cast(it).as_py()
+    return s.as_py()
+
+
+def record_may_match(stats: dict, rows: int, clauses) -> bool:
+    """Conservative zone-map check: False ONLY when no row in the partition
+    can satisfy the conjunction (SQL semantics — NULL matches nothing)."""
+    for col, op, val in clauses:
+        st = stats.get(col)
+        if st is None:
+            continue  # column has no recorded stats -> cannot prune on it
+        if rows and st.get("nulls", 0) >= rows:
+            return False  # all-null column: no comparison predicate matches
+        mn, mx = st.get("min"), st.get("max")
+        if mn is None and mx is None:
+            continue
+        try:
+            if op == "in":
+                vs = [_coerce(v, st["t"]) for v in val]
+            elif op == "between":
+                vs = [_coerce(val[0], st["t"]), _coerce(val[1], st["t"])]
+            else:
+                vs = [_coerce(val, st["t"])]
+        except (TypeError, ValueError, pa.ArrowInvalid, pa.ArrowTypeError):
+            continue  # un-coercible value: don't prune, let the exact filter decide
+        lo = mn if mn is not None else None
+        hi = mx  # may be None (unbounded truncated max)
+        if op == "==" and _outside(vs[0], lo, hi):
+            return False
+        if op == "!=" and lo is not None and hi is not None and lo == hi == vs[0]:
+            if st.get("nulls", 0) == 0 and not st.get("approx"):
+                return False
+        if op == "<" and lo is not None and lo >= vs[0]:
+            return False
+        if op == "<=" and lo is not None and lo > vs[0]:
+            return False
+        if op == ">" and hi is not None and hi <= vs[0]:
+            return False
+        if op == ">=" and hi is not None and hi < vs[0]:
+            return False
+        if op == "in" and all(_outside(v, lo, hi) for v in vs):
+            return False
+        if op == "between":
+            blo, bhi = vs
+            if (hi is not None and blo > hi) or (lo is not None and bhi < lo):
+                return False
+    return True
+
+
+def _outside(v, lo, hi) -> bool:
+    if lo is not None and v < lo:
+        return True
+    if hi is not None and v > hi:
+        return True
+    return False
+
+
+def _pa_scalar(value, t: pa.DataType) -> pa.Scalar:
+    try:
+        return pa.scalar(value, type=t)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+        return pa.scalar(value).cast(t)
+
+
+def apply_predicate(table: pa.Table, clauses) -> pa.Table:
+    """Exact batch-wise filter for the same clause list (AND of conjuncts,
+    nulls never match)."""
+    mask = None
+    for col, op, val in clauses:
+        c = table[col]
+        t = c.type if not isinstance(c, pa.ChunkedArray) else c.type
+        if op == "in":
+            m = pc.is_in(c, value_set=pa.array([_pa_scalar(v, t).as_py() for v in val], type=t))
+        elif op == "between":
+            m = pc.and_kleene(
+                pc.greater_equal(c, _pa_scalar(val[0], t)),
+                pc.less_equal(c, _pa_scalar(val[1], t)),
+            )
+        else:
+            fn = {
+                "==": pc.equal,
+                "!=": pc.not_equal,
+                "<": pc.less,
+                "<=": pc.less_equal,
+                ">": pc.greater,
+                ">=": pc.greater_equal,
+            }[op]
+            m = fn(c, _pa_scalar(val, t))
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    if mask is None:
+        return table
+    return table.filter(pc.fill_null(mask, False))
+
+
+# --- dictionary probe (ranged reads, no data decode) ---------------------------
+
+
+def _buf_ranges(col_entry: dict) -> list[tuple[int, int]]:
+    """(offset, length) of every buffer of one column inside the container."""
+    off = int(col_entry["offset"])
+    out = []
+    for blen in col_entry["buf_lens"]:
+        out.append((off, int(blen)))
+        off += int(blen)
+    return out
+
+
+def container_dict_values(path: str, col_entry: dict):
+    """Read ONLY the dictionary-values buffers of a dict-encoded column from
+    a container file (ranged reads; code/data buffers are never touched).
+    Returns a pa.Array (string/binary dicts) or np.ndarray (numeric dicts);
+    None when the column isn't dict-encoded."""
+    if col_entry["codec"] != "dict":
+        return None
+    ranges = _buf_ranges(col_entry)
+    if col_entry.get("has_validity"):
+        ranges = ranges[1:]
+    meta = col_entry["meta"]
+    t = str_to_type(col_entry["type"])
+    with open(path, "rb") as f:
+        if _is_strlike(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            vr = ranges[-2:]  # dict codec layout: [*code_bufs, len_buf, payload_buf]
+            bufs = []
+            for off, ln in vr:
+                f.seek(off)
+                bufs.append(unwrap_buf(f.read(ln)))
+            vals = dec_plain_s(meta["vmeta"], bufs, meta["card"])
+            return vals.cast(t) if vals.type != t else vals
+        off, ln = ranges[0]  # numeric dict layout: [uniq_buf, *code_bufs]
+        f.seek(off)
+        return np.frombuffer(unwrap_buf(f.read(ln)), dtype=np.dtype(meta["dtype"]))
+
+
+def dict_probe_path(path: str, clauses) -> bool:
+    """True when the container at ``path`` may contain matches: for every
+    ==/in conjunct whose column is dict-encoded in this container, at least
+    one wanted value must appear in the dictionary."""
+    from .container import read_footer_file
+
+    eq = [(c, op, v) for c, op, v in clauses if op in ("==", "in")]
+    if not eq:
+        return True
+    footer = read_footer_file(path)
+    cols = {c["name"]: c for c in footer["columns"]}
+    for col, op, val in eq:
+        ent = cols.get(col)
+        if ent is None or ent["codec"] != "dict":
+            continue
+        wanted = [val] if op == "==" else list(val)
+        dv = container_dict_values(path, ent)
+        if dv is None:
+            continue
+        if isinstance(dv, np.ndarray):
+            if len(dv) == 0:
+                return False
+            try:
+                w = np.array([_coerce(v, ent["type"]) for v in wanted])
+            except (TypeError, ValueError, pa.ArrowInvalid, pa.ArrowTypeError):
+                continue
+            # uniq buffer is sorted (np.unique at encode) -> searchsorted probe;
+            # astype to the physical dtype is safe for pruning: a value outside
+            # the column's dtype domain matches no row either way
+            w = w.astype(dv.dtype, copy=False)
+            pos = np.searchsorted(dv, w)
+            hit = (pos < len(dv)) & (dv[np.minimum(pos, len(dv) - 1)] == w)
+            if not bool(hit.any()):
+                return False
+        else:
+            vs = pa.array([v for v in wanted], type=dv.type)
+            if not pc.any(pc.is_in(dv, value_set=vs)).as_py():
+                return False
+    return True
+
+
+# --- store scan (predicate pushdown) -------------------------------------------
+
+
+class _ScanDecoder:
+    """Decode surviving containers with column pruning + exact filter."""
+
+    def __init__(self, read_cols, out_cols, clauses, verify_crc=False):
+        self.read_cols = read_cols
+        self.out_cols = out_cols
+        self.clauses = clauses
+        self.verify_crc = verify_crc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .container import decode_table
+        from .encode import pin_arrow_threads
+
+        pin_arrow_threads(1)
+        tables = []
+        for blob in batch["bytes"]:
+            t = decode_table(blob.as_py(), columns=self.read_cols, verify_crc=self.verify_crc)
+            t = apply_predicate(t, self.clauses)
+            if self.out_cols is not None:
+                t = t.select(self.out_cols)
+            tables.append(t)
+        return pa.concat_tables(tables)
+
+
+def _store_schema(out_dir: str, recs: list[dict]) -> list[tuple[str, pa.DataType]]:
+    from .container import read_footer_file
+    from .decode import resolve_container_path
+
+    footer = read_footer_file(resolve_container_path(out_dir, recs[0]))
+    return [(c["name"], str_to_type(c["type"])) for c in footer["columns"]]
+
+
+def scan_store(
+    out_dir: str,
+    predicate,
+    columns: list[str] | None = None,
+    *,
+    dict_probe: bool = True,
+    verify_crc: bool = False,
+    concurrency=None,
+    return_plan: bool = False,
+):
+    """Predicate-pushdown scan of an encoded store -> streaming Dataset.
+
+    Three pruning levels before any data buffer is decoded:
+
+    1. **Manifest zone maps** — lineage-record ``stats`` rule out containers
+       driver-side from JSON already on hand (no file opens at all).
+    2. **Dictionary probe** (``==``/``in`` on dict-encoded columns) — a Ray
+       stage over candidate paths tail-reads each footer and ranged-reads
+       only the dictionary buffers (KB per container on any store size).
+    3. **Column pruning** — survivors decode only predicate + requested
+       columns; the exact filter runs batch-wise in the same stage.
+
+    Containers written before zone maps existed have no ``stats`` and are
+    conservatively scanned. ``return_plan=True`` also returns
+    ``{parts_total, pruned_stats, pruned_dict, scanned}``.
+    """
+    import ray.data
+
+    from . import manifest as mf
+    from .decode import container_files, resolve_container_path
+
+    clauses = _normalize(predicate)
+    recs = mf.load_records(out_dir)
+    plan = {"parts_total": 0, "pruned_stats": 0, "pruned_dict": 0, "scanned": 0}
+    if recs:
+        container_files(out_dir)  # stray-container guard
+        paths = []
+        for r in recs:
+            plan["parts_total"] += 1
+            st = r.get("stats") or {}
+            if st and not record_may_match(st, int(r.get("rows", 0)), clauses):
+                plan["pruned_stats"] += 1
+                continue
+            paths.append(resolve_container_path(out_dir, r))
+        schema = _store_schema(out_dir, recs)
+    else:
+        paths = container_files(out_dir)
+        if not paths:
+            raise FileNotFoundError(f"no container files under {out_dir}")
+        from .container import read_footer_file
+
+        plan["parts_total"] = len(paths)
+        schema = [(c["name"], str_to_type(c["type"])) for c in read_footer_file(paths[0])["columns"]]
+
+    names = [n for n, _ in schema]
+    for col, _, _ in clauses:
+        if col not in names:
+            raise ValueError(f"predicate column {col!r} not in store schema {names}")
+    out_cols = None
+    read_cols = None
+    if columns is not None:
+        missing = [c for c in columns if c not in names]
+        if missing:
+            raise ValueError(f"columns {missing} not in store schema {names}")
+        out_cols = list(columns)
+        read_cols = list(dict.fromkeys(list(columns) + [c for c, _, _ in clauses]))
+
+    if paths and dict_probe and any(op in ("==", "in") for _, op, _ in clauses):
+        # distributed probe: tiny ranged reads per path, never on the driver
+        pds = ray.data.from_items([{"path": p} for p in paths])
+
+        def _probe(batch: pa.Table) -> pa.Table:
+            keep = [p for p in batch["path"].to_pylist() if dict_probe_path(p, clauses)]
+            return pa.table({"path": pa.array(keep, type=pa.string())})
+
+        kept = [r["path"] for r in pds.map_batches(_probe, batch_format="pyarrow").take_all()]
+        plan["pruned_dict"] = len(paths) - len(kept)
+        paths = [p for p in paths if p in set(kept)]  # preserve order
+
+    plan["scanned"] = len(paths)
+    if not paths:
+        empty = pa.table({n: pa.array([], type=t) for n, t in schema if out_cols is None or n in out_cols})
+        if out_cols is not None:
+            empty = empty.select(out_cols)
+        ds = ray.data.from_arrow(empty)
+        return (ds, plan) if return_plan else ds
+
+    ds = ray.data.read_binary_files(paths)
+    kwargs: dict = {"batch_format": "pyarrow", "batch_size": 1}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+        ds = ds.map_batches(
+            _ScanDecoder,
+            fn_constructor_kwargs={
+                "read_cols": read_cols,
+                "out_cols": out_cols,
+                "clauses": clauses,
+                "verify_crc": verify_crc,
+            },
+            **kwargs,
+        )
+    else:
+        dec = _ScanDecoder(read_cols, out_cols, clauses, verify_crc)
+        ds = ds.map_batches(dec, **kwargs)
+    return (ds, plan) if return_plan else ds
+
+
+# --- metadata-only profile ------------------------------------------------------
+
+
+def store_profile(out_dir: str) -> dict:
+    """Profile an encoded store from manifest metadata alone — per-column
+    global bounds / null counts / codec mix plus store totals. Opens ZERO
+    container files; cost is the manifest JSON, independent of data size."""
+    from . import manifest as mf
+
+    recs = mf.load_records(out_dir)
+    if not recs:
+        raise FileNotFoundError(f"no manifest records under {out_dir}")
+    cols: dict[str, dict] = {}
+    with_stats = 0
+    rows = bytes_in = bytes_out = 0
+    generations = set()
+    for r in recs:
+        rows += int(r.get("rows", 0))
+        bytes_in += int(r.get("bytes_in", 0))
+        bytes_out += int(r.get("bytes_out", 0))
+        generations.add(int(r.get("generation", 0)))
+        for name, codec in (r.get("codecs") or {}).items():
+            c = cols.setdefault(
+                name,
+                {"codecs": {}, "nulls": 0, "min": None, "max": None, "t": None,
+                 "approx": False, "stats_parts": 0},
+            )
+            c["codecs"][codec] = c["codecs"].get(codec, 0) + 1
+        st = r.get("stats") or {}
+        if st:
+            with_stats += 1
+        for name, ent in st.items():
+            c = cols.setdefault(
+                name,
+                {"codecs": {}, "nulls": 0, "min": None, "max": None, "t": None,
+                 "approx": False, "stats_parts": 0},
+            )
+            c["stats_parts"] += 1
+            c["nulls"] += int(ent.get("nulls", 0))
+            c["t"] = c["t"] or ent.get("t")
+            c["approx"] = c["approx"] or bool(ent.get("approx"))
+            mn, mx = ent.get("min"), ent.get("max")
+            if mn is not None and (c["min"] is None or mn < c["min"]):
+                c["min"] = mn
+            if mx is None and ent.get("approx"):
+                c["approx"] = True
+            if mx is not None and (c["max"] is None or mx > c["max"]):
+                c["max"] = mx
+    return {
+        "partitions": len(recs),
+        "generations": len(generations),
+        "rows": rows,
+        "bytes_in": bytes_in,
+        "bytes_out": bytes_out,
+        "ratio": bytes_out / max(bytes_in, 1),
+        "stats_coverage": with_stats / len(recs),
+        "columns": cols,
+    }
