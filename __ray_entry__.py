@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convert_csv_roundtrip": transcripts.convert_csv_roundtrip,
         "convert_jsonl_roundtrip": transcripts.convert_jsonl_roundtrip,
         "lineitem_codec_roundtrip": transcripts.lineitem_codec_roundtrip,
+        "lineitem_scan_pushdown": transcripts.lineitem_scan_pushdown,
+        "lineitem_store_profile": transcripts.lineitem_store_profile,
         # --- training-shard preparation (mixture, split, packing, export) ---
         "mix_sources": export.mix_sources,
         "split_assign": export.split_assign,
@@ -391,6 +393,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "lineitem_codec_roundtrip": "SELECT * FROM lineitem",
+        "lineitem_scan_pushdown": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+            FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 45
+        """,
+        "lineitem_store_profile": """
+            SELECT col, min_v, max_v, nulls FROM (
+              SELECT 'l_discount' AS col, min(l_discount) AS min_v, max(l_discount) AS max_v,
+                     count(*) - count(l_discount) AS nulls FROM lineitem
+              UNION ALL SELECT 'l_extendedprice', min(l_extendedprice), max(l_extendedprice),
+                     count(*) - count(l_extendedprice) FROM lineitem
+              UNION ALL SELECT 'l_orderkey', min(l_orderkey), max(l_orderkey),
+                     count(*) - count(l_orderkey) FROM lineitem
+              UNION ALL SELECT 'l_quantity', min(l_quantity), max(l_quantity),
+                     count(*) - count(l_quantity) FROM lineitem
+              UNION ALL SELECT 'l_shipdate', epoch_us(min(l_shipdate)), epoch_us(max(l_shipdate)),
+                     count(*) - count(l_shipdate) FROM lineitem
+              UNION ALL SELECT 'l_tax', min(l_tax), max(l_tax),
+                     count(*) - count(l_tax) FROM lineitem
+            ) ORDER BY col
+        """,
         "token_counts": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

@@ -293,3 +293,71 @@ def transcript_lookup(sf_dir: str | None = None) -> pa.Table:
     # the first conversation exists at every scale
     got = lookup_conversation(out, "conv-00000000")
     return got.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def _lineitem_store(sf_dir: str) -> str:
+    """Encoded lineitem store for this sf (cached; encode once per scale).
+
+    Separate from ``lineitem_codec_roundtrip``'s dir, which is rebuilt from
+    scratch on every call."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_CACHE, f"encoded-lineitem-scan-{tag}")
+    if not os.path.exists(os.path.join(out, "manifest.jsonl")):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        encode_dataset(
+            f"{sf_dir}/lineitem.parquet",
+            out,
+            conv_col="l_orderkey",
+            order_col="l_linenumber",
+            sort_key=("l_orderkey", "l_linenumber"),
+            salt_rows=100_000,
+        )
+    return out
+
+
+def lineitem_scan_pushdown(sf_dir: str) -> pa.Table:
+    """Predicate-pushdown scan of an encoded store, oracle-checked against a
+    plain SQL filter over the raw parquet: zone maps prune containers from
+    manifest JSON, the dictionary probe ranged-reads only dict buffers for
+    the ``l_returnflag == 'R'`` conjunct, survivors decode only the five
+    requested columns with the exact filter applied batch-wise.
+    Oracle: SELECT ... FROM lineitem WHERE l_returnflag='R' AND l_quantity>=45."""
+    from ..zonemap import scan_store
+
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"]
+    ds = scan_store(
+        _lineitem_store(sf_dir),
+        [("l_returnflag", "==", "R"), ("l_quantity", ">=", 45)],
+        columns=cols,
+    )
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    tbl = pa.concat_tables(batches) if batches else ds.schema().empty_table()
+    return tbl.sort_by([("l_orderkey", "ascending"), ("l_linenumber", "ascending")])
+
+
+def lineitem_store_profile(sf_dir: str) -> pa.Table:
+    """Metadata-only store profile, oracle-checked: global per-column bounds
+    and null counts read from the manifest zone maps ALONE (zero container
+    opens) must equal SQL min/max/null aggregates over the raw table.
+    Timestamps compare as epoch microseconds (the zone map's stored domain)."""
+    from ..zonemap import store_profile
+
+    prof = store_profile(_lineitem_store(sf_dir))
+    cols = ["l_discount", "l_extendedprice", "l_orderkey", "l_quantity", "l_shipdate", "l_tax"]
+    rows = {"col": [], "min_v": [], "max_v": [], "nulls": []}
+    for c in cols:
+        ent = prof["columns"][c]
+        rows["col"].append(c)
+        rows["min_v"].append(float(ent["min"]))
+        rows["max_v"].append(float(ent["max"]))
+        rows["nulls"].append(int(ent["nulls"]))
+    return pa.table(
+        {
+            "col": pa.array(rows["col"], type=pa.string()),
+            "min_v": pa.array(rows["min_v"], type=pa.float64()),
+            "max_v": pa.array(rows["max_v"], type=pa.float64()),
+            "nulls": pa.array(rows["nulls"], type=pa.int64()),
+        }
+    )
