@@ -96,7 +96,22 @@ def run_bench() -> dict:
 
     headline = t_encode + t_decode
 
-    queries = {"encode": round(t_encode, 3), "decode": round(t_decode, 3)}
+    # predicate-pushdown scan over the store just encoded: zone maps prune
+    # low-turn_idx containers driver-side, the dict probe ranged-reads only
+    # the tool dictionaries, survivors decode two columns
+    from parquet_converter_ray.zonemap import scan_store
+
+    t0 = time.monotonic()
+    scan_rows = scan_store(
+        out_dir,
+        [("turn_idx", ">=", 200), ("tool", "==", "search")],
+        columns=["conv_id", "turn_idx"],
+    ).count()
+    t_scan = time.monotonic() - t0
+    assert scan_rows > 0, "pushdown scan returned no rows"
+
+    queries = {"encode": round(t_encode, 3), "decode": round(t_decode, 3),
+               "scan_pushdown": round(t_scan, 3)}
     if os.environ.get("PCR_BENCH_HEADLINE_ONLY"):
         query_list = []
     else:
