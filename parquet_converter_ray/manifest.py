@@ -93,8 +93,18 @@ def completed_parts(out_dir: str) -> set[int]:
                 rec = json.load(f)
             if rec.get("generation", 0):
                 continue  # appended deliveries are not base-run checkpoints
-            if os.path.getsize(rec["path"]) == rec["bytes_out"]:
-                done.add(int(rec["part_id"]))
+            # same local-first resolution as decode: a relocated store (records
+            # carry the encode-time absolute path) must still see its parts as
+            # complete, or a resume would re-encode everything into a dir that
+            # already holds the full data
+            local = os.path.join(out_dir, os.path.basename(rec["path"]))
+            for cand in (local, rec["path"]):
+                try:
+                    if os.path.getsize(cand) == rec["bytes_out"]:
+                        done.add(int(rec["part_id"]))
+                        break
+                except OSError:
+                    continue
         except (OSError, ValueError, KeyError):
             continue
     return done

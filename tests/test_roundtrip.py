@@ -496,6 +496,17 @@ def test_store_relocation(ray_session, tmp_path):
     got = pa.concat_tables(list(decode_dataset(moved).iter_batches(batch_format="pyarrow")))
     assert got.num_rows == 3000
     assert lookup_conversation(moved, "conv-00000000").num_rows > 0
+    # FULL relocation (original deleted): completed_parts must still see every
+    # part via local-first resolution, so a resume is a no-op instead of a
+    # full re-encode into a dir that already holds the data
+    shutil.rmtree(enc)
+    from parquet_converter_ray import manifest as mf
+
+    assert mf.completed_parts(moved) == {0, 1, 2}
+    summary = encode_dataset(str(inp), moved, n_parts=3, salt_rows=1000, resume=True)
+    assert summary["rows"] == 3000
+    got = pa.concat_tables(list(decode_dataset(moved).iter_batches(batch_format="pyarrow")))
+    assert got.num_rows == 3000
     # stray guard still fires on unknown container files
     with open(f"{moved}/part-99999.pcc", "wb") as f:
         f.write(b"junk")
