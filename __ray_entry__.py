@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_roundtrip": transcripts.transcript_roundtrip,
         "transcript_codec_plan": transcripts.transcript_codec_plan,
         "transcript_lookup": transcripts.transcript_lookup,
+        "transcript_delete": transcripts.transcript_delete,
         "transcript_role_stats": transcripts.transcript_role_stats,
         "transcript_length_histogram": transcripts.transcript_length_histogram,
         "transcript_tool_usage": transcripts.transcript_tool_usage,

@@ -99,6 +99,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--skip-existing", action="store_true",
                    help="idempotent delivery: drop rows whose (conv, order) key is already stored")
 
+    p = sub.add_parser(
+        "delete",
+        help="delete whole conversations from a store in place (rewrites only their partitions)",
+    )
+    p.add_argument("encoded_dir")
+    p.add_argument("keys", nargs="+", help="conversation keys; use --int for integer-keyed columns")
+    p.add_argument("--int", dest="as_int", action="store_true")
+
     p = sub.add_parser("compact", help="re-pack an encoded store into right-sized containers")
     p.add_argument("input")
     p.add_argument("output")
@@ -211,6 +219,11 @@ def main(argv: list[str] | None = None) -> int:
             from .encode import append_dataset
 
             print(json.dumps(append_dataset(args.input, args.encoded_dir, skip_existing=args.skip_existing)))
+        elif args.cmd == "delete":
+            from .encode import delete_conversations
+
+            keys = [int(k) for k in args.keys] if args.as_int else list(args.keys)
+            print(json.dumps(delete_conversations(args.encoded_dir, keys)))
         elif args.cmd == "compact":
             from .encode import compact_dataset
 

@@ -110,7 +110,9 @@ class EncodePartition:
         part_id = int(group["part_id"][0].as_py())
         return self.encode_one(part_id, group.drop_columns(["part_id"]), n_chunks)
 
-    def encode_one(self, part_id: int, table: pa.Table, n_chunks: int = 1) -> pa.Table:
+    def encode_one(
+        self, part_id: int, table: pa.Table, n_chunks: int = 1, folded: dict | None = None
+    ) -> pa.Table:
         t0 = time.monotonic()
         t_comb = time.monotonic()
         if self.fault_hook is not None:
@@ -151,6 +153,7 @@ class EncodePartition:
             timings=timings,
             generation=self.generation,
             stats=stats,
+            folded=folded or {},
         )
         mf.write_record(self.out_dir, rec)
         import json
@@ -600,4 +603,242 @@ def append_dataset(
     summary["n_parts"] = n_parts
     summary["generation"] = gen
     summary["rows_appended"] = int(sum(r["rows"] for r in taken))
+    return summary
+
+def _rewrite_partition(
+    pid: int,
+    container_paths: list[str],
+    leftover_paths: list[str],
+    gen_record_files: list[str],
+    prior_folded: dict,
+    base_crc: int | None,
+    out_dir: str,
+    conv_col: str,
+    sort_key: Sequence[str],
+    codec: str | dict,
+    victims: list,
+) -> tuple[int, int]:
+    """Rewrite ONE partition without the victim conversations (delete worker).
+
+    Inputs are the partition's RECORDED containers (base + appended
+    generations) plus any record-less generation files (``leftover_paths``) a
+    previously crashed delete left behind. Step order is the crash-safety
+    contract:
+
+      1. decode everything. A leftover file is included only if the base
+         record's ``folded`` map does NOT carry its (basename, crc32): a
+         match proves the previous rewrite already merged exactly these bytes
+         into the base (crash between steps 3 and 4 — drop the file), a miss
+         means the rows exist nowhere else (crash between steps 2 and 3 — or
+         a newer append whose record a later crash removed — keep every row).
+         Content-addressing makes this exact even when generation filenames
+         are reused across append/delete cycles or when appends carry
+         duplicate (conv, order) keys,
+      2. drop the generation RECORDS (from here until step 3 lands, readers
+         fail loudly: the generation containers become manifest-strays),
+      3. write the new base container atomically + its fresh lineage record,
+         whose ``folded`` map names every generation container merged here,
+      4. remove the generation container files.
+
+    A crash at any point leaves the store either untouched, loudly invalid
+    (stray-container guard), or finished — never silently duplicated or
+    silently missing rows; re-running any delete on the partition repairs the
+    middle states.
+    """
+    import pyarrow.compute as pc
+
+    from .container import decode_table
+
+    tabs = []
+    folded: dict[str, int] = {}
+    base_name = f"part-{pid:05d}.pcc"
+    base_is_newer = False
+    for p in container_paths:
+        with open(p, "rb") as f:
+            raw = f.read()
+        tabs.append(decode_table(raw))
+        name = os.path.basename(p)
+        if name != base_name:
+            folded[name] = zlib.crc32(raw) & 0xFFFFFFFF
+        elif base_crc is not None:
+            # record/container crc mismatch = a previous rewrite crashed
+            # between the atomic container rename and the record write (the
+            # rename is atomic, so the container is fully old or fully new).
+            # The NEW container already holds every leftover's surviving rows.
+            base_is_newer = (zlib.crc32(raw) & 0xFFFFFFFF) != base_crc
+    for p in leftover_paths:
+        with open(p, "rb") as f:
+            raw = f.read()
+        crc = zlib.crc32(raw) & 0xFFFFFFFF
+        name = os.path.basename(p)
+        if not base_is_newer and prior_folded.get(name) != crc:
+            tabs.append(decode_table(raw))
+        folded[name] = crc
+    t = pa.concat_tables(tabs).combine_chunks()
+    before = t.num_rows
+    vict = pa.array(victims).cast(t[conv_col].type)
+    t = t.filter(pc.invert(pc.is_in(t[conv_col], value_set=vict)))
+    deleted = before - t.num_rows
+
+    for rf in gen_record_files:
+        try:
+            os.remove(rf)
+        except OSError:
+            pass
+    enc = EncodePartition(out_dir, codec=codec, sort_key=sort_key, generation=0)
+    enc.encode_one(pid, t, folded=folded)
+    base = os.path.join(out_dir, f"part-{pid:05d}.pcc")
+    for p in container_paths + leftover_paths:
+        if os.path.abspath(p) != os.path.abspath(base):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+    return deleted, t.num_rows
+
+
+def delete_conversations(out_dir: str, conv_values: list, codec: str | dict = "auto") -> dict:
+    """Delete whole conversations from an encoded store IN PLACE, rewriting
+    only the partitions that can contain them — the retention / right-to-be-
+    forgotten path a long-lived 100 TB store needs.
+
+    ``part_id`` is a pure function of (conv hash, salt chunk) recorded in
+    ``_run.json``, so the touched-partition set comes from the same
+    chunk-escalation walk ``lookup_conversation`` uses (dense turn order per
+    conversation: a partial salt chunk is the last one), at the cost of one
+    pruned key-column decode per CANDIDATE partition — never a store scan.
+    Each touched partition is then rewritten in parallel (base + appended
+    generations fold into a fresh base container; see ``_rewrite_partition``
+    for the crash-safety contract). Untouched partitions keep their exact
+    bytes, so resume/fsck/zonemap state stays valid everywhere else.
+    """
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .container import decode_table
+    from .decode import _part_for, resolve_container_path
+    from .partition import HASH_VERSION, stable_hash_ints, stable_hash_strings
+
+    prior = mf.load_run_record(out_dir)
+    if prior is None:
+        raise ValueError(f"no run record in {out_dir} — delete needs an encoded store")
+    if prior.get("hash_version") != HASH_VERSION:
+        raise ValueError(
+            f"store {out_dir} was partitioned with hash {prior.get('hash_version')!r}; "
+            f"this build uses {HASH_VERSION!r} — cannot locate conversations"
+        )
+    n_parts = int(prior["n_parts"])
+    conv_col, order_col = prior["conv_col"], prior.get("order_col")
+    salt_rows = int(prior.get("salt_rows") or 0)
+    sort_key = tuple(prior.get("sort_key") or ([conv_col] + ([order_col] if order_col else [])))
+    salted = bool(salt_rows) and order_col is not None
+
+    conv_values = list(dict.fromkeys(conv_values))
+    summary_base = {"convs_requested": len(conv_values)}
+    if not conv_values:
+        return {**summary_base, "convs_found": 0, "rows_deleted": 0, "parts_rewritten": 0}
+
+    if all(isinstance(v, (int, np.integer)) for v in conv_values):
+        hashes = stable_hash_ints(pa.array([int(v) for v in conv_values], pa.int64()))
+    else:
+        hashes = stable_hash_strings(pa.array([str(v) for v in conv_values]))
+
+    recs = mf.load_records(out_dir)
+    by_part: dict[int, list[dict]] = {}
+    for r in recs:
+        by_part.setdefault(int(r["part_id"]), []).append(r)
+
+    key_cols = [conv_col] + ([order_col] if salted else [])
+    key_cache: dict[int, pa.Table | None] = {}
+
+    def part_keys(pid: int) -> pa.Table | None:
+        if pid not in key_cache:
+            tabs = []
+            for r in by_part.get(pid, []):
+                with open(resolve_container_path(out_dir, r), "rb") as f:
+                    tabs.append(decode_table(f.read(), columns=key_cols))
+            key_cache[pid] = pa.concat_tables(tabs) if tabs else None
+        return key_cache[pid]
+
+    touched: set[int] = set()
+    found: set[int] = set()
+    frontier = list(range(len(conv_values)))
+    k = 0
+    while frontier:
+        nxt = []
+        for i in frontier:
+            pid = _part_for(np.uint64(hashes[i]), k if salted else 0, n_parts)
+            t = part_keys(pid)
+            if t is None:
+                continue
+            sel = pc.equal(t[conv_col], conv_values[i])
+            if salted:
+                order = pc.fill_null(t[order_col], 0).cast(pa.int64())
+                chunk = pc.divide(order, pa.scalar(salt_rows, pa.int64()))
+                sel = pc.and_kleene(sel, pc.equal(chunk, k))
+            cnt = pc.sum(pc.cast(sel, pa.int64())).as_py() or 0
+            if cnt:
+                touched.add(pid)
+                found.add(i)
+            if salted and cnt >= salt_rows:
+                # chunk k was full (> means duplicate keys from a
+                # non-idempotent append): chunk k+1 may exist elsewhere
+                nxt.append(i)
+        frontier = nxt
+        k += 1
+        if not salted:
+            break
+    key_cache.clear()
+
+    # sweep crash leftovers: a previous delete that died between writing the
+    # new base and removing a generation file leaves a record-less
+    # part-NNNNN-gNNNN.pcc that keeps the store loudly invalid (stray guard)
+    # — and its partition may no longer contain any victim row, so the
+    # escalation alone would never revisit it. Force those partitions into
+    # the rewrite set; the leftover fold in _rewrite_partition finishes the
+    # interrupted delete.
+    recorded_names = {os.path.basename(r["path"]) for r in recs}
+    for f in _glob.glob(os.path.join(out_dir, "part-*-g*.pcc")):
+        if os.path.basename(f) not in recorded_names:
+            try:
+                touched.add(int(os.path.basename(f)[5:10]))
+            except ValueError:
+                pass
+
+    if not touched:
+        return {**summary_base, "convs_found": 0, "rows_deleted": 0, "parts_rewritten": 0}
+
+    victims = [conv_values[i] for i in found]
+    rewrite = ray.remote(num_cpus=1)(_rewrite_partition)
+    futures = []
+    for pid in sorted(touched):
+        paths = [resolve_container_path(out_dir, r) for r in by_part[pid]]
+        # crash leftovers: generation containers whose record is already gone
+        leftovers = sorted(
+            set(_glob.glob(os.path.join(out_dir, f"part-{pid:05d}-g*.pcc"))) - set(paths)
+        )
+        gen_recs = [
+            mf.record_path(out_dir, pid, int(r.get("generation", 0)))
+            for r in by_part[pid]
+            if int(r.get("generation", 0))
+        ]
+        base_rec = next(
+            (r for r in by_part[pid] if not int(r.get("generation", 0))), None
+        )
+        futures.append(
+            rewrite.remote(
+                pid, paths, leftovers, gen_recs,
+                (base_rec or {}).get("folded") or {},
+                (base_rec or {}).get("crc32"),
+                out_dir, conv_col, sort_key, codec, victims,
+            )
+        )
+    results = ray.get(futures)
+    summary = mf.consolidate(out_dir)
+    summary.update(summary_base)
+    summary["convs_found"] = len(found)
+    summary["rows_deleted"] = int(sum(d for d, _ in results))
+    summary["parts_rewritten"] = len(results)
     return summary

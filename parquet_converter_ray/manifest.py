@@ -28,6 +28,12 @@ class LineageRecord:
     timings: dict = field(default_factory=dict)  # phase -> seconds (observability)
     generation: int = 0  # 0 = base encode; >0 = appended delivery (append_dataset)
     stats: dict = field(default_factory=dict)  # column -> zone map (zonemap.column_stats)
+    # generation containers folded into this base by delete_conversations:
+    # {basename: crc32 of the folded container bytes}. Crash recovery uses it
+    # to decide whether a record-less generation file's rows are already in
+    # the base (name AND crc match) or must be preserved (see
+    # encode._rewrite_partition).
+    folded: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self))

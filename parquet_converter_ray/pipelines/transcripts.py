@@ -295,6 +295,46 @@ def transcript_lookup(sf_dir: str | None = None) -> pa.Table:
     return got.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
 
 
+def transcript_delete(sf_dir: str | None = None) -> pa.Table:
+    """Retention-delete lifecycle check: build a fresh small store (base
+    encode + one appended delivery), delete two conversations in place
+    (partition-pruned rewrite, ``encode.delete_conversations``), and return
+    the per-role row counts of what remains plus the delete summary columns.
+    Rows-only (the codec store isn't SQL-visible); exact decode-vs-filter
+    equality and crash recovery live in tests/test_delete.py."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..decode import decode_dataset
+    from ..encode import append_dataset, delete_conversations, encode_dataset
+    from ..synth import make_transcripts
+
+    work = os.path.join(_CACHE, "delete-demo")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    base = make_transcripts(20_000, seed=7)
+    pq.write_table(base, os.path.join(work, "base.parquet"))
+    enc = os.path.join(work, "enc")
+    encode_dataset(os.path.join(work, "base.parquet"), enc, n_parts=4, salt_rows=2000)
+    delivery = make_transcripts(5_000, seed=8)
+    pq.write_table(delivery, os.path.join(work, "d1.parquet"))
+    append_dataset(os.path.join(work, "d1.parquet"), enc, skip_existing=True)
+
+    summary = delete_conversations(enc, ["conv-00000000", "conv-00000002"])
+    remaining = (
+        decode_dataset(enc)
+        .groupby("role")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "rows"})
+        .sort_values("role")
+    )
+    remaining["rows_deleted"] = summary["rows_deleted"]
+    remaining["parts_rewritten"] = summary["parts_rewritten"]
+    return pa.Table.from_pandas(remaining, preserve_index=False)
+
+
 def _lineitem_store(sf_dir: str) -> str:
     """Encoded lineitem store for this sf (cached; encode once per scale).
 

@@ -1,0 +1,206 @@
+"""delete_conversations: partition-pruned in-place retention deletes.
+
+Covers the happy path (base + appended generations, salted multi-chunk
+conversations), idempotence, and both crash windows of the rewrite contract
+(_rewrite_partition docstring): gen records gone / base not yet rewritten,
+and base rewritten / gen file not yet removed.
+"""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_converter_ray import manifest as mf
+from parquet_converter_ray.decode import (
+    container_files,
+    decode_dataset,
+    lookup_conversation,
+)
+from parquet_converter_ray.encode import (
+    append_dataset,
+    delete_conversations,
+    encode_dataset,
+)
+from parquet_converter_ray.fsck import fsck_store
+from parquet_converter_ray.synth import make_transcripts
+
+SORT = [(c, "ascending") for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")]
+
+
+def _decode_all(enc: str) -> pa.Table:
+    return pa.concat_tables(
+        list(decode_dataset(enc).iter_batches(batch_format="pyarrow"))
+    )
+
+
+def _eq(got: pa.Table, want: pa.Table) -> bool:
+    return (
+        got.sort_by(SORT).select(want.column_names).combine_chunks()
+        .equals(want.sort_by(SORT).combine_chunks())
+    )
+
+
+def _mk_store(tmp_path, n=5000, seed=11, salt_rows=300, append_n=1500, append_seed=12):
+    t = make_transcripts(n, seed=seed)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(t, inp / "t.parquet")
+    enc = str(tmp_path / "enc")
+    encode_dataset(str(inp), enc, n_parts=4, salt_rows=salt_rows)
+    d2 = make_transcripts(append_n, seed=append_seed)
+    pq.write_table(d2, tmp_path / "d2.parquet")
+    append_dataset(str(tmp_path / "d2.parquet"), enc)
+    return enc, pa.concat_tables([t, d2])
+
+
+def _minus(tbl: pa.Table, convs: list[str]) -> pa.Table:
+    return tbl.filter(pc.invert(pc.is_in(tbl["conv_id"], value_set=pa.array(convs))))
+
+
+def test_delete_conversations(ray_session, tmp_path):
+    enc, expect_all = _mk_store(tmp_path)
+    convs = sorted(set(expect_all["conv_id"].to_pylist()))
+    victims = [convs[0], convs[3], "conv-zzzz-missing"]
+    n_victim_rows = expect_all.num_rows - _minus(expect_all, victims).num_rows
+
+    s = delete_conversations(enc, victims)
+    assert s["convs_requested"] == 3 and s["convs_found"] == 2
+    assert s["rows_deleted"] == n_victim_rows
+    assert _eq(_decode_all(enc), _minus(expect_all, victims))
+    assert lookup_conversation(enc, victims[0]).num_rows == 0
+    assert fsck_store(enc)["ok"]
+    # untouched partitions keep their appended generation containers
+    assert s["parts_rewritten"] < 4
+
+    # idempotent: re-running the same delete finds nothing, rewrites nothing
+    s2 = delete_conversations(enc, victims)
+    assert s2["convs_found"] == 0 and s2["rows_deleted"] == 0 and s2["parts_rewritten"] == 0
+    assert _eq(_decode_all(enc), _minus(expect_all, victims))
+
+
+def test_delete_recovers_crash_before_base_rewrite(ray_session, tmp_path):
+    """Post-step-2 state: generation record removed, base NOT yet rewritten,
+    generation container still on disk. The store is loudly invalid; a re-run
+    must keep the generation's rows and finish the delete."""
+    enc, expect_all = _mk_store(tmp_path)
+    victims = [sorted(set(expect_all["conv_id"].to_pylist()))[0]]
+
+    gen_recs = [r for r in mf.load_records(enc) if r.get("generation", 0)]
+    os.remove(mf.record_path(enc, int(gen_recs[0]["part_id"]), int(gen_recs[0]["generation"])))
+    with pytest.raises(ValueError, match="not in the manifest"):
+        container_files(enc)
+
+    s = delete_conversations(enc, victims)
+    assert _eq(_decode_all(enc), _minus(expect_all, victims))
+    assert fsck_store(enc)["ok"]
+    # the orphaned partition was swept into the rewrite even when no victim
+    # row lives there
+    assert int(gen_recs[0]["part_id"]) in range(4)
+    assert s["parts_rewritten"] >= 1
+
+
+def test_delete_recovers_crash_after_base_rewrite(ray_session, tmp_path):
+    """Post-step-3 state: new base written (victims gone, generation folded
+    in), generation container file left behind with no record. A re-run must
+    fold the duplicate rows instead of resurrecting them."""
+    enc, expect_all = _mk_store(tmp_path)
+    victims = [sorted(set(expect_all["conv_id"].to_pylist()))[0]]
+
+    # snapshot a generation container of a partition the delete WILL touch
+    import numpy as np
+
+    from parquet_converter_ray.decode import _part_for
+    from parquet_converter_ray.partition import stable_hash_strings
+
+    params = mf.load_run_record(enc)
+    h = stable_hash_strings(pa.array(victims))[0]
+    pid = _part_for(np.uint64(h), 0, int(params["n_parts"]))
+    gen_paths = [
+        r["path"] for r in mf.load_records(enc)
+        if int(r["part_id"]) == pid and r.get("generation", 0)
+    ]
+    if not gen_paths:  # that partition got no appended rows: nothing to test
+        pytest.skip("victim partition has no appended generation")
+    backup = str(tmp_path / os.path.basename(gen_paths[0]))
+    shutil.copy(gen_paths[0], backup)
+
+    delete_conversations(enc, victims)
+    want = _minus(expect_all, victims)
+    assert _eq(_decode_all(enc), want)
+
+    # resurrect the generation file record-less (= crash between steps 3 and 4)
+    shutil.copy(backup, gen_paths[0])
+    with pytest.raises(ValueError, match="not in the manifest"):
+        container_files(enc)
+
+    s = delete_conversations(enc, victims)  # victims already gone: orphan sweep only
+    assert s["convs_found"] == 0
+    assert s["parts_rewritten"] >= 1
+    assert _eq(_decode_all(enc), want)
+    assert fsck_store(enc)["ok"]
+
+
+def test_delete_unsalted_int_keys(ray_session, tmp_path):
+    """Unsalted store with an integer conversation column: hash dispatch and
+    single-partition-per-conv escalation."""
+    t = make_transcripts(3000, seed=21)
+    conv_int = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 99), pa.int64())
+    t = t.set_column(t.schema.get_field_index("conv_id"), "conv_id", conv_int)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(t, inp / "t.parquet")
+    enc = str(tmp_path / "enc")
+    encode_dataset(str(inp), enc, n_parts=3, salt_rows=0)
+
+    victims = sorted(set(t["conv_id"].to_pylist()))[:2]
+    s = delete_conversations(enc, victims)
+    keep = t.filter(pc.invert(pc.is_in(t["conv_id"], value_set=pa.array(victims))))
+    assert s["rows_deleted"] == t.num_rows - keep.num_rows
+    assert _eq(_decode_all(enc), keep)
+
+def test_delete_recovers_crash_mid_step3(ray_session, tmp_path):
+    """Crash between the atomic base-container rename and the record write:
+    base container NEW (victims gone, generation folded), base record OLD
+    (crc mismatch), generation file record-less. Recovery must recognise the
+    container as the newer truth and NOT resurrect the folded rows."""
+    import json
+
+    enc, expect_all = _mk_store(tmp_path)
+    victims = [sorted(set(expect_all["conv_id"].to_pylist()))[0]]
+
+    import numpy as np
+
+    from parquet_converter_ray.decode import _part_for
+    from parquet_converter_ray.partition import stable_hash_strings
+
+    params = mf.load_run_record(enc)
+    h = stable_hash_strings(pa.array(victims))[0]
+    pid = _part_for(np.uint64(h), 0, int(params["n_parts"]))
+    recs = [r for r in mf.load_records(enc) if int(r["part_id"]) == pid]
+    gen_paths = [r["path"] for r in recs if r.get("generation", 0)]
+    if not gen_paths:
+        pytest.skip("victim partition has no appended generation")
+    base_rec_file = mf.record_path(enc, pid, 0)
+    old_rec = open(base_rec_file).read()
+    gen_backup = str(tmp_path / os.path.basename(gen_paths[0]))
+    shutil.copy(gen_paths[0], gen_backup)
+
+    delete_conversations(enc, victims)
+    want = _minus(expect_all, victims)
+    assert _eq(_decode_all(enc), want)
+
+    # reconstruct the mid-step-3 state
+    with open(base_rec_file, "w") as f:
+        f.write(old_rec)
+    shutil.copy(gen_backup, gen_paths[0])
+    with pytest.raises(ValueError, match="not in the manifest"):
+        container_files(enc)
+
+    s = delete_conversations(enc, victims)
+    assert s["parts_rewritten"] >= 1
+    assert _eq(_decode_all(enc), want)
+    assert fsck_store(enc)["ok"]
