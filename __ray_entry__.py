@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": behavior.latest_event_per_user,
         "events_daily_gapfill": behavior.events_daily_gapfill,
         "revenue_mom_growth": behavior.revenue_mom_growth,
+        "purchase_error_window": behavior.purchase_error_window,
+        "user_rolling_peak": behavior.user_rolling_peak,
         "unpivot_customer": windows.unpivot_customer,
         # --- text analysis ---
         "token_counts": text.token_counts,
@@ -670,6 +672,28 @@ def oracle_sql() -> dict[str, str]:
                    round((cents - lag(cents) OVER (ORDER BY month)) * 100.0
                          / lag(cents) OVER (ORDER BY month), 4) AS mom_pct
             FROM m ORDER BY month
+        """,
+        "purchase_error_window": """
+            WITH c AS (
+                SELECT p.event_id, count(e.ts) AS n_errors
+                FROM (SELECT event_id, user_id, ts FROM events
+                      WHERE event_type = 'purchase') p
+                LEFT JOIN (SELECT user_id, ts FROM events
+                           WHERE event_type = 'error') e
+                  ON e.user_id = p.user_id
+                 AND e.ts BETWEEN p.ts - INTERVAL 60 MINUTE AND p.ts
+                GROUP BY p.event_id)
+            SELECT n_errors, count(*)::BIGINT AS n_purchases
+            FROM c GROUP BY n_errors ORDER BY n_errors
+        """,
+        "user_rolling_peak": """
+            WITH r AS (
+                SELECT user_id,
+                       avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll
+                FROM events)
+            SELECT user_id, round(max(roll), 4) AS max_roll
+            FROM r GROUP BY user_id ORDER BY user_id
         """,
         "unpivot_customer": """
             SELECT c_custkey, 'c_nationkey' AS measure, CAST(c_nationkey AS DOUBLE) AS value

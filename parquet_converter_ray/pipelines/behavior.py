@@ -240,3 +240,118 @@ def revenue_mom_growth(sf_dir: str) -> pa.Table:
         }
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def purchase_error_window(sf_dir: str, window_minutes: int = 60) -> pa.Table:
+    """Interval join: for every purchase event, count error events from the
+    SAME user whose ts falls in [purchase_ts - window, purchase_ts]; returns
+    the distribution (n_errors, n_purchases).
+
+    The scale shape is a bucketed band join — the generic plan for
+    equi-key + bounded-range predicates Ray Data has no native operator for:
+    time is cut into buckets exactly one window wide; each BUILD row (error)
+    is replicated to its own bucket and the next one (the only two buckets
+    whose purchases it can precede within the window), each PROBE row
+    (purchase) lands in exactly ONE group, so per-purchase counts are final
+    inside the group and need no second shuffle (replicating probes instead
+    would force a per-purchase partial-sum exchange). Replication factor is
+    fixed at 2x on a 3-column slice, independent of data size; within each
+    (user, bucket) group the count is two vectorized ``searchsorted`` calls
+    against the sorted error timestamps. The n_errors histogram finishes with
+    bounded per-batch partials on the driver.
+    """
+    W = np.int64(window_minutes) * 60_000_000  # window in microseconds
+
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        batch = batch.filter(pc.is_in(et, value_set=pa.array(["purchase", "error"])))
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        is_p = pc.equal(batch["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        bucket = ts // W
+        e_uid, e_ts, e_b = uid[~is_p], ts[~is_p], bucket[~is_p]
+        return pa.table(
+            {
+                "user_id": np.concatenate([uid[is_p], e_uid, e_uid]),
+                "bucket": np.concatenate([bucket[is_p], e_b, e_b + 1]),
+                "kind": np.concatenate(
+                    [
+                        np.ones(int(is_p.sum()), np.int8),
+                        np.zeros(2 * len(e_ts), np.int8),
+                    ]
+                ),
+                "ts_us": np.concatenate([ts[is_p], e_ts, e_ts]),
+            }
+        )
+
+    def count_in_group(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        pts = ts[kind == 1]
+        if not len(pts):
+            return pa.table({"n_errors": pa.array([], pa.int64())})
+        ets = np.sort(ts[kind == 0])
+        n = np.searchsorted(ets, pts, side="right") - np.searchsorted(
+            ets, pts - W, side="left"
+        )
+        return pa.table({"n_errors": n.astype(np.int64)})
+
+    def hist_partial(batch: pa.Table) -> pd.DataFrame:
+        vals, counts = np.unique(
+            batch["n_errors"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pd.DataFrame({"n_errors": vals, "n_purchases": counts.astype(np.int64)})
+
+    grouped = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["user_id", "bucket"])
+        .map_groups(count_in_group, batch_format="pyarrow")
+    )
+    out = finish_on_driver(
+        grouped.map_batches(hist_partial, batch_format="pyarrow"),
+        ["n_errors"],
+        ["n_purchases"],
+    ).sort_values("n_errors")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def user_rolling_peak(sf_dir: str, frame: int = 4) -> pa.Table:
+    """ROWS-frame rolling aggregate: per user, the PEAK of the rolling mean of
+    ``value`` over the last ``frame`` events (ROWS frame-1 PRECEDING..CURRENT,
+    ordered by ts then event_id) — the windowed-aggregate family
+    (lag/lead live in ``event_intervals``; this is the sliding-frame shape).
+
+    One shuffle: ``groupby(user_id)``; inside each group the rolling mean is
+    a cumsum difference (no per-row loop) and only the per-user PEAK leaves
+    the group, so the result is user-bounded, not event-bounded. Assumes one
+    user's history fits a worker (same contract as ``events_sessionize``,
+    which documents the salted-key escape hatch for mega-users; a salted
+    variant here would stitch frames across chunk boundaries by shipping each
+    chunk's first ``frame-1`` rows to its successor).
+    """
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def peak(g: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                g["event_id"].to_numpy(zero_copy_only=False),
+                g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+            )
+        )
+        v = g["value"].to_numpy(zero_copy_only=False)[order]
+        cs = np.concatenate(([0.0], np.cumsum(v)))
+        width = np.minimum(np.arange(1, len(v) + 1), frame)
+        roll = (cs[1:] - cs[np.maximum(np.arange(1, len(v) + 1) - frame, 0)]) / width
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "max_roll": pa.array([float(roll.max())], pa.float64()),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(peak, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("user_id")
+    out["max_roll"] = sql_round(out["max_roll"], 4)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -112,6 +112,8 @@ SQL_CHECKED = [
     "revenue_mom_growth",
     "unpivot_customer",
     "customer_year_overlap",
+    "purchase_error_window",
+    "user_rolling_peak",
 ]
 
 
@@ -140,6 +142,7 @@ def test_all_queries_have_oracle_or_are_documented(ray_session):
         "transcript_roundtrip",
         "transcript_codec_plan",
         "transcript_lookup",
+        "transcript_delete",
         "transcript_role_stats",
         "transcript_length_histogram",
         "transcript_tool_usage",
@@ -475,3 +478,65 @@ def test_store_analytics_match_sql_over_raw_input(ray_session):
     pd.testing.assert_frame_equal(got_roles, exp_roles)
     pd.testing.assert_frame_equal(got_hist, exp_hist)
     pd.testing.assert_frame_equal(got_tools, exp_tools)
+
+
+def test_purchase_error_window_boundaries(ray_session, tmp_path):
+    """Interval-join edge cases on a crafted table vs the DuckDB oracle:
+    errors exactly AT the inclusive window bounds, matches straddling the
+    hour-bucket cut, users with only one side present, and a hot user whose
+    events span many buckets (replication factor stays 2 regardless)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray.pipelines.behavior import purchase_error_window
+
+    US = 1_000_000
+    H = 3600 * US
+    base = 1_700_000_000 * US
+    rows = []  # (user_id, event_type, ts_us)
+    # boundary user: purchase at T; errors at T-H (IN), T-H-1us (OUT), T (IN)
+    T = base + 30 * 60 * US  # mid-bucket
+    rows += [(1, "purchase", T), (1, "error", T - H), (1, "error", T - H - 1), (1, "error", T)]
+    # straddle user: purchase 5min into bucket, error 50min before (previous bucket)
+    T2 = base + 2 * H + 5 * 60 * US
+    rows += [(2, "purchase", T2), (2, "error", T2 - 50 * 60 * US)]
+    # one-sided users
+    rows += [(3, "purchase", base + 7 * H)]
+    rows += [(4, "error", base + 7 * H)]
+    # hot user: alternating purchases/errors every 7 minutes across ~24 buckets
+    rng = np.arange(200)
+    rows += [(5, "purchase" if i % 2 else "error", int(base + i * 7 * 60 * US)) for i in rng]
+    # noise types are filtered out
+    rows += [(1, "signup", T), (5, "click", base)]
+
+    uid, et, ts = zip(*rows)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(list(ts), pa.timestamp("us")),
+            "user_id": pa.array(list(uid), pa.int64()),
+            "event_type": pa.array(list(et)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = purchase_error_window(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.register("events", t)
+    exp = con.sql(
+        """
+        WITH c AS (
+            SELECT p.event_id, count(e.ts) AS n_errors
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') p
+            LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type='error') e
+              ON e.user_id = p.user_id AND e.ts BETWEEN p.ts - INTERVAL 60 MINUTE AND p.ts
+            GROUP BY p.event_id)
+        SELECT n_errors, count(*)::BIGINT AS n_purchases
+        FROM c GROUP BY n_errors ORDER BY n_errors
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
