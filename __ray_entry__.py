@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lineitem_join": relational.order_lineitem_join,
         "q5_local_supplier_revenue": relational.q5_local_supplier_revenue,
         "q3_top_orders": relational.q3_top_orders,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "brand_revenue": relational.brand_revenue,
         # --- ordered / windowed operators (as-of, range join, windows, rank,
         # pivot, exact quantiles) ---
@@ -509,6 +510,14 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
               AND r_name = 'ASIA'
             GROUP BY n_name ORDER BY n_name
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#13'
+              AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = part.p_partkey)
         """,
         "q3_top_orders": """
             SELECT o_orderkey, o_orderdate,

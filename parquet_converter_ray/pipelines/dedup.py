@@ -840,7 +840,25 @@ def label_propagation(pairs: pa.Table, max_rounds: int = 16) -> pa.Table:
         def rename(batch: pa.Table) -> pa.Table:
             return batch.rename_columns(["id", "label"])
 
-        new_labels = new_labels.map_batches(rename, batch_format="pyarrow").materialize()
+        new_labels = new_labels.map_batches(rename, batch_format="pyarrow")
+
+        # pointer jumping: label <- label(label). Labels are always node ids
+        # (min over a set that includes self), so the self-join is total, and
+        # label(y) <= y (min-propagation invariant) keeps the shortcut
+        # monotone — same fixpoint, but remaining chain depth roughly HALVES
+        # every round: convergence in O(log diameter) rounds instead of
+        # O(diameter) (ADVICE round 2).
+        lmap = new_labels.map_batches(
+            lambda t: t.rename_columns(["lid", "llabel"]), batch_format="pyarrow"
+        )
+        jumped = new_labels.join(
+            lmap, join_type="inner", num_partitions=n_out, on=("label",), right_on=("lid",)
+        )
+
+        def shortcut(batch: pa.Table) -> pa.Table:
+            return pa.table({"id": batch["id"], "label": batch["llabel"]})
+
+        new_labels = jumped.map_batches(shortcut, batch_format="pyarrow").materialize()
         # distributed fixpoint check: any node whose label shrank this round?
         joined = new_labels.join(
             labels.map_batches(

@@ -765,3 +765,68 @@ def event_intervals(sf_dir: str) -> pa.Table:
     out["avg_gap_s"] = sql_round(out["avg_gap_s"], 4)
     out["max_gap_s"] = sql_round(out["max_gap_s"], 4)
     return pa.Table.from_pandas(out.sort_values("user_id"), preserve_index=False)
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#13") -> pa.Table:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below 20% of
+    the average quantity for their (brand-filtered) part — the CORRELATED
+    scalar-aggregate subquery, decorrelated the way a distributed planner
+    does it:
+
+      pass 0  brand part keys        (tiny dimension filter, broadcast)
+      pass 1  per-part (sum, count) quantity partials over a 2-column pruned
+              lineitem scan restricted to those keys -> thresholds finish on
+              the driver (bounded by the brand's part count, a fixed fraction
+              of the part dimension — NOT by lineitem)
+      pass 2  second pruned scan; vectorized index_in against the broadcast
+              threshold table; sum(l_extendedprice) partials -> driver
+
+    Zero shuffles: both passes are map-only with bounded broadcast state.
+    """
+    parts = _t(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    keys = pa.array(parts.loc[parts["p_brand"] == brand, "p_partkey"].to_numpy())
+    keys_ref = ray.put(keys)
+
+    def qty_partial(batch: pa.Table) -> pd.DataFrame:
+        k = ray.get(keys_ref)
+        batch = batch.filter(pc.is_in(batch["l_partkey"], value_set=k))
+        if batch.num_rows == 0:
+            return pd.DataFrame({"l_partkey": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64"),
+                                 "n": pd.Series(dtype="int64")})
+        df = pd.DataFrame({"l_partkey": batch["l_partkey"].to_numpy(),
+                           "q": batch["l_quantity"].to_numpy()})
+        g = df.groupby("l_partkey", as_index=False).agg(s=("q", "sum"), n=("q", "size"))
+        return g
+
+    stats = finish_on_driver(
+        _t(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"]).map_batches(
+            qty_partial, batch_format="pyarrow"
+        ),
+        ["l_partkey"],
+        ["s", "n"],
+    )
+    thr_keys = pa.array(stats["l_partkey"].to_numpy())
+    thr_vals = 0.2 * stats["s"].to_numpy() / stats["n"].to_numpy()
+    thr_ref = ray.put((thr_keys, thr_vals))
+
+    def rev_partial(batch: pa.Table) -> pd.DataFrame:
+        tk, tv = ray.get(thr_ref)
+        idx = pc.fill_null(pc.index_in(batch["l_partkey"], value_set=tk), -1).to_numpy(
+            zero_copy_only=False
+        )
+        hit = idx >= 0
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = hit & (q < tv[np.maximum(idx, 0)])
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"k": [0], "rev": [float(ext[keep].sum())]})
+
+    tot = finish_on_driver(
+        _t(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]).map_batches(
+            rev_partial, batch_format="pyarrow"
+        ),
+        ["k"],
+        ["rev"],
+    )
+    avg_yearly = sql_round(tot["rev"].to_numpy() / 7.0, 2)
+    return pa.table({"avg_yearly": pa.array(avg_yearly, pa.float64())})

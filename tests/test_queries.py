@@ -114,6 +114,7 @@ SQL_CHECKED = [
     "customer_year_overlap",
     "purchase_error_window",
     "user_rolling_peak",
+    "q17_small_quantity_revenue",
 ]
 
 
@@ -356,6 +357,12 @@ def test_label_propagation_chain_and_convergence_guard(ray_session):
         label_propagation(chain, max_rounds=1)
     with _pytest.raises(ValueError, match="max_rounds"):
         label_propagation(chain, max_rounds=0)
+    # pointer jumping: a 40-node chain (diameter 39) must converge in <= 8
+    # rounds — plain propagation would need 39
+    deep = pa.table({"id_a": list(range(1, 40)), "id_b": list(range(2, 41))})
+    out = label_propagation(deep, max_rounds=8)
+    assert set(out["canonical_id"].to_pylist()) == {1}
+    assert out["vec_id"].to_pylist() == list(range(1, 41))
 
 
 def test_flat_pair_kernels_match_naive_reference():
