@@ -123,6 +123,60 @@ def column_stats(table: pa.Table, codecs: dict[str, str] | None = None) -> dict[
 # --- predicates ---------------------------------------------------------------
 
 
+def _hash_route_parts(out_dir: str, recs: list[dict], clauses) -> "set[int] | None":
+    """Pruning level 0: ``==`` / ``in`` on the PARTITION column routes by
+    hash, not by statistics — ``part_id`` is a pure function of (conv hash,
+    salt chunk) recorded in ``_run.json``, the same arithmetic
+    ``lookup_conversation`` uses. For salted stores the reachable salt-chunk
+    range is bounded driver-side by the ORDER column's zone-map maximum
+    (chunk k only exists if some row has order >= k*salt_rows); if any
+    record predates zone maps, routing degrades to None (scan everything) —
+    never unsound. Returns the candidate part_id set, or None when the
+    predicate doesn't constrain the partition column."""
+    import numpy as np
+
+    from . import manifest as mf
+    from .partition import HASH_VERSION, stable_hash_ints, stable_hash_strings
+
+    params = mf.load_run_record(out_dir)
+    if not params or params.get("hash_version") != HASH_VERSION:
+        return None
+    conv_col = params.get("conv_col")
+    vals = None
+    for col, op, val in clauses:
+        if col == conv_col and op in ("==", "in"):
+            vals = val if op == "in" else [val]
+            break
+    if vals is None:
+        return None
+    n_parts = int(params["n_parts"])
+    salt_rows = int(params.get("salt_rows") or 0)
+    order_col = params.get("order_col")
+    salted = bool(salt_rows) and order_col is not None
+    if salted:
+        omax = 0
+        for r in recs:
+            ent = (r.get("stats") or {}).get(order_col)
+            if not ent or ent.get("max") is None:
+                return None  # pre-zonemap container: chunk bound unknowable
+            omax = max(omax, int(ent["max"]))
+        k_max = omax // salt_rows
+    else:
+        k_max = 0
+
+    if all(isinstance(v, (int, np.integer)) for v in vals):
+        hashes = stable_hash_ints(pa.array([int(v) for v in vals], pa.int64()))
+    else:
+        hashes = stable_hash_strings(pa.array([str(v) for v in vals]))
+    from .decode import _part_for
+
+    return {
+        _part_for(np.uint64(h), k if salted else 0, n_parts)
+        for h in hashes
+        for k in range(k_max + 1)
+    }
+
+
 def _normalize(predicate) -> list[tuple[str, str, object]]:
     """Predicate = iterable of (column, op, value) conjuncts.
 
@@ -404,12 +458,16 @@ def scan_store(
 
     clauses = _normalize(predicate)
     recs = mf.load_records(out_dir)
-    plan = {"parts_total": 0, "pruned_stats": 0, "pruned_dict": 0, "scanned": 0}
+    plan = {"parts_total": 0, "pruned_stats": 0, "pruned_hash": 0, "pruned_dict": 0, "scanned": 0}
     if recs:
         container_files(out_dir)  # stray-container guard
+        hash_pids = _hash_route_parts(out_dir, recs, clauses)
         paths = []
         for r in recs:
             plan["parts_total"] += 1
+            if hash_pids is not None and int(r["part_id"]) not in hash_pids:
+                plan["pruned_hash"] += 1
+                continue
             st = r.get("stats") or {}
             if st and not record_may_match(st, int(r.get("rows", 0)), clauses):
                 plan["pruned_stats"] += 1

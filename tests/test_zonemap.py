@@ -306,3 +306,46 @@ def test_fsck_clean_and_corrupt(ray_session, store, tmp_path):
         fh.write(b"junk")
     rep4 = fsck_store(stray, deep=False)
     assert not rep4["ok"] and any("stray" in e for e in rep4["errors"])
+
+
+def test_scan_hash_routes_partition_column(store, transcripts, tmp_path):
+    """Level-0 pruning: equality/in on the PARTITION column prunes by hash
+    arithmetic alone (plan['pruned_hash']), with the salt-chunk range bounded
+    by the order column's zone-map max; results stay equal to the in-memory
+    filter, and missing stats degrade to a full scan — never a wrong one."""
+    import copy
+    import json as _json
+    import shutil
+
+    cid = transcripts["conv_id"][5].as_py()
+    cid2 = transcripts["conv_id"][4000].as_py()
+
+    ds, plan = scan_store(store, [("conv_id", "==", cid)], return_plan=True)
+    got = _collect(ds)
+    exp = transcripts.filter(pc.equal(transcripts["conv_id"], cid))
+    key = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    assert got.select(exp.column_names).sort_by(key).equals(exp.sort_by(key).combine_chunks())
+    assert plan["pruned_hash"] > 0
+    assert plan["scanned"] + plan["pruned_stats"] + plan["pruned_hash"] + plan[
+        "pruned_dict"
+    ] == plan["parts_total"]
+
+    # 'in' over two conversations
+    ds, plan = scan_store(store, [("conv_id", "in", [cid, cid2])], return_plan=True)
+    got = _collect(ds)
+    exp = transcripts.filter(pc.is_in(transcripts["conv_id"], value_set=pa.array([cid, cid2])))
+    assert got.num_rows == exp.num_rows
+    assert plan["pruned_hash"] >= 0 and plan["scanned"] >= 1
+
+    # a record without order-column stats makes the chunk bound unknowable:
+    # routing must disable itself (pruned_hash == 0), result unchanged
+    crippled = str(tmp_path / "crippled")
+    shutil.copytree(store, crippled)
+    rfs = sorted(glob.glob(os.path.join(mf.manifest_dir(crippled), "part-*.json")))
+    rec = _json.load(open(rfs[0]))
+    rec["stats"] = {}
+    with open(rfs[0], "w") as f:
+        f.write(_json.dumps(rec))
+    ds, plan = scan_store(crippled, [("conv_id", "==", cid)], return_plan=True)
+    assert plan["pruned_hash"] == 0
+    assert _collect(ds).num_rows == exp.filter(pc.equal(exp["conv_id"], cid)).num_rows
