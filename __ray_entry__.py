@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": text.decontaminate,
         # --- dedup ---
         "dedup_exact": dedup.dedup_exact,
+        "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
+        "q14_promo_revenue": relational.q14_promo_revenue,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -441,6 +443,22 @@ def oracle_sql() -> dict[str, str]:
         "char_stats": "SELECT doc_id, length(text) AS n_chars_c FROM documents",
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "fuzzy_name_pairs": """
+            SELECT levenshtein(a.p_name, b.p_name)::BIGINT AS distance,
+                   count(*)::BIGINT AS n_pairs
+            FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 1
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q14_promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS promo_revenue_pct
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        """,
         "dedup_embedding": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding, b.embedding),4) AS cos

@@ -1066,3 +1066,114 @@ def dedup_incremental(sf_dir: str, threshold_id: int | None = None) -> pa.Table:
     if not batches:  # no duplicates: iter_batches can yield zero tables
         return pa.table({"doc_id": pa.array([], pa.int64())})
     return pa.concat_tables(batches).sort_by("doc_id").combine_chunks()
+
+
+def _ld_le1(a: str, b: str) -> int:
+    """Exact Levenshtein distance capped at 1 (-1 = more than 1) without the
+    DP table: equal -> 0; same length -> at most one substitution; length
+    diff 1 -> one-gap alignment; anything else -> -1."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == lb:
+        return 1 if sum(x != y for x, y in zip(a, b)) == 1 else -1
+    if abs(la - lb) != 1:
+        return -1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # a is shorter by one: skip the single mismatch position in b
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1 :] else -1
+
+
+def fuzzy_name_pairs(sf_dir: str) -> pa.Table:
+    """Edit-distance join: unordered part pairs with Levenshtein(p_name) <= 1,
+    reported as (distance, n_pairs) — fuzzy KEY matching, the complement of
+    the long-text near-dup family (MinHash/SimHash); use those for document
+    bodies, this for short identifier-like strings.
+
+    Scale shape is FastSS deletion-neighborhood blocking (Bocek et al. 2007):
+    LD(a,b) <= 1 implies a and b share a block key in {name} ∪ {single-char
+    deletions of name}, so each row is replicated len(name)+1 times (bounded
+    by the SHORT key length, not by data size), ONE groupby enumerates
+    candidates inside blocks, a distinct-pair pass dedups across blocks, and
+    the cheap capped-LD verifier rejects false candidates. Every stage is
+    key-hash partitioned; nothing quadratic ever forms except the true result
+    pairs themselves (duplicate-heavy keys are a property of the data).
+    """
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+
+    def block_keys(batch: pa.Table) -> pa.Table:
+        ids = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        names = batch["p_name"].to_pylist()
+        out_key, out_id, out_name = [], [], []
+        for pid, nm in zip(ids, names):
+            nm = nm or ""
+            out_key.append(nm)
+            out_id.append(pid)
+            out_name.append(nm)
+            for i in range(len(nm)):
+                out_key.append(nm[:i] + nm[i + 1 :])
+                out_id.append(pid)
+                out_name.append(nm)
+        return pa.table(
+            {
+                "key": pa.array(out_key, pa.string()),
+                "p_partkey": pa.array(out_id, pa.int64()),
+                "p_name": pa.array(out_name, pa.string()),
+            }
+        )
+
+    def pairs_in_block(g: pa.Table) -> pa.Table:
+        ids = g["p_partkey"].to_numpy(zero_copy_only=False)
+        names = g["p_name"].to_pylist()
+        order = np.argsort(ids, kind="stable")
+        ids, names = ids[order], [names[i] for i in order]
+        ia, ib, na, nb = [], [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                if ids[x] != ids[y]:
+                    ia.append(ids[x])
+                    ib.append(ids[y])
+                    na.append(names[x])
+                    nb.append(names[y])
+        return pa.table(
+            {
+                "id_a": pa.array(ia, pa.int64()),
+                "id_b": pa.array(ib, pa.int64()),
+                "name_a": pa.array(na, pa.string()),
+                "name_b": pa.array(nb, pa.string()),
+            }
+        )
+
+    candidates = (
+        ds.map_batches(block_keys, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(pairs_in_block, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+    def verify(batch: pa.Table) -> "pd.DataFrame":
+        import pandas as pd
+
+        dist = np.fromiter(
+            (
+                _ld_le1(a, b)
+                for a, b in zip(batch["name_a"].to_pylist(), batch["name_b"].to_pylist())
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        keep = dist >= 0
+        vals, counts = np.unique(dist[keep], return_counts=True)
+        return pd.DataFrame({"distance": vals, "n_pairs": counts.astype(np.int64)})
+
+    from ._util import finish_on_driver
+
+    out = finish_on_driver(
+        candidates.map_batches(verify, batch_format="pyarrow"), ["distance"], ["n_pairs"]
+    ).sort_values("distance")
+    return pa.Table.from_pandas(out, preserve_index=False)

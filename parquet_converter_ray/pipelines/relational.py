@@ -830,3 +830,43 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#13") -> pa.Table
     )
     avg_yearly = sql_round(tot["rev"].to_numpy() / 7.0, 2)
     return pa.table({"avg_yearly": pa.array(avg_yearly, pa.float64())})
+
+
+def q14_promo_revenue(sf_dir: str, year: int = 1996) -> pa.Table:
+    """TPC-H Q14 shape: the PROMO share of discounted revenue for one ship
+    year. Broadcast dimension join (part type by partkey via ``ray.put`` +
+    ``index_in``), date predicate applied batch-wise on a 4-column pruned
+    scan, numerator/denominator as per-batch partials — zero shuffles."""
+    parts = _t(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    keys = pa.array(parts["p_partkey"].to_numpy())
+    promo = (parts["p_type"].to_numpy() == "PROMO").astype(np.bool_)
+    ref = ray.put((keys, promo))
+    lo = np.datetime64(f"{year}-01-01", "us").astype("int64")
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype("int64")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (ship >= lo) & (ship < hi)
+        if not m.any():
+            return pd.DataFrame({"k": [0], "promo": [0.0], "total": [0.0]})
+        k, is_promo = ray.get(ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)[m]
+        rev = (
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[m])
+        )
+        idx = pc.fill_null(pc.index_in(pa.array(pk), value_set=k), -1).to_numpy(
+            zero_copy_only=False
+        )
+        hit = idx >= 0
+        p = is_promo[np.maximum(idx, 0)] & hit
+        return pd.DataFrame({"k": [0], "promo": [float(rev[p].sum())], "total": [float(rev[hit].sum())]})
+
+    cols = ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    tot = finish_on_driver(
+        _t(sf_dir, "lineitem", columns=cols).map_batches(partial, batch_format="pyarrow"),
+        ["k"],
+        ["promo", "total"],
+    )
+    pct = sql_round(100.0 * tot["promo"].to_numpy() / tot["total"].to_numpy(), 4)
+    return pa.table({"promo_revenue_pct": pa.array(pct, pa.float64())})

@@ -115,6 +115,8 @@ SQL_CHECKED = [
     "purchase_error_window",
     "user_rolling_peak",
     "q17_small_quantity_revenue",
+    "q14_promo_revenue",
+    "fuzzy_name_pairs",
 ]
 
 
@@ -547,3 +549,21 @@ def test_purchase_error_window_boundaries(ray_session, tmp_path):
         """
     ).df()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_ld_le1_capped_levenshtein():
+    """The capped edit-distance verifier matches full Levenshtein semantics
+    on every <=1 shape and rejects everything beyond."""
+    from parquet_converter_ray.pipelines.dedup import _ld_le1
+
+    assert _ld_le1("abc", "abc") == 0
+    assert _ld_le1("", "") == 0
+    assert _ld_le1("abc", "abd") == 1          # substitution
+    assert _ld_le1("abc", "ab") == 1           # deletion at end
+    assert _ld_le1("abc", "bc") == 1           # deletion at start
+    assert _ld_le1("ac", "abc") == 1           # insertion middle
+    assert _ld_le1("", "a") == 1
+    assert _ld_le1("abc", "axd") == -1         # two substitutions
+    assert _ld_le1("abc", "a") == -1           # length gap 2
+    assert _ld_le1("abcd", "badc") == -1
+    assert _ld_le1("ab", "ba") == -1           # transposition is distance 2
