@@ -207,9 +207,11 @@ def run_weak_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     base_rows = 2_400_000
-    # min-of-3 per level, interleaved (same host-noise windows for both)
+    # min-of-N per level, interleaved (same host-noise windows for both);
+    # PCR_SCALING_REPS=1 gives a cheap probe run when hunting a quiet window
+    reps = int(os.environ.get("PCR_SCALING_REPS", "3"))
     runs_lo, runs_hi = [], []
-    for _ in range(3):
+    for _ in range(max(reps, 1)):
         runs_lo.append(one(8, base_rows))
         runs_hi.append(one(32, base_rows * 4))
     r_lo = min(runs_lo, key=lambda r: r["value"])
