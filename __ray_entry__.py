@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_mom_growth": behavior.revenue_mom_growth,
         "purchase_error_window": behavior.purchase_error_window,
         "user_rolling_peak": behavior.user_rolling_peak,
+        "user_rolling_peak_salted": behavior.user_rolling_peak_salted,
         "unpivot_customer": windows.unpivot_customer,
         # --- text analysis ---
         "token_counts": text.token_counts,
@@ -712,6 +713,15 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY p.event_id)
             SELECT n_errors, count(*)::BIGINT AS n_purchases
             FROM c GROUP BY n_errors ORDER BY n_errors
+        """,
+        "user_rolling_peak_salted": """
+            WITH r AS (
+                SELECT user_id,
+                       avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll
+                FROM events)
+            SELECT user_id, round(max(roll), 4) AS max_roll
+            FROM r GROUP BY user_id ORDER BY user_id
         """,
         "user_rolling_peak": """
             WITH r AS (

@@ -355,3 +355,88 @@ def user_rolling_peak(sf_dir: str, frame: int = 4) -> pa.Table:
     out = out.sort_values("user_id")
     out["max_roll"] = sql_round(out["max_roll"], 4)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def user_rolling_peak_salted(sf_dir: str, frame: int = 4) -> pa.Table:
+    """Skew-safe variant of ``user_rolling_peak`` — same result, same SQL
+    oracle, but the shuffle key is (user_id, epoch-day) so a mega-user's
+    history never has to fit one worker (the salting contract
+    ``events_sessionize`` established, applied to a ROWS frame).
+
+    A ROWS window crosses chunk boundaries, so each (user, day) group emits a
+    BOUNDED stitch payload instead of its rows: the exact rolling peak over
+    its full-window rows, plus its first/last ``frame-1`` (ts, id, value)
+    boundary rows. A second user-keyed pass walks days in order carrying a
+    ``frame-1``-deep value buffer, recomputes the head rows' windows exactly
+    (a day with fewer than ``frame-1`` rows simply leaves the buffer spanning
+    multiple days), and folds in the chunk-local peaks. State per user is
+    O(days x frame), never O(events).
+    """
+    day_us = 86_400_000_000
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())
+        return batch.append_column("day", pc.divide(ts, day_us))
+
+    def day_partial(g: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                g["event_id"].to_numpy(zero_copy_only=False),
+                g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+            )
+        )
+        v = g["value"].to_numpy(zero_copy_only=False)[order]
+        n = len(v)
+        b = frame - 1
+        # full-window rows (index >= frame-1) have all predecessors in-day:
+        # their rolling means are final here
+        if n >= frame:
+            cs = np.concatenate(([0.0], np.cumsum(v)))
+            idx = np.arange(frame, n + 1)
+            full = ((cs[idx] - cs[idx - frame]) / frame).max()
+        else:
+            full = -np.inf
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "day": pa.array([int(g["day"][0].as_py())], pa.int64()),
+                "peak_full": pa.array([float(full)], pa.float64()),
+                "head": pa.array([v[: min(b, n)].tolist()], pa.list_(pa.float64())),
+                "tail": pa.array([v[max(n - b, 0) :].tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    def stitch(g: pa.Table) -> pa.Table:
+        order = np.argsort(g["day"].to_numpy(zero_copy_only=False), kind="stable")
+        peaks = g["peak_full"].to_numpy(zero_copy_only=False)[order]
+        heads = [g["head"][int(i)].as_py() for i in order]
+        tails = [g["tail"][int(i)].as_py() for i in order]
+        best = -np.inf
+        buf: list[float] = []
+        for pk, head, tail in zip(peaks, heads, tails):
+            best = max(best, pk)
+            seq = buf + head
+            for j in range(len(head)):
+                pos = len(buf) + j
+                lo = max(0, pos - frame + 1)
+                best = max(best, float(np.mean(seq[lo : pos + 1])))
+            buf = (buf + tail)[-(frame - 1) :]
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "max_roll": pa.array([best], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_day, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .map_groups(day_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(stitch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    out["max_roll"] = sql_round(out["max_roll"], 4)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -117,6 +117,7 @@ SQL_CHECKED = [
     "q17_small_quantity_revenue",
     "q14_promo_revenue",
     "fuzzy_name_pairs",
+    "user_rolling_peak_salted",
 ]
 
 
@@ -567,3 +568,68 @@ def test_ld_le1_capped_levenshtein():
     assert _ld_le1("abc", "a") == -1           # length gap 2
     assert _ld_le1("abcd", "badc") == -1
     assert _ld_le1("ab", "ba") == -1           # transposition is distance 2
+
+
+def test_rolling_peak_salted_mega_user_and_sparse_days(ray_session, tmp_path):
+    """The day-salted ROWS frame must be exact where stitching is hardest:
+    windows crossing midnight, days with fewer than frame-1 events (buffer
+    chains across multiple days), a user active for months, and single-event
+    users. Compared against both the unsalted implementation and DuckDB."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray.pipelines.behavior import (
+        user_rolling_peak,
+        user_rolling_peak_salted,
+    )
+
+    US = 1_000_000
+    DAY = 86_400 * US
+    base = np.datetime64("2024-01-01", "us").astype("int64")
+    rng = np.random.default_rng(5)
+    rows = []
+    # mega-user 1: 3000 events clustered just around midnights for 30 days
+    for d in range(30):
+        for k in range(50):
+            rows.append((1, base + d * DAY + (DAY - 25 * 60 * US) + k * 60 * US))
+        for k in range(50):
+            rows.append((1, base + (d + 1) * DAY + k * 60 * US))
+    # sparse user 2: ONE event every third day (every window spans days)
+    for d in range(0, 60, 3):
+        rows.append((2, base + d * DAY + 12 * 3600 * US))
+    # user 3: single event; user 4: two events same timestamp (tie on ts)
+    rows.append((3, base))
+    rows += [(4, base + 7 * DAY), (4, base + 7 * DAY)]
+    uid = np.array([r[0] for r in rows], np.int64)
+    ts = np.array([r[1] for r in rows], np.int64)
+    vals = np.round(rng.uniform(1, 200, len(rows)), 2)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "user_id": pa.array(uid),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array(vals),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    salted = user_rolling_peak_salted(str(tmp_path)).to_pandas()
+    plain = user_rolling_peak(str(tmp_path)).to_pandas()
+    pd.testing.assert_frame_equal(salted, plain)
+
+    con = duckdb.connect()
+    con.register("events", t)
+    exp = con.sql(
+        """
+        WITH r AS (SELECT user_id, avg(value) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll
+                   FROM events)
+        SELECT user_id, round(max(roll), 4) AS max_roll
+        FROM r GROUP BY user_id ORDER BY user_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(salted.reset_index(drop=True), exp)
