@@ -814,6 +814,12 @@ def delete_conversations(out_dir: str, conv_values: list, codec: str | dict = "a
     rewrite = ray.remote(num_cpus=1)(_rewrite_partition)
     futures = []
     for pid in sorted(touched):
+        if pid not in by_part:
+            raise ValueError(
+                f"orphan generation file for partition {pid} in {out_dir} but no "
+                "lineage record at all for that partition — not a crash state this "
+                "store could reach; refusing to guess"
+            )
         paths = [resolve_container_path(out_dir, r) for r in by_part[pid]]
         # crash leftovers: generation containers whose record is already gone
         leftovers = sorted(
