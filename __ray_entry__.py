@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_revenue": relational.q5_local_supplier_revenue,
         "q3_top_orders": relational.q3_top_orders,
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "session_duration_quantiles": relational.session_duration_quantiles,
         "brand_revenue": relational.brand_revenue,
         # --- ordered / windowed operators (as-of, range join, windows, rank,
         # pivot, exact quantiles) ---
@@ -262,6 +263,25 @@ def oracle_sql() -> dict[str, str]:
                   FROM e)
             SELECT user_id, min(ts) AS session_start, count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "session_duration_quantiles": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS ns
+                FROM events),
+            s AS (SELECT user_id, ts,
+                         sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM e),
+            d AS (SELECT epoch(max(ts) - min(ts)) AS duration_sec
+                  FROM s GROUP BY user_id, sid)
+            SELECT 0.5 AS q, round(quantile_cont(duration_sec, 0.5), 4) AS duration_sec FROM d
+            UNION ALL
+            SELECT 0.9, round(quantile_cont(duration_sec, 0.9), 4) FROM d
+            UNION ALL
+            SELECT 0.99, round(quantile_cont(duration_sec, 0.99), 4) FROM d
+            ORDER BY q
         """,
         "events_json_mean": """
             SELECT event_type,

@@ -870,3 +870,68 @@ def q14_promo_revenue(sf_dir: str, year: int = 1996) -> pa.Table:
     )
     pct = sql_round(100.0 * tot["promo"].to_numpy() / tot["total"].to_numpy(), 4)
     return pa.table({"promo_revenue_pct": pa.array(pct, pa.float64())})
+
+
+def session_duration_quantiles(
+    sf_dir: str, gap_minutes: int = 30, qs: tuple = (0.5, 0.9, 0.99)
+) -> pa.Table:
+    """Exact session-duration quantiles — end-to-end composition of two scale
+    primitives: the hot-user-safe salted sessionizer (``events_sessionize``
+    dataflow, carrying session_end through the stitch) feeding the
+    shuffle-free histogram-refinement selector (``profile.exact_quantiles``).
+    The session set stays a streaming Dataset between the stages; nothing
+    data-sized ever lands on the driver."""
+    gap = np.timedelta64(gap_minutes * 60_000_000, "us")
+    salt_us = 86_400_000_000
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        day = pc.divide(batch["ts"].cast(pa.int64()), pa.scalar(salt_us, type=pa.int64()))
+        return batch.append_column("salt", pc.cast(day, pa.int32()))
+
+    def sessions_in_salt(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy()
+        new_s = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new_s[1:] = (np.diff(ts) > gap).astype(np.int64)
+        sid = np.cumsum(new_s)
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "sid": sid, "ts": ts})
+        return out.groupby(["user_id", "sid"], as_index=False).agg(
+            session_start=("ts", "min"), session_end=("ts", "max")
+        )[["user_id", "session_start", "session_end"]]
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("session_start")
+        start = g["session_start"].to_numpy()
+        end = g["session_end"].to_numpy()
+        new_s = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new_s[1:] = ((start[1:] - end[:-1]) > gap).astype(np.int64)
+        sid = np.cumsum(new_s)
+        out = pd.DataFrame({"sid": sid, "session_start": start, "session_end": end})
+        out = out.groupby("sid", as_index=False).agg(
+            session_start=("session_start", "min"), session_end=("session_end", "max")
+        )
+        dur = (
+            out["session_end"].to_numpy().astype("datetime64[us]").astype("int64")
+            - out["session_start"].to_numpy().astype("datetime64[us]").astype("int64")
+        )
+        return pd.DataFrame({"duration_sec": dur.astype(np.float64) / 1e6})
+
+    sessions = (
+        _t(sf_dir, "events", columns=["user_id", "ts"])
+        .map_batches(add_salt, batch_format="pyarrow")
+        .groupby(["user_id", "salt"])
+        .map_groups(sessions_in_salt, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(stitch, batch_format="pandas")
+    )
+    from ..profile import exact_quantiles
+
+    vals = exact_quantiles(sessions, "duration_sec", list(qs))
+    return pa.table(
+        {
+            "q": pa.array(list(qs), pa.float64()),
+            "duration_sec": pa.array(sql_round(np.array(vals), 4), pa.float64()),
+        }
+    )

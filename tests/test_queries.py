@@ -118,6 +118,7 @@ SQL_CHECKED = [
     "q14_promo_revenue",
     "fuzzy_name_pairs",
     "user_rolling_peak_salted",
+    "session_duration_quantiles",
 ]
 
 
