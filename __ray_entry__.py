@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_resize": multimodal.multimodal_resize,
         "video_frame_sample": multimodal.video_frame_sample,
+        "audio_rms_windows": multimodal.audio_rms_windows,
     }
 
 

@@ -203,3 +203,72 @@ def video_frame_sample(sf_dir: str | None = None, stride: int = 4) -> pa.Table:
     )
     tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow"))).sort_by("item_id")
     return tbl.combine_chunks()
+
+
+def synth_pcm_dataset(n: int = 256, seed: int = 17, sr: int = 16_000) -> "ray.data.Dataset":
+    """Deterministic raw-PCM audio table: (item_id, payload: binary of
+    little-endian int16 mono samples, sample_rate). Raw PCM is a REAL format
+    (the data segment of a WAV file) that needs no codec library, so unlike
+    the image/video stubs this path exercises genuine signal DSP end to end:
+    each clip is a frequency sweep + noise burst with per-item parameters."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        dur = float(rng.uniform(0.25, 1.5))
+        t = np.arange(int(sr * dur)) / sr
+        f0 = float(rng.uniform(80, 2000))
+        sig = 0.6 * np.sin(2 * np.pi * f0 * t * (1 + 0.3 * t))
+        sig += 0.1 * rng.standard_normal(len(t))
+        # amplitude envelope so windowed RMS actually varies within a clip
+        sig *= np.interp(t, [0, dur * 0.3, dur], [0.2, 1.0, 0.4])
+        pcm = np.clip(sig * 32767, -32768, 32767).astype("<i2")
+        rows.append({"item_id": i, "payload": pcm.tobytes(), "sample_rate": sr})
+    return ray.data.from_items(rows)
+
+
+def pcm_rms_reference(payload: bytes, sr: int, window_ms: int) -> tuple[int, float, float, int]:
+    """Per-clip reference kernel (shared by the batch stage and the test
+    oracle): windowed RMS over non-overlapping ``window_ms`` frames of
+    normalized float samples; trailing partial window dropped."""
+    x = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+    win = max(1, sr * window_ms // 1000)
+    nwin = len(x) // win
+    peak = int(np.abs(np.frombuffer(payload, dtype="<i2")).max()) if len(x) else 0
+    if nwin == 0:
+        return 0, 0.0, 0.0, peak
+    r = np.sqrt(np.mean(x[: nwin * win].reshape(nwin, win) ** 2, axis=1))
+    return nwin, float(r.mean()), float(r.max()), peak
+
+
+def audio_rms_windows(sf_dir: str | None = None, window_ms: int = 50) -> pa.Table:
+    """Windowed loudness profile per audio clip: non-overlapping RMS frames
+    plus the sample peak — the feature-extraction shape of an audio curation
+    stage (silence trimming, clipping detection, loudness bucketing), with
+    REAL math on a real wire format. Batch stage over Arrow binary; the
+    per-payload loop is inherent for ragged blobs, the per-clip kernel is
+    one vectorized reshape+reduction."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids, nws, means, maxes, peaks = [], [], [], [], []
+        for item_id, payload, sr in zip(batch["item_id"], batch["payload"], batch["sample_rate"]):
+            nw, m, mx, pk = pcm_rms_reference(payload.as_py(), sr.as_py(), window_ms)
+            ids.append(item_id.as_py())
+            nws.append(nw)
+            means.append(round(m, 6))
+            maxes.append(round(mx, 6))
+            peaks.append(pk)
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "n_windows": pa.array(nws, pa.int32()),
+                "rms_mean": pa.array(means, pa.float64()),
+                "rms_max": pa.array(maxes, pa.float64()),
+                "peak": pa.array(peaks, pa.int32()),
+            }
+        )
+
+    out = synth_pcm_dataset().map_batches(
+        stage, batch_format="pyarrow", batch_size=64
+    )
+    tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow"))).sort_by("item_id")
+    return tbl.combine_chunks()

@@ -159,6 +159,7 @@ def test_all_queries_have_oracle_or_are_documented(ray_session):
         "multimodal_features",
         "multimodal_resize",
         "video_frame_sample",
+        "audio_rms_windows",
         "pack_sequences",
     }
     assert set(oracles) <= set(qs)
@@ -634,3 +635,32 @@ def test_rolling_peak_salted_mega_user_and_sparse_days(ray_session, tmp_path):
         """
     ).df()
     pd.testing.assert_frame_equal(salted.reset_index(drop=True), exp)
+
+
+def test_audio_rms_windows_kernel(ray_session):
+    """The distributed PCM loudness stage must reproduce a direct in-process
+    computation clip-for-clip, and be deterministic across runs."""
+    import numpy as np
+
+    from parquet_converter_ray.pipelines.multimodal import (
+        audio_rms_windows,
+        pcm_rms_reference,
+        synth_pcm_dataset,
+    )
+
+    out = audio_rms_windows()
+    assert out.num_rows == 256
+    rows = {r["item_id"]: r for r in out.to_pylist()}
+    # spot-check 20 clips against the reference kernel applied directly
+    src = synth_pcm_dataset().take_all()
+    for rec in src[:20]:
+        nw, m, mx, pk = pcm_rms_reference(rec["payload"], rec["sample_rate"], 50)
+        got = rows[rec["item_id"]]
+        assert got["n_windows"] == nw
+        assert abs(got["rms_mean"] - round(m, 6)) < 1e-12
+        assert abs(got["rms_max"] - round(mx, 6)) < 1e-12
+        assert got["peak"] == pk
+        assert 0 < got["rms_max"] <= 1.0 and got["peak"] <= 32767
+    # envelope makes within-clip loudness vary: max must exceed mean
+    assert all(r["rms_max"] > r["rms_mean"] for r in rows.values())
+    assert out.equals(audio_rms_windows())
