@@ -1094,86 +1094,103 @@ def fuzzy_name_pairs(sf_dir: str) -> pa.Table:
     the long-text near-dup family (MinHash/SimHash); use those for document
     bodies, this for short identifier-like strings.
 
-    Scale shape is FastSS deletion-neighborhood blocking (Bocek et al. 2007):
-    LD(a,b) <= 1 implies a and b share a block key in {name} ∪ {single-char
-    deletions of name}, so each row is replicated len(name)+1 times (bounded
-    by the SHORT key length, not by data size), ONE groupby enumerates
-    candidates inside blocks, a distinct-pair pass dedups across blocks, and
-    the cheap capped-LD verifier rejects false candidates. Every stage is
-    key-hash partitioned; nothing quadratic ever forms except the true result
-    pairs themselves (duplicate-heavy keys are a property of the data).
+    Scale shape, two collapses before anything pairwise:
+      1. **Distinct-value collapse** — key-like columns are duplicate-heavy,
+         so rows fold to (name, count) via one hash aggregate; all pairwise
+         work runs on the DISTINCT-name table (identical-name pairs become
+         C(count, 2) arithmetic, cross-name pairs count_a x count_b — never
+         enumerated).
+      2. **FastSS deletion-neighborhood blocking** (Bocek et al. 2007) on the
+         distinct names: LD(a,b) <= 1 implies a shared key in {name} ∪
+         {single-char deletions}, so replication is bounded by key LENGTH;
+         one groupby enumerates candidates per block, a distinct-pair
+         aggregate dedups across blocks, the capped-LD verifier rejects
+         false candidates.
     """
-    ds = read_parquet_clean(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    from ._util import finish_on_driver
+
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet", columns=["p_name"])
+
+    def name_counts(batch: pa.Table) -> pd.DataFrame:
+        vc = batch["p_name"].to_pandas().fillna("").value_counts()
+        return pd.DataFrame({"p_name": vc.index.to_numpy(dtype=object), "c": vc.to_numpy()})
+
+    distinct = (
+        ds.map_batches(name_counts, batch_format="pyarrow").groupby("p_name").sum("c")
+    ).map_batches(
+        lambda t: pa.table({"p_name": t["p_name"], "c": t["sum(c)"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
 
     def block_keys(batch: pa.Table) -> pa.Table:
-        ids = batch["p_partkey"].to_numpy(zero_copy_only=False)
         names = batch["p_name"].to_pylist()
-        out_key, out_id, out_name = [], [], []
-        for pid, nm in zip(ids, names):
-            nm = nm or ""
-            out_key.append(nm)
-            out_id.append(pid)
-            out_name.append(nm)
-            for i in range(len(nm)):
-                out_key.append(nm[:i] + nm[i + 1 :])
-                out_id.append(pid)
+        cs = batch["c"].to_numpy(zero_copy_only=False)
+        out_key, out_name, out_c = [], [], []
+        for nm, c in zip(names, cs):
+            for k in [nm] + [nm[:i] + nm[i + 1 :] for i in range(len(nm))]:
+                out_key.append(k)
                 out_name.append(nm)
+                out_c.append(c)
         return pa.table(
             {
                 "key": pa.array(out_key, pa.string()),
-                "p_partkey": pa.array(out_id, pa.int64()),
                 "p_name": pa.array(out_name, pa.string()),
+                "c": pa.array(out_c, pa.int64()),
             }
         )
 
     def pairs_in_block(g: pa.Table) -> pa.Table:
-        ids = g["p_partkey"].to_numpy(zero_copy_only=False)
         names = g["p_name"].to_pylist()
-        order = np.argsort(ids, kind="stable")
-        ids, names = ids[order], [names[i] for i in order]
-        ia, ib, na, nb = [], [], [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                if ids[x] != ids[y]:
-                    ia.append(ids[x])
-                    ib.append(ids[y])
-                    na.append(names[x])
-                    nb.append(names[y])
+        cs = g["c"].to_numpy(zero_copy_only=False)
+        order = sorted(range(len(names)), key=lambda i: names[i])
+        na, nb, ca, cb = [], [], [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if names[i] != names[j]:
+                    na.append(names[i])
+                    nb.append(names[j])
+                    ca.append(cs[i])
+                    cb.append(cs[j])
         return pa.table(
             {
-                "id_a": pa.array(ia, pa.int64()),
-                "id_b": pa.array(ib, pa.int64()),
                 "name_a": pa.array(na, pa.string()),
                 "name_b": pa.array(nb, pa.string()),
+                "c_a": pa.array(ca, pa.int64()),
+                "c_b": pa.array(cb, pa.int64()),
             }
         )
 
     candidates = (
-        ds.map_batches(block_keys, batch_format="pyarrow")
+        distinct.map_batches(block_keys, batch_format="pyarrow")
         .groupby("key")
         .map_groups(pairs_in_block, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .groupby(["name_a", "name_b"])
+        .min(["c_a", "c_b"])  # native dedup across blocks (counts identical per pair)
     )
 
-    def verify(batch: pa.Table) -> "pd.DataFrame":
-        import pandas as pd
-
+    def verify(batch: pa.Table) -> pd.DataFrame:
+        names_a = batch["name_a"].to_pylist()
+        names_b = batch["name_b"].to_pylist()
+        ca = batch["min(c_a)"].to_numpy(zero_copy_only=False)
+        cb = batch["min(c_b)"].to_numpy(zero_copy_only=False)
         dist = np.fromiter(
-            (
-                _ld_le1(a, b)
-                for a, b in zip(batch["name_a"].to_pylist(), batch["name_b"].to_pylist())
-            ),
+            (_ld_le1(a, b) for a, b in zip(names_a, names_b)),
             dtype=np.int64,
             count=batch.num_rows,
         )
-        keep = dist >= 0
-        vals, counts = np.unique(dist[keep], return_counts=True)
-        return pd.DataFrame({"distance": vals, "n_pairs": counts.astype(np.int64)})
+        keep = dist == 1  # cross-name candidates can only be distance 1
+        return pd.DataFrame(
+            {"distance": [1], "n_pairs": [int((ca[keep] * cb[keep]).sum())]}
+        )
 
-    from ._util import finish_on_driver
+    def zero_partial(batch: pa.Table) -> pd.DataFrame:
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"distance": [0], "n_pairs": [int((c * (c - 1) // 2).sum())]})
 
-    out = finish_on_driver(
-        candidates.map_batches(verify, batch_format="pyarrow"), ["distance"], ["n_pairs"]
-    ).sort_values("distance")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    parts = candidates.map_batches(verify, batch_format="pyarrow").union(
+        distinct.map_batches(zero_partial, batch_format="pyarrow")
+    )
+    out = finish_on_driver(parts, ["distance"], ["n_pairs"])
+    out = out[out["n_pairs"] > 0].sort_values("distance")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)

@@ -925,6 +925,12 @@ def session_duration_quantiles(
         .map_groups(sessions_in_salt, batch_format="pandas")
         .groupby("user_id")
         .map_groups(stitch, batch_format="pandas")
+        # exact_quantiles is multi-pass BY DESIGN (min/max, histogram, bin
+        # collect); without pinning, every pass would re-execute both
+        # sessionize shuffles. The session table is orders of magnitude
+        # smaller than the event stream (one row per session), so this is
+        # the one intermediate worth materializing (62.7 s -> ~7 s at sf0.1)
+        .materialize()
     )
     from ..profile import exact_quantiles
 
