@@ -111,6 +111,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--target-mb", type=int, default=96, help="arrow bytes per partition")
+    p.add_argument("--drop-columns", nargs="*", default=None,
+                   help="schema evolution: retire columns during the rewrite")
+    p.add_argument("--add-column", action="append", default=None, metavar="NAME:TYPE[:DEFAULT]",
+                   help="schema evolution: add a column (typed nulls, or a backfill constant)")
 
     p = sub.add_parser("lookup", help="fetch ONE conversation by key (decodes only its container(s))")
     p.add_argument("encoded_dir")
@@ -225,9 +229,27 @@ def main(argv: list[str] | None = None) -> int:
             keys = [int(k) for k in args.keys] if args.as_int else list(args.keys)
             print(json.dumps(delete_conversations(args.encoded_dir, keys)))
         elif args.cmd == "compact":
+            import pyarrow as pa
+
+            from .codecs import str_to_type
             from .encode import compact_dataset
 
-            print(json.dumps(compact_dataset(args.input, args.output, target_part_bytes=args.target_mb << 20)))
+            add = None
+            if args.add_column:
+                add = {}
+                for spec in args.add_column:
+                    parts = spec.split(":", 2)
+                    if len(parts) < 2:
+                        raise SystemExit(f"--add-column needs NAME:TYPE[:DEFAULT], got {spec!r}")
+                    typ = str_to_type(parts[1])
+                    if len(parts) == 3:
+                        add[parts[0]] = (typ, pa.scalar(parts[2]).cast(typ).as_py())
+                    else:
+                        add[parts[0]] = typ
+            print(json.dumps(compact_dataset(
+                args.input, args.output, target_part_bytes=args.target_mb << 20,
+                drop_columns=args.drop_columns, add_columns=add,
+            )))
         elif args.cmd == "lookup":
             from .decode import lookup_conversation
 

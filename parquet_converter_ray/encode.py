@@ -390,6 +390,8 @@ def compact_dataset(
     in_dir: str,
     out_dir: str,
     target_part_bytes: int = TARGET_PART_BYTES,
+    drop_columns: Sequence[str] | None = None,
+    add_columns: dict | None = None,
     **kw,
 ) -> dict:
     """Compact an encoded store: decode -> re-encode with a partition count
@@ -404,7 +406,13 @@ def compact_dataset(
     (conv/order columns, salt) from ``_run.json`` so the output is the same
     logical layout, and re-encodes through the normal partition-atomic path —
     the result decodes bit-identically (tested).
-    """
+
+    Compaction is also the SCHEMA-EVOLUTION point (append deliberately
+    conforms deliveries to the store schema, so widening/narrowing must go
+    through a rewrite): ``drop_columns`` removes retired columns;
+    ``add_columns`` maps new name -> pyarrow type (typed-null fill) or
+    -> (type, constant) for a backfill default. Partition/order columns
+    cannot be dropped."""
     from . import manifest as mf
     from .decode import decode_dataset
 
@@ -415,6 +423,32 @@ def compact_dataset(
     bytes_in = sum(r["bytes_in"] for r in recs) or (64 << 20)
     n_parts = kw.pop("n_parts", None) or max(1, -(-bytes_in // target_part_bytes))
     ds = decode_dataset(in_dir)
+
+    if drop_columns:
+        protected = {prior["conv_col"], prior.get("order_col")} & set(drop_columns)
+        if protected:
+            raise ValueError(
+                f"cannot drop partition/order column(s) {sorted(protected)} — "
+                "they define the store layout"
+            )
+        ds = ds.drop_columns(list(drop_columns))
+    if add_columns:
+        existing = set(ds.schema().names)
+        dup = existing & set(add_columns)
+        if dup:
+            raise ValueError(f"add_columns would shadow existing column(s) {sorted(dup)}")
+
+        def _widen(batch: pa.Table) -> pa.Table:
+            for name, spec in add_columns.items():
+                if isinstance(spec, tuple):
+                    typ, const = spec
+                    col = pa.array([const] * batch.num_rows, type=typ)
+                else:
+                    col = pa.nulls(batch.num_rows, spec)
+                batch = batch.append_column(name, col)
+            return batch
+
+        ds = ds.map_batches(_widen, batch_format="pyarrow")
     return encode_dataset(
         ds,
         out_dir,

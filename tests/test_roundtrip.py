@@ -639,3 +639,54 @@ def test_append_skip_existing_idempotent(ray_session, tmp_path):
     # a second identical overlapping delivery is a no-op
     s3 = append_dataset(str(p2), enc, skip_existing=True)
     assert s3["rows_appended"] == 0
+
+
+def test_compact_schema_evolution(ray_session, tmp_path):
+    """Compaction is the schema-evolution point: drop a retired column, add a
+    typed-null column and a constant-backfill column in one rewrite; the
+    evolved store decodes with the new schema, data columns bit-identical,
+    and appends now conform to the EVOLVED schema. Partition/order columns
+    refuse to be dropped."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import pytest
+
+    from parquet_converter_ray.decode import decode_dataset
+    from parquet_converter_ray.encode import append_dataset, compact_dataset, encode_dataset
+    from parquet_converter_ray.synth import make_transcripts
+
+    t = make_transcripts(3000, seed=41)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(t, inp / "t.parquet")
+    enc = str(tmp_path / "enc")
+    encode_dataset(str(inp), enc, n_parts=3, salt_rows=1000)
+
+    evolved = str(tmp_path / "evolved")
+    compact_dataset(
+        enc,
+        evolved,
+        drop_columns=["tool"],
+        add_columns={"lang": pa.string(), "source": (pa.string(), "legacy-v1")},
+    )
+    got = pa.concat_tables(list(decode_dataset(evolved).iter_batches(batch_format="pyarrow")))
+    assert set(got.schema.names) == {"conv_id", "turn_idx", "role", "text", "ts", "lang", "source"}
+    key = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    want = t.drop_columns(["tool"]).sort_by(key).combine_chunks()
+    assert got.sort_by(key).select(want.column_names).combine_chunks().equals(want)
+    assert got["lang"].null_count == got.num_rows
+    assert pc.all(pc.equal(got["source"], "legacy-v1")).as_py()
+
+    # appends now conform to the EVOLVED schema (old-shape deliveries gain
+    # typed-null lang/source and lose nothing they still carry)
+    d = make_transcripts(500, seed=42).drop_columns(["tool"])
+    pq.write_table(d, tmp_path / "d.parquet")
+    append_dataset(str(tmp_path / "d.parquet"), evolved)
+    got2 = pa.concat_tables(list(decode_dataset(evolved).iter_batches(batch_format="pyarrow")))
+    assert got2.num_rows == 3500
+
+    with pytest.raises(ValueError, match="partition/order"):
+        compact_dataset(enc, str(tmp_path / "bad"), drop_columns=["conv_id"])
+    with pytest.raises(ValueError, match="shadow"):
+        compact_dataset(enc, str(tmp_path / "bad2"), add_columns={"role": pa.string()})
