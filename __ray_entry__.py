@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup ---
         "dedup_exact": dedup.dedup_exact,
         "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
+        "name_clusters": dedup.name_clusters,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
@@ -470,6 +471,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_pairs
             FROM part a JOIN part b ON a.p_partkey < b.p_partkey
             WHERE levenshtein(a.p_name, b.p_name) <= 1
+            GROUP BY 1 ORDER BY 1
+        """,
+        "name_clusters": """
+            WITH RECURSIVE names AS (
+                SELECT p_name, count(*) AS c FROM part GROUP BY p_name),
+            p2 AS (SELECT a.p_name AS na, b.p_name AS nb
+                   FROM names a JOIN names b ON a.p_name < b.p_name
+                   WHERE levenshtein(a.p_name, b.p_name) = 1),
+            edges AS (SELECT na AS a, nb AS b FROM p2
+                      UNION SELECT nb, na FROM p2),
+            walk(id, reach) AS (
+                SELECT p_name, p_name FROM names
+                UNION
+                SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+            lbl AS (SELECT id AS p_name, min(reach) AS canonical FROM walk GROUP BY id)
+            SELECT l.canonical AS canonical_name,
+                   count(*)::BIGINT AS n_names,
+                   sum(n.c)::BIGINT AS n_rows
+            FROM lbl l JOIN names n ON n.p_name = l.p_name
             GROUP BY 1 ORDER BY 1
         """,
         "q14_promo_revenue": """

@@ -1088,39 +1088,30 @@ def _ld_le1(a: str, b: str) -> int:
     return 1 if a[i:] == b[i + 1 :] else -1
 
 
-def fuzzy_name_pairs(sf_dir: str) -> pa.Table:
-    """Edit-distance join: unordered part pairs with Levenshtein(p_name) <= 1,
-    reported as (distance, n_pairs) — fuzzy KEY matching, the complement of
-    the long-text near-dup family (MinHash/SimHash); use those for document
-    bodies, this for short identifier-like strings.
-
-    Scale shape, two collapses before anything pairwise:
-      1. **Distinct-value collapse** — key-like columns are duplicate-heavy,
-         so rows fold to (name, count) via one hash aggregate; all pairwise
-         work runs on the DISTINCT-name table (identical-name pairs become
-         C(count, 2) arithmetic, cross-name pairs count_a x count_b — never
-         enumerated).
-      2. **FastSS deletion-neighborhood blocking** (Bocek et al. 2007) on the
-         distinct names: LD(a,b) <= 1 implies a shared key in {name} ∪
-         {single-char deletions}, so replication is bounded by key LENGTH;
-         one groupby enumerates candidates per block, a distinct-pair
-         aggregate dedups across blocks, the capped-LD verifier rejects
-         false candidates.
-    """
-    from ._util import finish_on_driver
-
+def _name_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct (p_name, c) via one hash aggregate — the distinct-value
+    collapse that keeps every pairwise stage vocabulary-sized on
+    duplicate-heavy key columns."""
     ds = read_parquet_clean(f"{sf_dir}/part.parquet", columns=["p_name"])
 
     def name_counts(batch: pa.Table) -> pd.DataFrame:
         vc = batch["p_name"].to_pandas().fillna("").value_counts()
         return pd.DataFrame({"p_name": vc.index.to_numpy(dtype=object), "c": vc.to_numpy()})
 
-    distinct = (
+    return (
         ds.map_batches(name_counts, batch_format="pyarrow").groupby("p_name").sum("c")
     ).map_batches(
         lambda t: pa.table({"p_name": t["p_name"], "c": t["sum(c)"].cast(pa.int64())}),
         batch_format="pyarrow",
     )
+
+
+def _ld1_pairs(distinct: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Verified Levenshtein==1 pairs over a distinct (p_name, c) dataset:
+    FastSS deletion-neighborhood blocking (Bocek et al. 2007; replication
+    bounded by key LENGTH), per-block candidate enumeration, cross-block
+    distinct-pair aggregate, capped-LD verification. Output columns
+    (name_a < name_b, c_a, c_b)."""
 
     def block_keys(batch: pa.Table) -> pa.Table:
         names = batch["p_name"].to_pylist()
@@ -1161,36 +1152,106 @@ def fuzzy_name_pairs(sf_dir: str) -> pa.Table:
             }
         )
 
-    candidates = (
-        distinct.map_batches(block_keys, batch_format="pyarrow")
-        .groupby("key")
-        .map_groups(pairs_in_block, batch_format="pyarrow")
-        .groupby(["name_a", "name_b"])
-        .min(["c_a", "c_b"])  # native dedup across blocks (counts identical per pair)
-    )
-
-    def verify(batch: pa.Table) -> pd.DataFrame:
+    def verify(batch: pa.Table) -> pa.Table:
         names_a = batch["name_a"].to_pylist()
         names_b = batch["name_b"].to_pylist()
-        ca = batch["min(c_a)"].to_numpy(zero_copy_only=False)
-        cb = batch["min(c_b)"].to_numpy(zero_copy_only=False)
         dist = np.fromiter(
             (_ld_le1(a, b) for a, b in zip(names_a, names_b)),
             dtype=np.int64,
             count=batch.num_rows,
         )
-        keep = dist == 1  # cross-name candidates can only be distance 1
-        return pd.DataFrame(
-            {"distance": [1], "n_pairs": [int((ca[keep] * cb[keep]).sum())]}
+        out = pa.table(
+            {
+                "name_a": batch["name_a"],
+                "name_b": batch["name_b"],
+                "c_a": batch["min(c_a)"],
+                "c_b": batch["min(c_b)"],
+            }
         )
+        return out.filter(pa.array(dist == 1))
+
+    return (
+        distinct.map_batches(block_keys, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(pairs_in_block, batch_format="pyarrow")
+        .groupby(["name_a", "name_b"])
+        .min(["c_a", "c_b"])  # native dedup across blocks (counts identical per pair)
+        .map_batches(verify, batch_format="pyarrow")
+    )
+
+
+def fuzzy_name_pairs(sf_dir: str) -> pa.Table:
+    """Edit-distance join: unordered part pairs with Levenshtein(p_name) <= 1,
+    reported as (distance, n_pairs) — fuzzy KEY matching, the complement of
+    the long-text near-dup family (MinHash/SimHash); use those for document
+    bodies, this for short identifier-like strings.
+
+    Two collapses before anything pairwise: the distinct-value collapse
+    (``_name_counts`` — identical-name pairs become C(count, 2) arithmetic,
+    cross-name pairs count_a x count_b, never enumerated) and FastSS
+    deletion blocking on the distinct names (``_ld1_pairs``)."""
+    from ._util import finish_on_driver
+
+    distinct = _name_counts(sf_dir)
+
+    def one_partial(batch: pa.Table) -> pd.DataFrame:
+        ca = batch["c_a"].to_numpy(zero_copy_only=False)
+        cb = batch["c_b"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"distance": [1], "n_pairs": [int((ca * cb).sum())]})
 
     def zero_partial(batch: pa.Table) -> pd.DataFrame:
         c = batch["c"].to_numpy(zero_copy_only=False)
         return pd.DataFrame({"distance": [0], "n_pairs": [int((c * (c - 1) // 2).sum())]})
 
-    parts = candidates.map_batches(verify, batch_format="pyarrow").union(
+    parts = _ld1_pairs(distinct).map_batches(one_partial, batch_format="pyarrow").union(
         distinct.map_batches(zero_partial, batch_format="pyarrow")
     )
     out = finish_on_driver(parts, ["distance"], ["n_pairs"])
     out = out[out["n_pairs"] > 0].sort_values("distance")
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def name_clusters(sf_dir: str) -> pa.Table:
+    """Fuzzy-key canonicalization: connected components over the
+    Levenshtein<=1 name graph — compose the edit-distance join with the
+    pointer-jumping label propagation, the cluster step a curation pipeline
+    runs before treating near-identical keys as one entity.
+
+    The edge list is vocabulary-sized by construction (``_ld1_pairs`` runs on
+    distinct names), the component pass is the distributed BSP
+    ``label_propagation`` on 64-bit name hashes, and the final cluster
+    summary joins labels back to (name, count) on the driver — the distinct
+    NAME domain is the bounded state here (the ``tfidf_top_terms`` vocabulary
+    contract), never the row count. Canonical representative = lexicographic
+    min name in the component (matching the SQL closure oracle); output is
+    one row per cluster: (canonical_name, n_names, n_rows)."""
+    from ..partition import stable_hash_strings
+
+    distinct = _name_counts(sf_dir)
+    names_df = distinct.to_pandas()  # vocabulary-bounded
+    pairs_df = _ld1_pairs(distinct).to_pandas()  # << vocab^2, verified edges only
+
+    h = stable_hash_strings(pa.array(names_df["p_name"].to_numpy(dtype=object))).view(np.int64)
+    names_df = names_df.assign(node=h)
+    by_hash = dict(zip(names_df["node"], names_df["p_name"]))
+    if len(by_hash) != len(names_df):
+        raise RuntimeError("64-bit name-hash collision in name_clusters")
+
+    canon = {}
+    if len(pairs_df):
+        ha = stable_hash_strings(pa.array(pairs_df["name_a"].to_numpy(dtype=object))).view(np.int64)
+        hb = stable_hash_strings(pa.array(pairs_df["name_b"].to_numpy(dtype=object))).view(np.int64)
+        labels = label_propagation(
+            pa.table({"id_a": pa.array(ha), "id_b": pa.array(hb)})
+        )
+        canon = dict(zip(labels["vec_id"].to_pylist(), labels["canonical_id"].to_pylist()))
+
+    comp = names_df["node"].map(lambda n: canon.get(n, n))
+    out = names_df.assign(comp=comp)
+    agg = out.groupby("comp").agg(
+        canonical_name=("p_name", "min"), n_names=("p_name", "size"), n_rows=("c", "sum")
+    )
+    agg = agg.sort_values("canonical_name").reset_index(drop=True)
+    agg["n_names"] = agg["n_names"].astype("int64")
+    agg["n_rows"] = agg["n_rows"].astype("int64")
+    return pa.Table.from_pandas(agg[["canonical_name", "n_names", "n_rows"]], preserve_index=False)

@@ -119,6 +119,7 @@ SQL_CHECKED = [
     "fuzzy_name_pairs",
     "user_rolling_peak_salted",
     "session_duration_quantiles",
+    "name_clusters",
 ]
 
 
