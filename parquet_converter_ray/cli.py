@@ -158,6 +158,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("encoded_dir")
     p.add_argument("--deep", action="store_true",
                    help="also CRC-verify and decode every container (distributed)")
+    p.add_argument("--repair", action="store_true",
+                   help="finish an interrupted delete first (fold/remove record-less "
+                        "generation containers), then check")
 
     p = sub.add_parser("verify", help="decode + compare bit-identical vs original parquet")
     p.add_argument("encoded_dir")
@@ -311,6 +314,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "fsck":
             from .fsck import fsck_store
 
+            if args.repair:
+                from .encode import repair_store
+
+                print(json.dumps({"repair": repair_store(args.encoded_dir)}))
             rep = fsck_store(args.encoded_dir, deep=args.deep)
             print(json.dumps(rep))
             return 0 if rep["ok"] else 1

@@ -771,13 +771,13 @@ def delete_conversations(out_dir: str, conv_values: list, codec: str | dict = "a
 
     conv_values = list(dict.fromkeys(conv_values))
     summary_base = {"convs_requested": len(conv_values)}
-    if not conv_values:
-        return {**summary_base, "convs_found": 0, "rows_deleted": 0, "parts_rewritten": 0}
-
-    if all(isinstance(v, (int, np.integer)) for v in conv_values):
-        hashes = stable_hash_ints(pa.array([int(v) for v in conv_values], pa.int64()))
-    else:
-        hashes = stable_hash_strings(pa.array([str(v) for v in conv_values]))
+    # an EMPTY victim list is repair-only mode (repair_store / fsck --repair):
+    # skip the escalation walk, run just the orphan sweep + rewrite
+    if conv_values:
+        if all(isinstance(v, (int, np.integer)) for v in conv_values):
+            hashes = stable_hash_ints(pa.array([int(v) for v in conv_values], pa.int64()))
+        else:
+            hashes = stable_hash_strings(pa.array([str(v) for v in conv_values]))
 
     recs = mf.load_records(out_dir)
     by_part: dict[int, list[dict]] = {}
@@ -882,3 +882,11 @@ def delete_conversations(out_dir: str, conv_values: list, codec: str | dict = "a
     summary["rows_deleted"] = int(sum(d for d, _ in results))
     summary["parts_rewritten"] = len(results)
     return summary
+
+def repair_store(out_dir: str) -> dict:
+    """Finish any interrupted ``delete_conversations``: sweep record-less
+    generation containers into their partitions' rewrite (the step-1 fold
+    decides keep-vs-drop exactly via the base record's content-addressed
+    ``folded`` map) and restore manifest/container consistency. A no-op on a
+    healthy store. Exposed as ``fsck --repair``."""
+    return delete_conversations(out_dir, [])

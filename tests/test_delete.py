@@ -204,3 +204,46 @@ def test_delete_recovers_crash_mid_step3(ray_session, tmp_path):
     assert s["parts_rewritten"] >= 1
     assert _eq(_decode_all(enc), want)
     assert fsck_store(enc)["ok"]
+
+
+def test_repair_store_finishes_interrupted_delete(ray_session, tmp_path):
+    """repair_store (fsck --repair) must finish a crashed delete WITHOUT
+    being given the victim list: the orphan sweep + content-addressed folded
+    map decide everything; a healthy store is a no-op."""
+    from parquet_converter_ray.encode import repair_store
+
+    enc, expect_all = _mk_store(tmp_path)
+    victims = [sorted(set(expect_all["conv_id"].to_pylist()))[0]]
+
+    import numpy as np
+
+    from parquet_converter_ray.decode import _part_for
+    from parquet_converter_ray.partition import stable_hash_strings
+
+    params = mf.load_run_record(enc)
+    h = stable_hash_strings(pa.array(victims))[0]
+    pid = _part_for(np.uint64(h), 0, int(params["n_parts"]))
+    gen_paths = [
+        r["path"] for r in mf.load_records(enc)
+        if int(r["part_id"]) == pid and r.get("generation", 0)
+    ]
+    if not gen_paths:
+        pytest.skip("victim partition has no appended generation")
+    backup = str(tmp_path / os.path.basename(gen_paths[0]))
+    shutil.copy(gen_paths[0], backup)
+
+    delete_conversations(enc, victims)
+    want = _minus(expect_all, victims)
+
+    # healthy store: repair is a no-op
+    s0 = repair_store(enc)
+    assert s0["parts_rewritten"] == 0
+
+    # crash state between steps 3 and 4: record-less generation file back
+    shutil.copy(backup, gen_paths[0])
+    assert not fsck_store(enc)["ok"]
+
+    s = repair_store(enc)
+    assert s["parts_rewritten"] >= 1 and s["convs_requested"] == 0
+    assert fsck_store(enc)["ok"]
+    assert _eq(_decode_all(enc), want)
