@@ -92,6 +92,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--columns", nargs="*", default=None)
+    p.add_argument("--max-generation", type=int, default=None,
+                   help="snapshot read: only containers with generation <= g "
+                        "(the store before later appended deliveries)")
 
     p = sub.add_parser("append", help="append a new delivery of rows to an existing encoded store")
     p.add_argument("input", help="parquet file/dir with the new rows")
@@ -219,7 +222,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "decode":
             from .decode import decode_dataset
 
-            ds = decode_dataset(args.input, columns=args.columns)
+            ds = decode_dataset(args.input, columns=args.columns,
+                                max_generation=args.max_generation)
             ds.write_parquet(args.output, compression=cfg.compression)
             print(json.dumps({"rows": ray.data.read_parquet(args.output).count()}))
         elif args.cmd == "append":

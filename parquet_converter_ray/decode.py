@@ -48,21 +48,31 @@ def resolve_container_path(out_dir: str, rec: dict) -> str:
     )
 
 
-def container_files(out_dir: str) -> list[str]:
+def container_files(out_dir: str, max_generation: int | None = None) -> list[str]:
     """Container files to decode — manifest-driven when a manifest exists.
 
     The per-partition lineage records are the source of truth: a re-encode of
     a smaller dataset into a reused out_dir (or a crashed run) can leave stale
     ``part-*.pcc`` files that a bare glob would silently mix into the result.
-    Falls back to the glob only when no manifest was written at all."""
+    Falls back to the glob only when no manifest was written at all.
+
+    ``max_generation`` selects a SNAPSHOT: only containers with
+    generation <= g, i.e. the store as it stood before later appended
+    deliveries (generations are monotone per ``append_dataset`` call; 0 =
+    base encode only). Snapshots see through appends, NOT through in-place
+    rewrites (delete/repair fold generations into a fresh base) — readers
+    needing delete-proof history should snapshot-copy the store first."""
     from . import manifest as mf
 
     recs = mf.load_records(out_dir)
     if recs:
+        all_files = [resolve_container_path(out_dir, r) for r in recs]
+        if max_generation is not None:
+            recs = [r for r in recs if int(r.get("generation", 0)) <= max_generation]
         files = []
         for r in sorted(recs, key=lambda r: r["part_id"]):
             files.append(resolve_container_path(out_dir, r))
-        stray = set(glob.glob(os.path.join(out_dir, "part-*.pcc"))) - set(files)
+        stray = set(glob.glob(os.path.join(out_dir, "part-*.pcc"))) - set(all_files)
         if stray:
             raise ValueError(
                 f"{len(stray)} container file(s) in {out_dir} are not in the "
@@ -96,8 +106,9 @@ def decode_dataset(
     columns: list[str] | None = None,
     concurrency: int | tuple | None = None,
     verify_crc: bool = False,
+    max_generation: int | None = None,
 ) -> "ray.data.Dataset":
-    files = container_files(out_dir)
+    files = container_files(out_dir, max_generation=max_generation)
     if not files:
         raise FileNotFoundError(f"no container files under {out_dir}")
     ds = ray.data.read_binary_files(files)

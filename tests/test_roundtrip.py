@@ -690,3 +690,38 @@ def test_compact_schema_evolution(ray_session, tmp_path):
         compact_dataset(enc, str(tmp_path / "bad"), drop_columns=["conv_id"])
     with pytest.raises(ValueError, match="shadow"):
         compact_dataset(enc, str(tmp_path / "bad2"), add_columns={"role": pa.string()})
+
+
+def test_snapshot_read_by_generation(ray_session, tmp_path):
+    """max_generation selects the store as it stood before later appended
+    deliveries: g=0 sees only the base encode, g=1 the base plus the first
+    delivery; the default sees everything."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from parquet_converter_ray.encode import append_dataset
+
+    base = make_transcripts(3000, seed=61)
+    d1 = make_transcripts(800, seed=62)
+    d2 = make_transcripts(600, seed=63)
+    out = str(tmp_path / "enc")
+    encode_dataset(ray.data.from_arrow(base), out, n_parts=3, salt_rows=1000)
+    inp = tmp_path / "d"
+    inp.mkdir()
+    pq.write_table(d1, inp / "d1.parquet")
+    append_dataset(str(inp / "d1.parquet"), out)
+    pq.write_table(d2, inp / "d2.parquet")
+    append_dataset(str(inp / "d2.parquet"), out)
+
+    key = [(c, "ascending") for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")]
+
+    def snap(g):
+        t = pa.concat_tables(
+            list(decode_dataset(out, max_generation=g).iter_batches(batch_format="pyarrow"))
+        )
+        return t.sort_by(key).combine_chunks()
+
+    assert snap(0).equals(base.sort_by(key).combine_chunks())
+    assert snap(1).equals(pa.concat_tables([base, d1]).sort_by(key).combine_chunks())
+    assert snap(None).num_rows == 4400
+    assert snap(99).num_rows == 4400
