@@ -56,6 +56,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     return {
+        # NOTE on ordering: the driver verifies the FIRST 50 entries per round.
+        # Rounds 1-3 covered 74 of 107; the 33 never-driver-checked entries are
+        # deliberately placed first here (round-3 VERDICT item 1), followed by
+        # the queries this round's refactors touch (dedup/tfidf/store), then
+        # the long-green remainder.
+        # --- never-driver-checked through round 3 (33 entries) ---
+        "label_centroids": similarity.label_centroids,
+        "customer_year_overlap": analytics.customer_year_overlap,
+        "event_funnel": behavior.event_funnel,
+        "cohort_retention": behavior.cohort_retention,
+        "latest_event_per_user": behavior.latest_event_per_user,
+        "events_daily_gapfill": behavior.events_daily_gapfill,
+        "revenue_mom_growth": behavior.revenue_mom_growth,
+        "purchase_error_window": behavior.purchase_error_window,
+        "user_rolling_peak": behavior.user_rolling_peak,
+        "user_rolling_peak_salted": behavior.user_rolling_peak_salted,
+        "unpivot_customer": windows.unpivot_customer,
+        "scrub_pii": text.scrub_pii,
+        "chunk_documents": text.chunk_documents,
+        "token_dup_stats": text.token_dup_stats,
+        "decontaminate": text.decontaminate,
+        "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
+        "name_clusters": dedup.name_clusters,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "dedup_substring": dedup.dedup_substring,
+        "dedup_incremental": dedup.dedup_incremental,
+        "transcript_lookup": transcripts.transcript_lookup,
+        "transcript_delete": transcripts.transcript_delete,
+        "transcript_role_stats": transcripts.transcript_role_stats,
+        "transcript_length_histogram": transcripts.transcript_length_histogram,
+        "transcript_tool_usage": transcripts.transcript_tool_usage,
+        "convert_jsonl_roundtrip": transcripts.convert_jsonl_roundtrip,
+        "lineitem_scan_pushdown": transcripts.lineitem_scan_pushdown,
+        "lineitem_store_profile": transcripts.lineitem_store_profile,
+        "mix_sources": export.mix_sources,
+        "split_assign": export.split_assign,
+        "pack_sequences": export.pack_sequences,
+        "export_shards": export.export_shards,
+        "audio_rms_windows": multimodal.audio_rms_windows,
+        # --- slots 34-50: queries touched by this round's refactors ---
+        "tfidf_top_terms": text.tfidf_top_terms,
+        "dedup_minhash": dedup.dedup_minhash,
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_embedding": dedup.dedup_embedding,
+        "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
+        "dedup_components": dedup.dedup_components,
+        "transcript_roundtrip": transcripts.transcript_roundtrip,
+        "transcript_codec_plan": transcripts.transcript_codec_plan,
+        "lineitem_codec_roundtrip": transcripts.lineitem_codec_roundtrip,
+        "curate_documents": text.curate_documents,
+        "knn_bruteforce": similarity.knn_bruteforce,
+        "knn_lsh": similarity.knn_lsh,
+        "knn_ivf": similarity.knn_ivf,
+        "convert_csv_roundtrip": transcripts.convert_csv_roundtrip,
+        "multimodal_features": multimodal.multimodal_features,
         # --- reference-parity relational / profiling (SURVEY §2.5-2.6) ---
         "count_lineitem": relational.count_lineitem,
         "null_unique_profile": relational.null_unique_profile,
@@ -97,7 +154,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_intervals": relational.event_intervals,
         "docs_per_lang_sample": windows.docs_per_lang_sample,
         "term_postings": text.term_postings,
-        "tfidf_top_terms": text.tfidf_top_terms,
         # --- distributed analytics (grouped distinct, sketches, histogram,
         # streaming moments, Bloom semi-join, deterministic sampling) ---
         "distinct_users_by_type": analytics.distinct_users_by_type,
@@ -111,70 +167,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_balance_ntile": analytics.customer_balance_ntile,
         "weighted_sample_orders": analytics.weighted_sample_orders,
         "approx_price_quantiles": analytics.approx_price_quantiles,
-        "label_centroids": similarity.label_centroids,
-        "customer_year_overlap": analytics.customer_year_overlap,
         # --- behavioral / product analytics over the event stream ---
-        "event_funnel": behavior.event_funnel,
-        "cohort_retention": behavior.cohort_retention,
-        "latest_event_per_user": behavior.latest_event_per_user,
-        "events_daily_gapfill": behavior.events_daily_gapfill,
-        "revenue_mom_growth": behavior.revenue_mom_growth,
-        "purchase_error_window": behavior.purchase_error_window,
-        "user_rolling_peak": behavior.user_rolling_peak,
-        "user_rolling_peak_salted": behavior.user_rolling_peak_salted,
-        "unpivot_customer": windows.unpivot_customer,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "token_counts_bpe": text.token_counts_bpe,
-        "curate_documents": text.curate_documents,
         "char_stats": text.char_stats,
         "doc_fingerprint": text.doc_fingerprint,
         "lang_quality": text.lang_quality,
         "winnow_fingerprints": text.winnow_fingerprints,
-        "scrub_pii": text.scrub_pii,
-        "chunk_documents": text.chunk_documents,
-        "token_dup_stats": text.token_dup_stats,
-        "decontaminate": text.decontaminate,
         # --- dedup ---
-        "dedup_exact": dedup.dedup_exact,
-        "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
-        "name_clusters": dedup.name_clusters,
-        "q14_promo_revenue": relational.q14_promo_revenue,
-        "dedup_minhash": dedup.dedup_minhash,
-        "dedup_simhash": dedup.dedup_simhash,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_embedding": dedup.dedup_embedding,
-        "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
-        "dedup_components": dedup.dedup_components,
-        "dedup_substring": dedup.dedup_substring,
-        "dedup_incremental": dedup.dedup_incremental,
         # --- similarity search ---
-        "knn_bruteforce": similarity.knn_bruteforce,
-        "knn_lsh": similarity.knn_lsh,
-        "knn_ivf": similarity.knn_ivf,
         # --- north-star transcript codec engine (non-SQL) ---
-        "transcript_roundtrip": transcripts.transcript_roundtrip,
-        "transcript_codec_plan": transcripts.transcript_codec_plan,
-        "transcript_lookup": transcripts.transcript_lookup,
-        "transcript_delete": transcripts.transcript_delete,
-        "transcript_role_stats": transcripts.transcript_role_stats,
-        "transcript_length_histogram": transcripts.transcript_length_histogram,
-        "transcript_tool_usage": transcripts.transcript_tool_usage,
-        "convert_csv_roundtrip": transcripts.convert_csv_roundtrip,
-        "convert_jsonl_roundtrip": transcripts.convert_jsonl_roundtrip,
-        "lineitem_codec_roundtrip": transcripts.lineitem_codec_roundtrip,
-        "lineitem_scan_pushdown": transcripts.lineitem_scan_pushdown,
-        "lineitem_store_profile": transcripts.lineitem_store_profile,
         # --- training-shard preparation (mixture, split, packing, export) ---
-        "mix_sources": export.mix_sources,
-        "split_assign": export.split_assign,
-        "pack_sequences": export.pack_sequences,
-        "export_shards": export.export_shards,
         # --- multimodal plumbing (stubbed decode) ---
-        "multimodal_features": multimodal.multimodal_features,
         "multimodal_resize": multimodal.multimodal_resize,
         "video_frame_sample": multimodal.video_frame_sample,
-        "audio_rms_windows": multimodal.audio_rms_windows,
     }
 
 
