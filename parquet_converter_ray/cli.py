@@ -318,11 +318,22 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "fsck":
             from .fsck import fsck_store
 
+            # ONE JSON document on stdout even with --repair (consumers parse a
+            # single object); a repair failure is reported inline and fsck
+            # still runs so the report reflects the store's actual state.
+            repair = None
             if args.repair:
                 from .encode import repair_store
 
-                print(json.dumps({"repair": repair_store(args.encoded_dir)}))
+                try:
+                    repair = repair_store(args.encoded_dir)
+                except Exception as exc:  # noqa: BLE001 — surfaced in the report
+                    repair = {"error": f"{type(exc).__name__}: {exc}"}
             rep = fsck_store(args.encoded_dir, deep=args.deep)
+            if repair is not None:
+                rep = {"repair": repair, **rep}
+                if "error" in repair:
+                    rep["ok"] = False
             print(json.dumps(rep))
             return 0 if rep["ok"] else 1
         elif args.cmd == "verify":

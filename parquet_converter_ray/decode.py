@@ -61,11 +61,27 @@ def container_files(out_dir: str, max_generation: int | None = None) -> list[str
     deliveries (generations are monotone per ``append_dataset`` call; 0 =
     base encode only). Snapshots see through appends, NOT through in-place
     rewrites (delete/repair fold generations into a fresh base) — readers
-    needing delete-proof history should snapshot-copy the store first."""
+    needing delete-proof history should snapshot-copy the store first. A
+    rewrite that folded generations > g stamps ``snapshot_watermark`` in the
+    run record; requesting max_generation < watermark would return a MIXED
+    state that never existed (rewritten partitions include their folded
+    later-generation rows at g=0, untouched partitions exclude theirs), so it
+    raises instead."""
     from . import manifest as mf
 
     recs = mf.load_records(out_dir)
     if recs:
+        if max_generation is not None:
+            params = mf.load_run_record(out_dir) or {}
+            wm = int(params.get("snapshot_watermark") or 0)
+            if max_generation < wm:
+                raise ValueError(
+                    f"snapshot at generation {max_generation} is unavailable: an "
+                    f"in-place delete/repair folded generations up to {wm} into "
+                    "rewritten base containers, so earlier snapshots would mix "
+                    "pre- and post-fold partition states; snapshot-copy the store "
+                    "before deleting if point-in-time history is needed"
+                )
         all_files = [resolve_container_path(out_dir, r) for r in recs]
         if max_generation is not None:
             recs = [r for r in recs if int(r.get("generation", 0)) <= max_generation]
@@ -269,11 +285,15 @@ def lookup_conversation(
 
     This is the point-access path a 100 TB store needs: ``part_id`` is a pure
     function of (conv_value, salt chunk), recorded in ``_run.json``, so the
-    lookup computes the candidate partition for salt chunk k = 0, 1, ... and
-    stops at the first chunk with fewer than ``salt_rows`` rows (turn indices
-    are dense per conversation — the transcript model — so a partial chunk is
-    the last one). Cost: O(ceil(n_turns / salt_rows)) container decodes with
-    container-level column pruning; a missing key costs exactly one.
+    lookup probes the candidate partition for each salt chunk k = 0..k_max,
+    where k_max is bounded by the ORDER column's zone-map max across the
+    store's lineage records (chunk k exists only if some row has
+    order >= k*salt_rows). No density assumption on turn indices — sparse
+    appended turn ranges are still found. Cost: at most
+    min(k_max+1, n_parts) DISTINCT partition decodes (decoded partitions are
+    cached across chunks) with container-level column pruning. Only when
+    records predate zone maps does the walk fall back to the legacy
+    dense-turn escalation (stop at the first partial chunk).
 
     ``conv_value``'s Python type selects the hash (int -> integer-column
     hash, str/bytes -> byte hash), matching how the column was hashed at
@@ -296,8 +316,9 @@ def lookup_conversation(
     order_col = params.get("order_col")
 
     files = container_files(out_dir)  # validates manifest/glob consistency
+    recs = mf.load_records(out_dir)
     by_part: dict[int, list[str]] = {}
-    for r in mf.load_records(out_dir):  # (part, generation) order — appends included
+    for r in recs:  # (part, generation) order — appends included
         by_part.setdefault(int(r["part_id"]), []).append(resolve_container_path(out_dir, r))
     if not by_part:  # glob-only layout (no manifest): part-<id>[...].pcc names
         for f in files:
@@ -310,6 +331,7 @@ def lookup_conversation(
         h = stable_hash_strings(pa.array([conv_value]))[0]
 
     salted = bool(salt_rows) and order_col is not None
+    k_max = mf.order_chunk_bound(recs, order_col, salt_rows) if salted else 0
     read_cols = None
     if columns is not None:
         read_cols = list(dict.fromkeys([conv_col] + ([order_col] if salted and order_col else []) + columns))
@@ -333,7 +355,14 @@ def lookup_conversation(
             order = pc.fill_null(sel[order_col], 0).cast(pa.int64()).to_numpy(zero_copy_only=False)
             sel = sel.filter(pa.array(order // salt_rows == k))
         chunks.append(sel)
-        if not salted or sel.num_rows < salt_rows:
+        if not salted:
+            break
+        if k_max is not None:
+            if k >= k_max:
+                break
+        elif sel.num_rows < salt_rows:
+            # pre-zonemap records: chunk bound unknowable — legacy dense-turn
+            # escalation (a partial chunk is assumed to be the last one)
             break
         k += 1
 

@@ -731,16 +731,39 @@ def _rewrite_partition(
     return deleted, t.num_rows
 
 
+def _probe_partition_victims(paths: list[str], conv_col: str, victims: list) -> list:
+    """Which victim keys have rows in this partition? One pruned key-column
+    decode over the partition's containers (delete probe worker — runs as a
+    Ray task so a long delete list probes its candidate partitions in
+    parallel, never driver-serially)."""
+    import pyarrow.compute as pc
+
+    from .container import decode_table
+
+    tabs = []
+    for p in paths:
+        with open(p, "rb") as f:
+            tabs.append(decode_table(f.read(), columns=[conv_col]))
+    if not tabs:
+        return []
+    col = pa.concat_tables(tabs)[conv_col].combine_chunks()
+    vict = pa.array(victims).cast(col.type)
+    mask = pc.is_in(vict, value_set=col)
+    return [v for v, m in zip(victims, mask.to_pylist()) if m]
+
+
 def delete_conversations(out_dir: str, conv_values: list, codec: str | dict = "auto") -> dict:
     """Delete whole conversations from an encoded store IN PLACE, rewriting
     only the partitions that can contain them — the retention / right-to-be-
     forgotten path a long-lived 100 TB store needs.
 
     ``part_id`` is a pure function of (conv hash, salt chunk) recorded in
-    ``_run.json``, so the touched-partition set comes from the same
-    chunk-escalation walk ``lookup_conversation`` uses (dense turn order per
-    conversation: a partial salt chunk is the last one), at the cost of one
-    pruned key-column decode per CANDIDATE partition — never a store scan.
+    ``_run.json``, so the touched-partition set is computed driver-side for
+    every (victim, salt chunk 0..k_max) pair — k_max bounded by the order
+    column's zone-map max, the same arithmetic ``scan_store`` routing uses —
+    at the cost of one pruned key-column decode per CANDIDATE partition
+    (fanned out as parallel Ray tasks), never a store scan. No density
+    assumption on turn indices: sparse appended turn ranges are still found.
     Each touched partition is then rewritten in parallel (base + appended
     generations fold into a fresh base container; see ``_rewrite_partition``
     for the crash-safety contract). Untouched partitions keep their exact
@@ -749,11 +772,9 @@ def delete_conversations(out_dir: str, conv_values: list, codec: str | dict = "a
     import glob as _glob
 
     import numpy as np
-    import pyarrow.compute as pc
 
-    from .container import decode_table
     from .decode import _part_for, resolve_container_path
-    from .partition import HASH_VERSION, stable_hash_ints, stable_hash_strings
+    from .partition import HASH_VERSION, hash_conv_values
 
     prior = mf.load_run_record(out_dir)
     if prior is None:
@@ -772,59 +793,63 @@ def delete_conversations(out_dir: str, conv_values: list, codec: str | dict = "a
     conv_values = list(dict.fromkeys(conv_values))
     summary_base = {"convs_requested": len(conv_values)}
     # an EMPTY victim list is repair-only mode (repair_store / fsck --repair):
-    # skip the escalation walk, run just the orphan sweep + rewrite
+    # skip the candidate probe, run just the orphan sweep + rewrite
     if conv_values:
-        if all(isinstance(v, (int, np.integer)) for v in conv_values):
-            hashes = stable_hash_ints(pa.array([int(v) for v in conv_values], pa.int64()))
-        else:
-            hashes = stable_hash_strings(pa.array([str(v) for v in conv_values]))
+        hashes = hash_conv_values(conv_values)
+        if hashes is None:
+            raise TypeError(
+                "delete_conversations: conversation keys must be uniformly "
+                "int, str, or bytes (matching the encoded key column) — got "
+                f"{sorted({type(v).__name__ for v in conv_values})}"
+            )
 
     recs = mf.load_records(out_dir)
     by_part: dict[int, list[dict]] = {}
     for r in recs:
         by_part.setdefault(int(r["part_id"]), []).append(r)
 
-    key_cols = [conv_col] + ([order_col] if salted else [])
-    key_cache: dict[int, pa.Table | None] = {}
-
-    def part_keys(pid: int) -> pa.Table | None:
-        if pid not in key_cache:
-            tabs = []
-            for r in by_part.get(pid, []):
-                with open(resolve_container_path(out_dir, r), "rb") as f:
-                    tabs.append(decode_table(f.read(), columns=key_cols))
-            key_cache[pid] = pa.concat_tables(tabs) if tabs else None
-        return key_cache[pid]
-
     touched: set[int] = set()
-    found: set[int] = set()
-    frontier = list(range(len(conv_values)))
-    k = 0
-    while frontier:
-        nxt = []
-        for i in frontier:
-            pid = _part_for(np.uint64(hashes[i]), k if salted else 0, n_parts)
-            t = part_keys(pid)
-            if t is None:
-                continue
-            sel = pc.equal(t[conv_col], conv_values[i])
-            if salted:
-                order = pc.fill_null(t[order_col], 0).cast(pa.int64())
-                chunk = pc.divide(order, pa.scalar(salt_rows, pa.int64()))
-                sel = pc.and_kleene(sel, pc.equal(chunk, k))
-            cnt = pc.sum(pc.cast(sel, pa.int64())).as_py() or 0
-            if cnt:
+    found_vals: set = set()
+    if conv_values:
+        # Candidate partitions: every (victim hash, salt chunk 0..k_max) pair,
+        # with k_max bounded by the ORDER column's zone-map max — NOT by
+        # walking chunks until the first partial one, which silently
+        # under-deletes when turn indices aren't dense (e.g. an append of
+        # turns 300..319 after 0..99 with salt_rows=300 lands in chunk 1,
+        # which a stop-at-partial walk never visits).
+        if salted:
+            k_max = mf.order_chunk_bound(recs, order_col, salt_rows)
+            if k_max is None:
+                cand = set(by_part)  # pre-zonemap store: probe everything — sound
+            else:
+                cand = {
+                    _part_for(np.uint64(h), k, n_parts)
+                    for h in hashes
+                    for k in range(k_max + 1)
+                }
+        else:
+            cand = {_part_for(np.uint64(h), 0, n_parts) for h in hashes}
+        cand &= set(by_part)
+        # One pruned key-column decode per candidate partition, fanned out as
+        # Ray tasks (a 1000-conversation delete list must not probe
+        # driver-serially).
+        probe = ray.remote(num_cpus=1)(_probe_partition_victims)
+        vict_ref = ray.put(conv_values)
+        pids = sorted(cand)
+        present = ray.get(
+            [
+                probe.remote(
+                    [resolve_container_path(out_dir, r) for r in by_part[pid]],
+                    conv_col,
+                    vict_ref,
+                )
+                for pid in pids
+            ]
+        )
+        for pid, hit in zip(pids, present):
+            if hit:
                 touched.add(pid)
-                found.add(i)
-            if salted and cnt >= salt_rows:
-                # chunk k was full (> means duplicate keys from a
-                # non-idempotent append): chunk k+1 may exist elsewhere
-                nxt.append(i)
-        frontier = nxt
-        k += 1
-        if not salted:
-            break
-    key_cache.clear()
+                found_vals.update(hit)
 
     # sweep crash leftovers: a previous delete that died between writing the
     # new base and removing a generation file leaves a record-less
@@ -844,20 +869,51 @@ def delete_conversations(out_dir: str, conv_values: list, codec: str | dict = "a
     if not touched:
         return {**summary_base, "convs_found": 0, "rows_deleted": 0, "parts_rewritten": 0}
 
-    victims = [conv_values[i] for i in found]
+    victims = conv_values
     rewrite = ray.remote(num_cpus=1)(_rewrite_partition)
+    def _gen_of(path: str) -> int:
+        # part-NNNNN-gKKKK.pcc -> KKKK (0 on anything unexpected)
+        try:
+            return int(os.path.basename(path).rsplit("-g", 1)[1].split(".")[0])
+        except (IndexError, ValueError):
+            return 0
+
+    folded_gen = 0
     futures = []
     for pid in sorted(touched):
         if pid not in by_part:
-            raise ValueError(
-                f"orphan generation file for partition {pid} in {out_dir} but no "
-                "lineage record at all for that partition — not a crash state this "
-                "store could reach; refusing to guess"
+            # A generation-ONLY partition (base encode emitted no rows for
+            # this pid, an append did) whose sole gen record a crashed rewrite
+            # removed in step 2 before the new base landed: no base container
+            # means nothing could have folded the leftover rows — keep all.
+            # If a BASE container exists without any record, the crash split
+            # step 3 (container rename landed, record write didn't) AND the
+            # folded map that disambiguates it is gone — genuinely ambiguous.
+            if os.path.exists(os.path.join(out_dir, f"part-{pid:05d}.pcc")):
+                raise ValueError(
+                    f"partition {pid} in {out_dir} has a base container and "
+                    "generation file(s) but no lineage records at all — the "
+                    "folded map needed to separate already-merged rows from "
+                    "unmerged ones is gone; refusing to guess"
+                )
+            leftovers = sorted(_glob.glob(os.path.join(out_dir, f"part-{pid:05d}-g*.pcc")))
+            folded_gen = max([folded_gen] + [_gen_of(p) for p in leftovers])
+            futures.append(
+                rewrite.remote(
+                    pid, [], leftovers, [], {}, None,
+                    out_dir, conv_col, sort_key, codec, victims,
+                )
             )
+            continue
         paths = [resolve_container_path(out_dir, r) for r in by_part[pid]]
         # crash leftovers: generation containers whose record is already gone
         leftovers = sorted(
             set(_glob.glob(os.path.join(out_dir, f"part-{pid:05d}-g*.pcc"))) - set(paths)
+        )
+        folded_gen = max(
+            [folded_gen]
+            + [int(r.get("generation", 0)) for r in by_part[pid]]
+            + [_gen_of(p) for p in leftovers]
         )
         gen_recs = [
             mf.record_path(out_dir, pid, int(r.get("generation", 0)))
@@ -876,9 +932,16 @@ def delete_conversations(out_dir: str, conv_values: list, codec: str | dict = "a
             )
         )
     results = ray.get(futures)
+    # Stamp the snapshot watermark: snapshots at max_generation < the highest
+    # generation folded here would mix rewritten (folded-at-g=0) partitions
+    # with untouched ones — a state that never existed. Touched-partition max
+    # only, so deleting from never-appended partitions keeps old snapshots.
+    if folded_gen > int(prior.get("snapshot_watermark") or 0):
+        prior["snapshot_watermark"] = folded_gen
+        mf.write_run_record(out_dir, prior)
     summary = mf.consolidate(out_dir)
     summary.update(summary_base)
-    summary["convs_found"] = len(found)
+    summary["convs_found"] = len(found_vals)
     summary["rows_deleted"] = int(sum(d for d, _ in results))
     summary["parts_rewritten"] = len(results)
     return summary

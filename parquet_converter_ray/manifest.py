@@ -130,6 +130,25 @@ def load_records(out_dir: str) -> list[dict]:
     return recs
 
 
+def order_chunk_bound(recs: list[dict], order_col: str, salt_rows: int) -> int | None:
+    """Highest reachable salt chunk across the store, from the ORDER column's
+    recorded zone-map maxima: chunk k exists only if some row has
+    order >= k * salt_rows, so k_max = max(order) // salt_rows bounds every
+    chunk walk (lookup / delete / scan routing) WITHOUT assuming dense turn
+    indices per conversation. Returns None when any record predates zone maps
+    (bound unknowable -> callers degrade to their sound fallback), and when
+    ``recs`` is empty (glob-only store layout: no lineage records at all)."""
+    if not recs:
+        return None
+    omax = 0
+    for r in recs:
+        ent = (r.get("stats") or {}).get(order_col)
+        if not ent or ent.get("max") is None:
+            return None
+        omax = max(omax, int(ent["max"]))
+    return omax // salt_rows
+
+
 def consolidate(out_dir: str) -> dict:
     """Write manifest.jsonl + return summary (rows, bytes in/out, ratio)."""
     recs = load_records(out_dir)

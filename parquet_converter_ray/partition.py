@@ -155,6 +155,36 @@ def stable_hash_ints(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return out
 
 
+def hash_conv_values(vals: list) -> np.ndarray | None:
+    """Hash a list of partition-key VALUES exactly as ``assign_part_id``
+    hashed the column at encode time: uniformly-int values through the
+    integer hash, everything else as an Arrow-inferred array through the
+    byte hash (str -> utf8 bytes, bytes -> binary — ``str(b'x')`` would hash
+    the repr, not the payload, and silently miss every partition).
+
+    Returns None when the values aren't uniformly hashable (mixed types,
+    nulls, non-key types) so callers degrade soundly: scan routing falls back
+    to a full scan, delete raises instead of reporting a clean no-op.
+    """
+    if not vals:
+        return np.empty(0, dtype=np.uint64)
+    if all(isinstance(v, (int, np.integer)) and not isinstance(v, bool) for v in vals):
+        return stable_hash_ints(pa.array([int(v) for v in vals], pa.int64()))
+    try:
+        arr = pa.array(list(vals))
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        return None
+    t = arr.type
+    if arr.null_count == 0 and (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        return stable_hash_strings(arr)
+    return None
+
+
 def assign_part_id(
     batch: pa.Table,
     n_parts: int,

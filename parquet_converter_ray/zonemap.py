@@ -136,7 +136,7 @@ def _hash_route_parts(out_dir: str, recs: list[dict], clauses) -> "set[int] | No
     import numpy as np
 
     from . import manifest as mf
-    from .partition import HASH_VERSION, stable_hash_ints, stable_hash_strings
+    from .partition import HASH_VERSION, hash_conv_values
 
     params = mf.load_run_record(out_dir)
     if not params or params.get("hash_version") != HASH_VERSION:
@@ -154,20 +154,17 @@ def _hash_route_parts(out_dir: str, recs: list[dict], clauses) -> "set[int] | No
     order_col = params.get("order_col")
     salted = bool(salt_rows) and order_col is not None
     if salted:
-        omax = 0
-        for r in recs:
-            ent = (r.get("stats") or {}).get(order_col)
-            if not ent or ent.get("max") is None:
-                return None  # pre-zonemap container: chunk bound unknowable
-            omax = max(omax, int(ent["max"]))
-        k_max = omax // salt_rows
+        k_max = mf.order_chunk_bound(recs, order_col, salt_rows)
+        if k_max is None:
+            return None  # pre-zonemap container: chunk bound unknowable
     else:
         k_max = 0
 
-    if all(isinstance(v, (int, np.integer)) for v in vals):
-        hashes = stable_hash_ints(pa.array([int(v) for v in vals], pa.int64()))
-    else:
-        hashes = stable_hash_strings(pa.array([str(v) for v in vals]))
+    # per-type dispatch mirrors encode-time hashing (str(b'x') would hash the
+    # repr, not the payload, and prune the CORRECT partitions — unsound)
+    hashes = hash_conv_values(list(vals))
+    if hashes is None:
+        return None  # unexpected key type: degrade to a full scan, never unsound
     from .decode import _part_for
 
     return {

@@ -80,3 +80,18 @@ def test_cli_convert_and_analyze(tmp_path):
     r = run_cli("analyze", produced[0])
     assert r.returncode == 0
     assert "PARQUET ANALYSIS REPORT" in r.stdout
+
+
+def test_cli_fsck_repair_single_json(small_parquet, tmp_path_factory):
+    """fsck --repair must emit exactly ONE JSON object on stdout (consumers
+    parse a single document), with the repair summary nested inside."""
+    out = str(tmp_path_factory.mktemp("cli") / "enc")
+    r = run_cli("encode", small_parquet, out, "--n-parts", "3")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = run_cli("fsck", out, "--repair")
+    assert r.returncode == 0, r.stderr[-2000:]
+    body = r.stdout.strip()
+    rep = json.loads(body)  # would raise on two concatenated documents
+    assert rep["ok"] is True
+    assert rep["repair"]["parts_rewritten"] == 0

@@ -247,3 +247,127 @@ def test_repair_store_finishes_interrupted_delete(ray_session, tmp_path):
     assert s["parts_rewritten"] >= 1 and s["convs_requested"] == 0
     assert fsck_store(enc)["ok"]
     assert _eq(_decode_all(enc), want)
+
+
+def test_delete_and_lookup_sparse_turn_ranges(ray_session, tmp_path):
+    """Non-dense turn indices (an append of turns 300.. after 0..99 with
+    salt_rows=300 lands in salt chunk 1): the chunk walk must be bounded by
+    the order column's zone-map max, not stop at the first partial chunk —
+    a stop-at-partial walk silently under-deletes AND under-returns."""
+    t = make_transcripts(5000, seed=11)
+    lens = pc.value_counts(t["conv_id"])
+    victim = next(
+        v["values"] for v in lens.to_pylist() if 5 <= v["counts"] <= 100
+    )
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(t, inp / "t.parquet")
+    enc = str(tmp_path / "enc")
+    encode_dataset(str(inp), enc, n_parts=4, salt_rows=300)
+
+    base_rows = t.filter(pc.equal(t["conv_id"], victim))
+    ti = base_rows.schema.get_field_index("turn_idx")
+    sparse = base_rows.slice(0, min(20, base_rows.num_rows))
+    import numpy as np
+    sparse = sparse.set_column(
+        ti, "turn_idx",
+        pa.array(np.arange(300, 300 + sparse.num_rows, dtype=np.int32)),
+    )
+    pq.write_table(sparse, tmp_path / "sparse.parquet")
+    append_dataset(str(tmp_path / "sparse.parquet"), enc)
+
+    # lookup must see BOTH chunks (chunk 0 is partial but not the last)
+    got = lookup_conversation(enc, victim)
+    assert got.num_rows == base_rows.num_rows + sparse.num_rows
+
+    s = delete_conversations(enc, [victim])
+    assert s["convs_found"] == 1
+    assert s["rows_deleted"] == base_rows.num_rows + sparse.num_rows
+    dec = _decode_all(enc)
+    assert dec.filter(pc.equal(dec["conv_id"], victim)).num_rows == 0
+    assert fsck_store(enc)["ok"]
+
+
+def test_repair_generation_only_partition(ray_session, tmp_path):
+    """A partition with NO base rows (base encode emitted nothing for that
+    pid) whose sole generation RECORD a crashed delete removed in step 2:
+    nothing could have folded the leftover, so repair keeps every row
+    instead of refusing."""
+    from parquet_converter_ray.encode import repair_store
+
+    t = make_transcripts(400, seed=31)
+    one_conv = t.filter(pc.equal(t["conv_id"], t["conv_id"][0]))
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(one_conv, inp / "t.parquet")
+    enc = str(tmp_path / "enc")
+    # one short conv + many partitions -> most pids have no base container
+    encode_dataset(str(inp), enc, n_parts=8, salt_rows=0)
+
+    others = t.filter(pc.invert(pc.equal(t["conv_id"], t["conv_id"][0])))
+    pq.write_table(others, tmp_path / "d2.parquet")
+    append_dataset(str(tmp_path / "d2.parquet"), enc)
+
+    gen_only = [
+        r for r in mf.load_records(enc)
+        if int(r.get("generation", 0))
+        and not os.path.exists(os.path.join(enc, f"part-{int(r['part_id']):05d}.pcc"))
+    ]
+    if not gen_only:
+        pytest.skip("no generation-only partition in this layout")
+    rec = gen_only[0]
+    os.remove(mf.record_path(enc, int(rec["part_id"]), int(rec["generation"])))
+    assert not fsck_store(enc)["ok"]
+
+    s = repair_store(enc)
+    assert s["parts_rewritten"] >= 1
+    assert fsck_store(enc)["ok"]
+    assert _eq(_decode_all(enc), pa.concat_tables([one_conv, others]))
+
+
+def test_snapshot_refused_below_rewrite_watermark(ray_session, tmp_path):
+    """decode(max_generation=g) below the delete's fold watermark would mix
+    partition states that never coexisted -> must raise, not mislead."""
+    enc, expect_all = _mk_store(tmp_path)
+    # pre-delete: the g=0 snapshot is valid
+    snap0 = pa.concat_tables(
+        list(decode_dataset(enc, max_generation=0).iter_batches(batch_format="pyarrow"))
+    )
+    assert snap0.num_rows == 5000
+
+    victims = [sorted(set(expect_all["conv_id"].to_pylist()))[0]]
+    delete_conversations(enc, victims)
+    wm = int((mf.load_run_record(enc) or {}).get("snapshot_watermark") or 0)
+    if wm == 0:
+        pytest.skip("delete touched no appended partition in this layout")
+    with pytest.raises(ValueError, match="snapshot"):
+        decode_dataset(enc, max_generation=0).count()
+    # the full (current) read is unaffected
+    assert _eq(_decode_all(enc), _minus(expect_all, victims))
+
+
+def test_delete_binary_conv_keys(ray_session, tmp_path):
+    """bytes conversation keys must hash like the encoded binary column —
+    str(b'x') hashes the repr and silently finds nothing."""
+    t = make_transcripts(3000, seed=41)
+    ci = t.schema.get_field_index("conv_id")
+    t = t.set_column(ci, "conv_id", t["conv_id"].cast(pa.binary()))
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(t, inp / "t.parquet")
+    enc = str(tmp_path / "enc")
+    encode_dataset(str(inp), enc, n_parts=4, salt_rows=300)
+
+    victim = t["conv_id"][0].as_py()
+    assert isinstance(victim, bytes)
+    n_victim = t.filter(pc.equal(t["conv_id"], victim)).num_rows
+    s = delete_conversations(enc, [victim])
+    assert s["convs_found"] == 1 and s["rows_deleted"] == n_victim
+    dec = _decode_all(enc)
+    assert dec.filter(pc.equal(dec["conv_id"], victim)).num_rows == 0
+
+
+def test_delete_mixed_key_types_raises(ray_session, tmp_path):
+    enc, _ = _mk_store(tmp_path, n=1000, append_n=200)
+    with pytest.raises(TypeError, match="uniformly"):
+        delete_conversations(enc, ["conv-a", 7])

@@ -349,3 +349,41 @@ def test_scan_hash_routes_partition_column(store, transcripts, tmp_path):
     ds, plan = scan_store(crippled, [("conv_id", "==", cid)], return_plan=True)
     assert plan["pruned_hash"] == 0
     assert _collect(ds).num_rows == exp.filter(pc.equal(exp["conv_id"], cid)).num_rows
+
+
+def test_scan_binary_conv_key_routes_correctly(ray_session, tmp_path):
+    """A binary partition column must hash-route by payload bytes, not
+    str(b'x') — the repr hash prunes the CORRECT partitions and silently
+    returns zero rows."""
+    t = make_transcripts(3000, seed=43)
+    ci = t.schema.get_field_index("conv_id")
+    t = t.set_column(ci, "conv_id", t["conv_id"].cast(pa.binary()))
+    out = str(tmp_path / "store")
+    encode_dataset(ray.data.from_arrow(t), out, n_parts=4)
+
+    key = t["conv_id"][25].as_py()
+    assert isinstance(key, bytes)
+    expect = t.filter(pc.equal(t["conv_id"], key))
+    ds, plan = scan_store(out, [("conv_id", "==", key)], return_plan=True)
+    got = _collect(ds)
+    assert got.num_rows == expect.num_rows > 0
+    srt = [("turn_idx", "ascending")]
+    assert got.select(expect.column_names).sort_by(srt).equals(
+        expect.sort_by(srt).combine_chunks()
+    )
+
+
+def test_scan_unexpected_key_type_degrades_to_full_scan(store, transcripts):
+    """A predicate value the router can't hash (here: float) must fall back
+    to scanning everything — wrong-partition pruning would be unsound."""
+    from parquet_converter_ray.partition import hash_conv_values
+
+    assert hash_conv_values([3.5]) is None
+    assert hash_conv_values(["a", 7]) is None
+    assert hash_conv_values([None]) is None
+    cid = transcripts["conv_id"][5].as_py()
+    # mixed-type 'in' list: routing degrades, result still exact
+    ds = scan_store(store, [("conv_id", "in", [cid, 123])])
+    got = _collect(ds)
+    expect = transcripts.filter(pc.equal(transcripts["conv_id"], cid))
+    assert got.num_rows == expect.num_rows
