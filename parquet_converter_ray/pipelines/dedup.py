@@ -252,28 +252,49 @@ def minhash_candidate_ds(
         .materialize()
     )
 
-    # LSH guarantees hot buckets are rare. Detect them with per-batch partial
-    # (key, count) rows merged on the driver — mergeable-sketch pattern (the
-    # merged hot-key list is small by construction); a distributed groupby
-    # would also work but Ray's per-key groupby overhead dwarfs this data size
-    # (measured 80s for 80k rows vs <1s here).
-    def key_counts(batch: pa.Table) -> pa.Table:
-        k, c = np.unique(batch["key"].to_numpy(zero_copy_only=False), return_counts=True)
-        return pa.table({"key": k, "cnt": c.astype(np.int64)})
+    # LSH guarantees hot buckets are rare, but the DISTINCT-key table the
+    # hot-count merges is ~bands x n_docs rows — corpus-sized, so merging it
+    # on the driver is bounded only by an assumption. Two paths (mirroring
+    # _BCAST_VERIFY_DOCS): below _DRIVER_HOTCOUNT_ROWS bucket rows, per-batch
+    # (key, count) partials merge on the driver (Ray's fixed groupby-exchange
+    # overhead dwarfs this data size — measured 80s vs <1s at 80k rows);
+    # above it, a distributed groupby(key).count() finds hot keys and an
+    # inner join replaces the driver-broadcast is_in filter. Both paths are
+    # asserted identical in tests (threshold forced to 0).
+    n_bucket_rows = buckets.count()
+    if n_bucket_rows > _DRIVER_HOTCOUNT_ROWS:
+        hot_ds = (
+            buckets.groupby("key")
+            .count()
+            .map_batches(
+                lambda b: b.filter(pc.greater(b["count()"], 1)).select(["key"]),
+                batch_format="pyarrow",
+            )
+        )
+        filtered = buckets.join(
+            hot_ds,
+            join_type="inner",
+            num_partitions=join_num_partitions(n_bucket_rows, rows_per_partition=100_000),
+            on=("key",),
+        )
+    else:
+        def key_counts(batch: pa.Table) -> pa.Table:
+            k, c = np.unique(batch["key"].to_numpy(zero_copy_only=False), return_counts=True)
+            return pa.table({"key": k, "cnt": c.astype(np.int64)})
 
-    parts = pa.concat_tables(
-        list(buckets.map_batches(key_counts, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
-    ).to_pandas()
-    counts = parts.groupby("key", as_index=False)["cnt"].sum()
-    hot = counts[counts["cnt"] > 1]["key"]
-    if len(hot) == 0:
-        return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
-    hot_arr = pa.array(hot.to_numpy(), type=pa.int64())
+        parts = pa.concat_tables(
+            list(buckets.map_batches(key_counts, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+        ).to_pandas()
+        counts = parts.groupby("key", as_index=False)["cnt"].sum()
+        hot = counts[counts["cnt"] > 1]["key"]
+        if len(hot) == 0:
+            return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
+        hot_arr = pa.array(hot.to_numpy(), type=pa.int64())
 
-    def only_hot(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        def only_hot(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch["key"], value_set=hot_arr))
 
-        return batch.filter(pc.is_in(batch["key"], value_set=hot_arr))
+        filtered = buckets.map_batches(only_hot, batch_format="pyarrow")
 
     def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
         # per-bucket pair enumeration, capped: LSH bucket sizes are bounded by
@@ -285,11 +306,7 @@ def minhash_candidate_ds(
         ii, jj = np.triu_indices(len(ids), 1)
         return pd.DataFrame({"id_a": ids[ii].astype("int64"), "id_b": ids[jj].astype("int64")})
 
-    return (
-        buckets.map_batches(only_hot, batch_format="pyarrow")
-        .groupby("key")
-        .map_groups(pairs_of, batch_format="pandas")
-    )
+    return filtered.groupby("key").map_groups(pairs_of, batch_format="pandas")
 
 
 def minhash_candidates(sf_dir: str, bands: int = 16, rows: int = 4, m: int = 64) -> pa.Table:
@@ -309,6 +326,13 @@ def minhash_candidates(sf_dir: str, bands: int = 16, rows: int = 4, m: int = 64)
 # broadcast via ray.put; above it verification switches to the hash-partitioned
 # Dataset.join dataflow (the at-scale path — same outputs, higher constant).
 _BCAST_VERIFY_DOCS = int(os.environ.get("PCR_BCAST_VERIFY_DOCS", "200000"))
+
+# Hot-bucket count threshold for minhash_candidate_ds, in (key, doc) bucket
+# rows (= bands x n_docs): below it the distinct-key count merges on the
+# driver (fast at sandbox scale); above it a distributed groupby(key).count()
+# + inner join keeps driver state flat at 100 TB. Both paths byte-identical
+# (tested by forcing this to 0).
+_DRIVER_HOTCOUNT_ROWS = int(os.environ.get("PCR_DRIVER_HOTCOUNT_ROWS", "20000000"))
 
 
 def _flat_packed(col, dtype) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -347,6 +347,17 @@ def test_verify_join_path_matches_broadcast(ray_session, monkeypatch):
     assert dedup.dedup_embedding_lsh(SF_DIR).equals(lsh_b)
 
 
+def test_minhash_distributed_hotcount_matches_driver_merge(ray_session, monkeypatch):
+    """The at-scale hot-bucket count (distributed groupby(key).count() +
+    inner join) must produce byte-identical dedup_minhash output to the
+    driver-merge fast path (forced by zeroing the row threshold)."""
+    from parquet_converter_ray.pipelines import dedup
+
+    base = dedup.dedup_minhash(SF_DIR)
+    monkeypatch.setattr(dedup, "_DRIVER_HOTCOUNT_ROWS", 0)
+    assert dedup.dedup_minhash(SF_DIR).equals(base)
+
+
 def test_label_propagation_chain_and_convergence_guard(ray_session):
     """A 10-node chain resolves to one component; exhausting max_rounds
     unconverged raises instead of silently returning partial labels."""
