@@ -12,15 +12,31 @@ per-user row); the per-user state carried between funnel passes is one int64
 timestamp per user, broadcast once via ``ray.put``, never per batch.
 
 Scale notes (100 TB):
- - ``event_funnel`` is k sequential PRUNED scans (user_id, event_type, ts
-   only) for a k-stage funnel — no shuffle at all; stage timestamps are
-   per-batch min-partials merged on the driver. Sequential passes are the
-   price of the *ordered* semantics (stage n must happen AFTER stage n-1);
-   a single-scan variant would need per-user event-time lists in a shuffle.
- - ``cohort_retention`` carries distinct (user, month) pairs per batch —
-   the same pair-dedup combiner as ``analytics.distinct_users_by_type``.
+ - The per-user driver state ("users x months is bounded") is an assumption
+   about the data, not a law, so the three user-keyed operators are
+   two-path: below ``PCR_DRIVER_USER_ROWS`` events the per-batch partials
+   merge on the driver (no exchange at all — strictly cheaper at sandbox
+   scale); above it each switches to a distributed ``groupby(user_id)``
+   that never holds per-user state on one node. The event row count gates
+   the switch because it is a free (parquet-metadata) upper bound on user
+   cardinality. Both paths are asserted identical in tests by forcing the
+   threshold to zero.
+ - ``event_funnel`` driver path: k sequential PRUNED scans (user_id,
+   event_type, ts only) for a k-stage funnel — no shuffle at all; stage
+   timestamps are per-batch min-partials merged on the driver, previous
+   stage broadcast once via ``ray.put``. Distributed path: ONE shuffle of
+   the stage-filtered slice, the staged min-after-min walk runs inside each
+   user's group, and only a bounded per-batch histogram of "stages reached"
+   comes back to the driver.
+ - ``cohort_retention`` driver path carries distinct (user, month) pairs
+   per batch — the same pair-dedup combiner as
+   ``analytics.distinct_users_by_type``. Distributed path: the same partials
+   feed ``groupby(user_id)``; each group emits its (cohort, offset) rows and
+   only the months² count table reaches the driver.
  - ``latest_event_per_user`` is the argmax-by-key shape: one candidate row
-   per (user, batch) partial, driver keeps the lexicographic max.
+   per (user, batch) partial; the driver keeps the lexicographic max below
+   the threshold, a ``groupby(user_id)`` max above it (the result itself is
+   user-sized — returning it as a Table is contract-inherent).
  - ``events_daily_gapfill`` merges (type, day) count partials, then builds
    the dense spine driver-side — spine size is time-bounded, not data-bounded.
  - ``revenue_mom_growth`` sums integer cents per month (exact, order-free)
@@ -28,6 +44,8 @@ Scale notes (100 TB):
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
@@ -42,6 +60,18 @@ from ._util import finish_on_driver, read_parquet_clean, sql_round
 
 def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
     return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# Event-count threshold below which the user-keyed operators merge their
+# per-batch partials on the driver (no exchange — measured strictly cheaper
+# at sandbox scale); above it they run the distributed groupby(user_id)
+# paths whose driver state is bounded regardless of user cardinality. The
+# event count is a parquet-metadata-free upper bound on distinct users.
+_DRIVER_USER_ROWS = int(os.environ.get("PCR_DRIVER_USER_ROWS", "50000000"))
+
+
+def _n_events(sf_dir: str) -> int:
+    return _t(sf_dir, "events", columns=["user_id"]).count()
 
 
 # --- funnel analysis ---------------------------------------------------------
@@ -78,21 +108,83 @@ def _stage_min_ts(sf_dir: str, etype: str, prev: "pd.Series | None") -> "pd.Seri
     return parts.groupby("user_id")["t"].min()
 
 
+def _funnel_counts_distributed(sf_dir: str, stages: tuple[str, ...]) -> list[int]:
+    """At-scale funnel: ONE shuffle of the stage-filtered (user, type, ts)
+    slice; the ordered min-after-min walk runs inside each user's group and
+    emits a single "stages reached" int, so only a (k+1)-row histogram of
+    per-batch bincount partials ever reaches the driver."""
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    stage_set = pa.array(list(dict.fromkeys(stages)))
+
+    def only_stages(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch["event_type"], value_set=stage_set))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "t": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    def reached(g: pa.Table) -> pa.Table:
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        ts = g["t"].to_numpy(zero_copy_only=False)
+        prev = np.iinfo(np.int64).min
+        r = 0
+        for st in stages:
+            cand = ts[(et == st) & (ts >= prev)]
+            if not len(cand):
+                break
+            prev = cand.min()
+            r += 1
+        return pa.table({"reached": pa.array([r], pa.int64())})
+
+    def hist_partial(batch: pa.Table) -> pd.DataFrame:
+        counts = np.bincount(
+            batch["reached"].to_numpy(zero_copy_only=False), minlength=len(stages) + 1
+        )
+        return pd.DataFrame(
+            {"reached": np.arange(len(counts), dtype=np.int64), "n": counts.astype(np.int64)}
+        )
+
+    hist = finish_on_driver(
+        ds.map_batches(only_stages, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(reached, batch_format="pyarrow")
+        .map_batches(hist_partial, batch_format="pyarrow"),
+        ["reached"],
+        ["n"],
+    )
+    n_by_reached = np.zeros(len(stages) + 1, dtype=np.int64)
+    n_by_reached[hist["reached"].to_numpy()] = hist["n"].to_numpy()
+    # a user counts toward stage i if they reached AT LEAST i stages
+    return [int(n_by_reached[i:].sum()) for i in range(1, len(stages) + 1)]
+
+
 def event_funnel(
     sf_dir: str, stages: tuple[str, ...] = ("view", "click", "purchase")
 ) -> pa.Table:
     """Ordered funnel: a user reaches stage n if they performed stages[n] at
-    or after their stage n-1 completion time (min-time semantics). One pruned
-    scan per stage, min-timestamp partials merged driver-side, previous-stage
-    times broadcast once — zero shuffles."""
-    rows = []
-    prev = None
-    for i, etype in enumerate(stages):
-        prev = _stage_min_ts(sf_dir, etype, prev)
-        rows.append({"stage_idx": i + 1, "stage": etype, "n_users": len(prev)})
-    out = pd.DataFrame(rows)
-    out["stage_idx"] = out["stage_idx"].astype("int64")
-    out["n_users"] = out["n_users"].astype("int64")
+    or after their stage n-1 completion time (min-time semantics). Below
+    ``_DRIVER_USER_ROWS`` events: one pruned scan per stage, min-timestamp
+    partials merged driver-side, previous-stage times broadcast once — zero
+    shuffles. Above it: the single-shuffle per-user walk in
+    ``_funnel_counts_distributed`` (no per-user driver state)."""
+    if _n_events(sf_dir) > _DRIVER_USER_ROWS:
+        counts = _funnel_counts_distributed(sf_dir, stages)
+    else:
+        counts = []
+        prev = None
+        for etype in stages:
+            prev = _stage_min_ts(sf_dir, etype, prev)
+            counts.append(len(prev))
+    out = pd.DataFrame(
+        {
+            "stage_idx": np.arange(1, len(stages) + 1, dtype=np.int64),
+            "stage": list(stages),
+            "n_users": np.asarray(counts, dtype=np.int64),
+        }
+    )
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -102,9 +194,11 @@ def event_funnel(
 def cohort_retention(sf_dir: str) -> pa.Table:
     """Users active in month (cohort + offset), cohort = month of first event.
     Two partial families from ONE scan: per-batch per-user min ts, and
-    per-batch distinct (user, month) pairs; both driver-merged (users x months
-    is bounded). The join of activity months to cohorts happens on the merged
-    per-user table — never on the event stream."""
+    per-batch distinct (user, month) pairs. Below ``_DRIVER_USER_ROWS``
+    events both merge on the driver; above it the partials feed a
+    distributed ``groupby(user_id)`` so no node ever holds the per-user
+    table. The join of activity months to cohorts happens on the (merged or
+    grouped) per-user state — never on the event stream."""
     ds = _t(sf_dir, "events", columns=["user_id", "ts"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -118,23 +212,52 @@ def cohort_retention(sf_dir: str) -> pa.Table:
         )
         return pairs.merge(first, on="user_id", how="left")
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    first = parts.groupby("user_id")["t"].min()
-    cohort = first.dt.to_period("M").dt.to_timestamp()
-    active = parts[["user_id", "m"]].drop_duplicates()
-    co = cohort.loc[active["user_id"]].to_numpy()
-    off = active["m"].to_numpy().astype("datetime64[M]").astype(np.int64) - co.astype(
-        "datetime64[M]"
-    ).astype(np.int64)
-    out = (
-        pd.DataFrame({"cohort_month": co, "month_offset": off})
-        .groupby(["cohort_month", "month_offset"], as_index=False)
-        .agg(n_users=("month_offset", "size"))
-    )
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+
+    if _n_events(sf_dir) > _DRIVER_USER_ROWS:
+        # at-scale path: the same (user, month, batch-min-ts) partials feed a
+        # distributed groupby(user_id); each group resolves its own cohort and
+        # distinct activity months, and only (cohort, offset) rows — whose
+        # distinct space is months² — flow to the driver-side count merge.
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            co = g["t"].min().to_period("M").to_timestamp()
+            months = g["m"].drop_duplicates().to_numpy()
+            off = months.astype("datetime64[M]").astype(np.int64) - np.int64(
+                np.datetime64(co).astype("datetime64[M]").astype(np.int64)
+            )
+            return pd.DataFrame({"cohort_month": co, "month_offset": off})
+
+        def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
+            return b.groupby(["cohort_month", "month_offset"], as_index=False).agg(
+                n_users=("month_offset", "size")
+            )
+
+        out = finish_on_driver(
+            parts_ds.groupby("user_id")
+            .map_groups(per_user, batch_format="pandas")
+            .map_batches(cnt_partial, batch_format="pandas"),
+            ["cohort_month", "month_offset"],
+            ["n_users"],
+        )
+    else:
+        parts = parts_ds.to_pandas()
+        first = parts.groupby("user_id")["t"].min()
+        cohort = first.dt.to_period("M").dt.to_timestamp()
+        active = parts[["user_id", "m"]].drop_duplicates()
+        co = cohort.loc[active["user_id"]].to_numpy()
+        off = active["m"].to_numpy().astype("datetime64[M]").astype(
+            np.int64
+        ) - co.astype("datetime64[M]").astype(np.int64)
+        out = (
+            pd.DataFrame({"cohort_month": co, "month_offset": off})
+            .groupby(["cohort_month", "month_offset"], as_index=False)
+            .agg(n_users=("month_offset", "size"))
+        )
     out["month_offset"] = out["month_offset"].astype("int64")
     out["n_users"] = out["n_users"].astype("int64")
     return pa.Table.from_pandas(
-        out.sort_values(["cohort_month", "month_offset"]), preserve_index=False
+        out.sort_values(["cohort_month", "month_offset"]).reset_index(drop=True),
+        preserve_index=False,
     )
 
 
@@ -143,8 +266,9 @@ def cohort_retention(sf_dir: str) -> pa.Table:
 
 def latest_event_per_user(sf_dir: str) -> pa.Table:
     """LAST_VALUE per user (argmax by (ts, event_id)): each batch keeps one
-    candidate row per user present in it, the driver keeps the lexicographic
-    max of the candidates — no sort, no shuffle."""
+    candidate row per user present in it; below ``_DRIVER_USER_ROWS`` events
+    the driver keeps the lexicographic max of the candidates (no sort, no
+    shuffle), above it a distributed ``groupby(user_id)`` does."""
     ds = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
 
     def candidates(batch: pa.Table) -> pd.DataFrame:
@@ -160,13 +284,23 @@ def latest_event_per_user(sf_dir: str) -> pa.Table:
             "user_id", keep="last"
         )
 
-    parts = ds.map_batches(candidates, batch_format="pyarrow").to_pandas()
-    out = (
-        parts.sort_values(["user_id", "last_ts", "event_id"])
-        .drop_duplicates("user_id", keep="last")
-        .drop(columns=["event_id"])
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["user_id", "last_ts", "event_id"]).drop_duplicates(
+            "user_id", keep="last"
+        )
+
+    cands = ds.map_batches(candidates, batch_format="pyarrow")
+    if _n_events(sf_dir) > _DRIVER_USER_ROWS:
+        # at-scale path: the final per-user max runs as a distributed
+        # groupby(user_id) over the (user, batch) candidate rows; the result
+        # itself is user-sized, so materializing it is contract-inherent.
+        parts = cands.groupby("user_id").map_groups(best, batch_format="pandas").to_pandas()
+    else:
+        parts = cands.to_pandas()
+    out = best(parts).drop(columns=["event_id"])
+    return pa.Table.from_pandas(
+        out.sort_values("user_id").reset_index(drop=True), preserve_index=False
     )
-    return pa.Table.from_pandas(out.sort_values("user_id"), preserve_index=False)
 
 
 # --- dense gap-filled daily series -------------------------------------------

@@ -9,6 +9,7 @@ and compiled regexes built once per actor in ``__init__``).
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -546,21 +547,32 @@ def term_postings(sf_dir: str, k: int = 30) -> pa.Table:
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+# Vocab-partial row threshold for tfidf_top_terms: the driver-side df merge
+# handles exactly (vocab x batches) partial rows, so that count gates the
+# switch to the hash-partitioned tf ⋈ df join (web-scale n-gram vocabularies
+# outgrow any broadcast). Both paths asserted identical in tests by forcing
+# this to zero.
+_DRIVER_VOCAB_ROWS = int(os.environ.get("PCR_DRIVER_VOCAB_ROWS", "20000000"))
+
+
 def tfidf_top_terms(sf_dir: str) -> pa.Table:
     """Most characteristic term per document by tf-idf (ties by term).
     Score = tf * ln(n_docs / df).
 
     Two streaming passes. Pass 1: per-batch (term, distinct-doc-count)
     partials (each doc is ONE row of ``documents``, so a doc's term counts
-    are batch-local by construction) -> one VOCAB-sized groupby -> the df
-    table + n_docs. Pass 2: df broadcast once via ``ray.put`` — bounded,
-    vocabulary-sized state (contrast the corpus-sized keep-set this repo
-    deliberately avoids in ``curate_documents``); each batch maps term->df
+    are batch-local by construction), materialized once. Below
+    ``_DRIVER_VOCAB_ROWS`` partial rows the df merge happens on the driver
+    and pass 2 broadcasts the vocabulary-sized df table via ``ray.put``
+    (bounded state — contrast the corpus-sized keep-set this repo
+    deliberately avoids in ``curate_documents``): each batch maps term->df
     with one vectorized ``pd.merge`` and takes the per-doc argmax WITHIN the
-    batch — no per-doc shuffle exists in the whole pipeline. If the vocab
-    ever outgrew broadcast (no min_df cut, web-scale n-grams), pass 2
-    becomes the hash-partitioned tf ⋈ df ``Dataset.join`` used by
-    ``curate_documents``."""
+    batch — no per-doc shuffle in the whole pipeline. Above the threshold
+    (no min_df cut, web-scale n-grams) pass 2 is the hash-partitioned
+    tf ⋈ df ``Dataset.join``: df comes from a distributed
+    ``groupby(term)``, per-batch argmax candidates (≤1 row per (doc, batch))
+    reduce in a ``groupby(doc_id)``, and the driver only ever holds the
+    one-row-per-doc result."""
     docs = _docs(sf_dir, columns=["doc_id", "text"])
 
     def tf_batch(batch: pa.Table) -> pd.DataFrame:
@@ -569,53 +581,105 @@ def tfidf_top_terms(sf_dir: str) -> pa.Table:
 
     # df partials: docs are whole within a batch, so per-batch distinct
     # (doc, term) counts sum to the global document frequency. Each partial
-    # is VOCAB-sized regardless of batch size, so the merge is a driver-side
-    # pandas sum over tiny tables — no all-to-all exchange at all (the same
-    # partial-merge shortcut profile.py uses; a Ray groupby here costs a full
-    # hash shuffle to aggregate a few-KB table).
+    # is VOCAB-sized regardless of batch size.
     def df_partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby("term", as_index=False).agg(df=("doc_id", "size"))
         g["nd"] = b["doc_id"].nunique()  # per-batch doc count rides along
         g.loc[1:, "nd"] = 0
         return g
 
-    part_list = list(
+    parts_ds = (
         docs.map_batches(tf_batch, batch_format="pyarrow")
         .map_batches(df_partial, batch_format="pandas")
-        .iter_batches(batch_format="pandas")
+        .materialize()
     )
-    parts = (
-        pd.concat(part_list, ignore_index=True)
-        if part_list
-        else pd.DataFrame({"term": [], "df": [], "nd": []})
-    )
-    n_docs = int(parts["nd"].sum()) if len(parts) else 0
-    agg = parts.groupby("term", as_index=False).agg(df=("df", "sum"))
-    df_ref = ray.put(agg[["term", "df"]])
 
-    def best_per_doc(batch: pa.Table) -> pd.DataFrame:
-        tf = tf_batch(batch)
-        if tf.empty:
-            return pd.DataFrame(
-                {"doc_id": pd.array([], dtype="int64"), "term": [],
-                 "tf": pd.array([], dtype="int64"),
-                 "df": pd.array([], dtype="int64"), "score": []}
-            )
-        b = tf.merge(ray.get(df_ref), on="term", how="left")
-        b["score"] = b["tf"].to_numpy() * np.log(
-            float(n_docs) / b["df"].to_numpy(dtype=np.float64)
+    if parts_ds.count() > _DRIVER_VOCAB_ROWS:
+        out = _tfidf_join_path(docs, tf_batch, parts_ds)
+    else:
+        # driver merge: a pandas sum over tiny vocab-sized tables — no
+        # all-to-all exchange at all (the same partial-merge shortcut
+        # profile.py uses; a Ray groupby here costs a full hash shuffle to
+        # aggregate a few-KB table).
+        part_list = list(parts_ds.iter_batches(batch_format="pandas"))
+        parts = (
+            pd.concat(part_list, ignore_index=True)
+            if part_list
+            else pd.DataFrame({"term": [], "df": [], "nd": []})
         )
-        b = b.sort_values(["score", "term"], ascending=[False, True], kind="mergesort")
-        return b.drop_duplicates("doc_id", keep="first")
+        n_docs = int(parts["nd"].sum()) if len(parts) else 0
+        agg = parts.groupby("term", as_index=False).agg(df=("df", "sum"))
+        df_ref = ray.put(agg[["term", "df"]])
 
-    out = docs.map_batches(best_per_doc, batch_format="pyarrow").to_pandas()
+        def best_per_doc(batch: pa.Table) -> pd.DataFrame:
+            tf = tf_batch(batch)
+            if tf.empty:
+                return pd.DataFrame(
+                    {"doc_id": pd.array([], dtype="int64"), "term": [],
+                     "tf": pd.array([], dtype="int64"),
+                     "df": pd.array([], dtype="int64"), "score": []}
+                )
+            b = tf.merge(ray.get(df_ref), on="term", how="left")
+            b["score"] = b["tf"].to_numpy() * np.log(
+                float(n_docs) / b["df"].to_numpy(dtype=np.float64)
+            )
+            b = b.sort_values(["score", "term"], ascending=[False, True], kind="mergesort")
+            return b.drop_duplicates("doc_id", keep="first")
+
+        out = docs.map_batches(best_per_doc, batch_format="pyarrow").to_pandas()
+
     from ._util import sql_round
 
     out["score"] = sql_round(out["score"], 4)
     for c in ("doc_id", "tf", "df"):
         out[c] = out[c].astype("int64")
     out = out[["doc_id", "term", "tf", "df", "score"]]
-    return pa.Table.from_pandas(out.sort_values("doc_id"), preserve_index=False)
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+def _tfidf_join_path(docs, tf_batch, parts_ds) -> pd.DataFrame:
+    """The at-scale pass 2: df via distributed ``groupby(term)`` over the
+    materialized vocab partials, scores via a hash-partitioned tf ⋈ df
+    ``Dataset.join``, per-doc argmax via batch-local candidates reduced in a
+    ``groupby(doc_id)``. Driver state: the final one-row-per-doc table only."""
+    from ._util import join_num_partitions
+
+    n_docs = int(parts_ds.sum("nd"))
+    df_ds = (
+        parts_ds.groupby("term")
+        .sum("df")
+        .map_batches(
+            lambda b: b.rename_columns(["term", "df"]), batch_format="pyarrow"
+        )
+    )
+    n_terms = df_ds.count()
+
+    def local_best(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = b["tf"].to_numpy() * np.log(
+            float(n_docs) / b["df"].to_numpy(dtype=np.float64)
+        )
+        b = b.sort_values(["score", "term"], ascending=[False, True], kind="mergesort")
+        return b.drop_duplicates("doc_id", keep="first")
+
+    def group_best(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["score", "term"], ascending=[False, True], kind="mergesort"
+        ).head(1)
+
+    cand = (
+        docs.map_batches(tf_batch, batch_format="pyarrow")
+        .join(
+            df_ds,
+            join_type="inner",
+            num_partitions=join_num_partitions(n_terms, lo=1),
+            on=("term",),
+        )
+        .map_batches(local_best, batch_format="pandas")
+    )
+    return cand.groupby("doc_id").map_groups(group_best, batch_format="pandas").to_pandas()
 
 
 # --- PII / pattern redaction (scrub stage of a training-data pipeline) -------

@@ -358,6 +358,33 @@ def test_minhash_distributed_hotcount_matches_driver_merge(ray_session, monkeypa
     assert dedup.dedup_minhash(SF_DIR).equals(base)
 
 
+def test_behavior_distributed_paths_match_driver_merge(ray_session, monkeypatch):
+    """The at-scale groupby(user_id) paths (forced by zeroing the event-count
+    threshold) must produce byte-identical funnel / cohort / argmax results
+    to the driver-merge fast paths."""
+    from parquet_converter_ray.pipelines import behavior
+
+    base = {
+        "funnel": behavior.event_funnel(SF_DIR),
+        "cohort": behavior.cohort_retention(SF_DIR),
+        "latest": behavior.latest_event_per_user(SF_DIR),
+    }
+    monkeypatch.setattr(behavior, "_DRIVER_USER_ROWS", 0)
+    assert behavior.event_funnel(SF_DIR).equals(base["funnel"])
+    assert behavior.cohort_retention(SF_DIR).equals(base["cohort"])
+    assert behavior.latest_event_per_user(SF_DIR).equals(base["latest"])
+
+
+def test_tfidf_join_path_matches_broadcast(ray_session, monkeypatch):
+    """tfidf's hash-partitioned tf ⋈ df join path (forced by zeroing the
+    vocab-partial threshold) must match the driver-merge + broadcast path."""
+    from parquet_converter_ray.pipelines import text
+
+    base = text.tfidf_top_terms(SF_DIR)
+    monkeypatch.setattr(text, "_DRIVER_VOCAB_ROWS", 0)
+    assert text.tfidf_top_terms(SF_DIR).equals(base)
+
+
 def test_label_propagation_chain_and_convergence_guard(ray_session):
     """A 10-node chain resolves to one component; exhausting max_rounds
     unconverged raises instead of silently returning partial labels."""
