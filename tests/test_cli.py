@@ -95,3 +95,29 @@ def test_cli_fsck_repair_single_json(small_parquet, tmp_path_factory):
     rep = json.loads(body)  # would raise on two concatenated documents
     assert rep["ok"] is True
     assert rep["repair"]["parts_rewritten"] == 0
+
+
+def test_cli_save_config_roundtrip(tmp_path):
+    """--save-config writes the effective config; loading the saved file back
+    (reference cli.py:65-69 parity) reproduces an identical EngineConfig,
+    including values overridden by the input --config."""
+    import dataclasses
+
+    from parquet_converter_ray.config import EngineConfig
+
+    src = tmp_path / "in.json"
+    src.write_text(json.dumps({"compression": "zstd", "codec": "fsst"}))
+    out = tmp_path / "saved.json"
+
+    r = subprocess.run(
+        [sys.executable, "-m", "parquet_converter_ray.cli",
+         "--config", str(src), "--save-config", str(out)],
+        capture_output=True, text=True, cwd=REPO, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout.strip().splitlines()[-1]) == {"saved": str(out)}
+
+    cfg = EngineConfig.load(str(src), env={})
+    reloaded = EngineConfig.load(str(out), env={})
+    assert dataclasses.asdict(reloaded) == dataclasses.asdict(cfg)
+    assert reloaded.compression == "zstd" and reloaded.codec == "fsst"
