@@ -451,6 +451,77 @@ def purchase_error_window(sf_dir: str, window_minutes: int = 60) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def asof_attribution(sf_dir: str) -> pa.Table:
+    """AS-OF join (last-touch attribution): every purchase event matched to
+    the SAME user's latest view event at-or-before it, with the view→purchase
+    lag in seconds (NULL when no view precedes). Ray Data has no native as-of
+    operator; the distributed plan is the standard co-partition-and-merge:
+    ONE shuffle of the (user, kind, ts) slice keyed on user_id, then inside
+    each user's group a sorted ``searchsorted`` resolves every purchase
+    against the view timeline — no row loop, no replication, and unlike the
+    band join in ``purchase_error_window`` the lookback is unbounded, which
+    is exactly why the match must happen key-locally rather than in time
+    buckets. Assumes one user's events fit a worker (the ``events_sessionize``
+    contract; a salted variant would carry each day-chunk's max view ts
+    forward user-sequentially, the ``user_rolling_peak_salted`` stitch shape).
+
+    Oracle: DuckDB ``ASOF LEFT JOIN`` on (user_id, v.ts <= p.ts).
+    """
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.is_in(batch["event_type"], value_set=pa.array(["view", "purchase"]))
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "is_p": pc.equal(t["event_type"], "purchase"),
+                "t": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    def match(g: pa.Table) -> pa.Table:
+        is_p = g["is_p"].to_numpy(zero_copy_only=False)
+        ts = g["t"].to_numpy(zero_copy_only=False)
+        pts = np.sort(ts[is_p])
+        if not len(pts):
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "purchase_ts": pa.array([], pa.timestamp("us")),
+                    "view_ts": pa.array([], pa.timestamp("us")),
+                    "lag_sec": pa.array([], pa.float64()),
+                }
+            )
+        vts = np.sort(ts[~is_p])
+        idx = np.searchsorted(vts, pts, side="right") - 1
+        matched = idx >= 0
+        view = np.where(matched, vts[np.maximum(idx, 0)], 0)
+        lag = np.where(matched, (pts - view) / 1e6, np.nan)
+        uid = np.full(len(pts), g["user_id"][0].as_py(), dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "purchase_ts": pa.array(pts.astype("datetime64[us]")),
+                "view_ts": pa.array(
+                    view.astype("datetime64[us]"), mask=~matched
+                ),
+                "lag_sec": pa.array(lag, pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(match, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["user_id", "purchase_ts"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def user_rolling_peak(sf_dir: str, frame: int = 4) -> pa.Table:
     """ROWS-frame rolling aggregate: per user, the PEAK of the rolling mean of
     ``value`` over the last ``frame`` events (ROWS frame-1 PRECEDING..CURRENT,

@@ -385,6 +385,51 @@ def test_tfidf_join_path_matches_broadcast(ray_session, monkeypatch):
     assert text.tfidf_top_terms(SF_DIR).equals(base)
 
 
+def test_asof_attribution_planted_edges(ray_session, tmp_path):
+    """Planted as-of edges: a view AT the purchase timestamp matches (<=), a
+    purchase before any view gets NULL, a view-only user emits nothing, and
+    the latest (not first) preceding view wins."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray.pipelines.behavior import asof_attribution
+
+    base = np.datetime64("2024-05-01T12:00:00", "us")
+    m = np.timedelta64(1, "m")
+    rows = [
+        # user 1: purchase@+0 (no view yet -> NULL), views +1,+2, purchase@+2
+        # (ties with the +2 view -> lag 0, latest wins over +1)
+        (1, "purchase", base),
+        (1, "view", base + 1 * m),
+        (1, "view", base + 2 * m),
+        (1, "purchase", base + 2 * m),
+        # user 2: view-only -> no output rows
+        (2, "view", base),
+        # user 3: two purchases share the single earlier view
+        (3, "view", base),
+        (3, "purchase", base + 5 * m),
+        (3, "purchase", base + 9 * m),
+        # noise event types are ignored
+        (3, "click", base + 6 * m),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "ts": pa.array(np.array([r[2] for r in rows], dtype="datetime64[us]")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = asof_attribution(str(tmp_path)).to_pandas()
+    assert list(got["user_id"]) == [1, 1, 3, 3]
+    assert pd.isna(got["view_ts"].iloc[0]) and pd.isna(got["lag_sec"].iloc[0])
+    assert got["view_ts"].iloc[1] == pd.Timestamp(base + 2 * m)
+    assert got["lag_sec"].iloc[1] == 0.0
+    assert list(got["lag_sec"].iloc[2:]) == [300.0, 540.0]
+
+
 def test_label_propagation_chain_and_convergence_guard(ray_session):
     """A 10-node chain resolves to one component; exhausting max_rounds
     unconverged raises instead of silently returning partial labels."""
