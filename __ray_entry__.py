@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_rms_windows": multimodal.audio_rms_windows,
         # --- slots 34-50: round-4 additions + queries this round refactored ---
         "asof_attribution": behavior.asof_attribution,
+        "asof_attribution_salted": behavior.asof_attribution_salted,
         "tfidf_top_terms": text.tfidf_top_terms,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_exact": dedup.dedup_exact,
@@ -718,6 +719,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
         """,
         "asof_attribution": """
+            SELECT p.user_id, p.ts AS purchase_ts, v.ts AS view_ts,
+                   (epoch_us(p.ts) - epoch_us(v.ts)) / 1000000.0 AS lag_sec
+            FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND v.ts <= p.ts
+            ORDER BY p.user_id, purchase_ts
+        """,
+        "asof_attribution_salted": """
             SELECT p.user_id, p.ts AS purchase_ts, v.ts AS view_ts,
                    (epoch_us(p.ts) - epoch_us(v.ts)) / 1000000.0 AS lag_sec
             FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p

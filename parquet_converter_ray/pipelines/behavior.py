@@ -497,7 +497,10 @@ def asof_attribution(sf_dir: str) -> pa.Table:
         vts = np.sort(ts[~is_p])
         idx = np.searchsorted(vts, pts, side="right") - 1
         matched = idx >= 0
-        view = np.where(matched, vts[np.maximum(idx, 0)], 0)
+        # a purchases-only user has an EMPTY view timeline: nothing matches,
+        # but the gather below still needs a non-empty pool to index into
+        pool = vts if len(vts) else np.zeros(1, np.int64)
+        view = np.where(matched, pool[np.maximum(idx, 0)], 0)
         lag = np.where(matched, (pts - view) / 1e6, np.nan)
         uid = np.full(len(pts), g["user_id"][0].as_py(), dtype=np.int64)
         return pa.table(
@@ -515,6 +518,145 @@ def asof_attribution(sf_dir: str) -> pa.Table:
         ds.map_batches(slim, batch_format="pyarrow")
         .groupby("user_id")
         .map_groups(match, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["user_id", "purchase_ts"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def asof_attribution_salted(sf_dir: str) -> pa.Table:
+    """Skew-safe variant of ``asof_attribution`` — same result, same SQL
+    oracle, but the shuffle key is (user_id, epoch-day) so a mega-user's
+    event history never has to fit one worker (the salting contract
+    ``events_sessionize`` / ``user_rolling_peak_salted`` established).
+
+    An as-of match crosses chunk boundaries only backwards, so each
+    (user, day) group emits a BOUNDED stitch payload instead of its rows:
+    its locally-final matches (purchase had an in-chunk preceding view — by
+    definition the in-chunk view is the global winner, later days cannot
+    beat it and earlier days are older), its UNMATCHED purchases, and the
+    chunk's max view timestamp. A second user-keyed pass walks days in
+    order carrying the running max view ts; a purchase unmatched in its own
+    chunk matches that carry exactly (every earlier-chunk view precedes it,
+    so the latest one wins; same-chunk views are all later than it, else it
+    would have matched locally). Second-pass state per user is
+    O(days + chunk-locally-unmatched purchases) — the attribution minority
+    — never O(events)."""
+    day_us = 86_400_000_000
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.is_in(batch["event_type"], value_set=pa.array(["view", "purchase"]))
+        )
+        ts = t["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "is_p": pc.equal(t["event_type"], "purchase"),
+                "t": ts,
+                "day": pc.divide(ts, day_us),
+            }
+        )
+
+    def day_match(g: pa.Table) -> pa.Table:
+        is_p = g["is_p"].to_numpy(zero_copy_only=False)
+        ts = g["t"].to_numpy(zero_copy_only=False)
+        pts = np.sort(ts[is_p])
+        vts = np.sort(ts[~is_p])
+        idx = np.searchsorted(vts, pts, side="right") - 1
+        ok = idx >= 0
+        uid = np.int64(g["user_id"][0].as_py())
+        day = np.int64(g["day"][0].as_py())
+        n_final, n_pend = int(ok.sum()), int((~ok).sum())
+        n_sum = 1 if len(vts) else 0
+        kind = np.concatenate(
+            [
+                np.zeros(n_final, np.int8),
+                np.ones(n_pend, np.int8),
+                np.full(n_sum, 2, np.int8),
+            ]
+        )
+        p_ts = np.concatenate([pts[ok], pts[~ok], np.zeros(n_sum, np.int64)])
+        v_ts = np.concatenate(
+            [vts[np.maximum(idx[ok], 0)], np.zeros(n_pend, np.int64),
+             vts[-1:] if n_sum else np.array([], np.int64)]
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(kind), uid)),
+                "day": pa.array(np.full(len(kind), day)),
+                "kind": pa.array(kind),
+                "p_ts": pa.array(p_ts, mask=kind == 2),
+                "v_ts": pa.array(v_ts, mask=kind == 1),
+            }
+        )
+
+    def stitch(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        p_ts = g["p_ts"].to_numpy(zero_copy_only=False)
+        v_ts = g["v_ts"].to_numpy(zero_copy_only=False)
+        out_p, out_v, out_m = [], [], []
+        carry, have = np.int64(0), False
+        for d in np.unique(day):
+            pend = (day == d) & (kind == 1)
+            for p in p_ts[pend]:
+                out_p.append(np.int64(p))
+                out_v.append(carry)
+                out_m.append(have)
+            summ = (day == d) & (kind == 2)
+            if summ.any():
+                vmax = np.int64(v_ts[summ].max())
+                carry, have = (max(carry, vmax) if have else vmax), True
+        uid = np.int64(g["user_id"][0].as_py())
+        m = np.asarray(out_m, dtype=bool)
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(out_p), uid, np.int64)),
+                "p_ts": pa.array(np.asarray(out_p, np.int64)),
+                "v_ts": pa.array(np.asarray(out_v, np.int64), mask=~m),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        p = batch["p_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v_col = batch["v_ts"]
+        null = pc.is_null(v_col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(v_col, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        lag = np.where(null, np.nan, (p - v) / 1e6)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "purchase_ts": pa.array(p.astype("datetime64[us]")),
+                "view_ts": pa.array(v.astype("datetime64[us]"), mask=null),
+                "lag_sec": pa.array(lag, pa.float64()),
+            }
+        )
+
+    # stage-1 output is consumed TWICE (finals bypass the stitch) — a lazy
+    # Dataset would re-execute the whole upstream per consumer, so pin it.
+    stage1 = (
+        ds.map_batches(slim, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .map_groups(day_match, batch_format="pyarrow")
+        .materialize()
+    )
+    finals = stage1.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], 0)).select(["user_id", "p_ts", "v_ts"]),
+        batch_format="pyarrow",
+    ).map_batches(finalize, batch_format="pyarrow")
+    stitched = (
+        stage1.map_batches(
+            lambda b: b.filter(pc.greater(b["kind"], 0)), batch_format="pyarrow"
+        )
+        .groupby("user_id")
+        .map_groups(stitch, batch_format="pyarrow")
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+    out = (
+        finals.union(stitched)
         .to_pandas()
         .sort_values(["user_id", "purchase_ts"])
         .reset_index(drop=True)

@@ -430,6 +430,50 @@ def test_asof_attribution_planted_edges(ray_session, tmp_path):
     assert list(got["lag_sec"].iloc[2:]) == [300.0, 540.0]
 
 
+def test_asof_salted_matches_unsalted_and_mega_user(ray_session, tmp_path):
+    """The day-salted as-of join must equal the unsalted one on the synth
+    events table AND on a planted mega-user whose purchases repeatedly fall
+    in days with no view (multi-day carry), days whose only views are later
+    than the purchase, and exact day boundaries."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray.pipelines.behavior import (
+        asof_attribution,
+        asof_attribution_salted,
+    )
+
+    assert asof_attribution_salted(SF_DIR).equals(asof_attribution(SF_DIR))
+
+    rng = np.random.default_rng(7)
+    day = np.timedelta64(86_400, "s")
+    base = np.datetime64("2024-02-01T00:00:00", "us")
+    rows = []
+    # mega-user: 30 days; views only on every 3rd day, purchases daily,
+    # some at exact midnight (day-boundary), some before the day's views
+    for d in range(30):
+        t0 = base + d * day
+        rows.append((1, "purchase", t0))  # midnight purchase
+        rows.append((1, "purchase", t0 + np.timedelta64(6, "h")))
+        if d % 3 == 0:
+            rows.append((1, "view", t0 + np.timedelta64(12, "h")))  # after both
+        for _ in range(40):  # bulk to spread the chunks
+            rows.append(
+                (1, "purchase", t0 + np.timedelta64(int(rng.integers(0, 86_400_000_000)), "us"))
+            )
+    rows.append((2, "purchase", base))  # never any view
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "ts": pa.array(np.array([r[2] for r in rows], dtype="datetime64[us]")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    assert asof_attribution_salted(str(tmp_path)).equals(asof_attribution(str(tmp_path)))
+
+
 def test_label_propagation_chain_and_convergence_guard(ray_session):
     """A 10-node chain resolves to one component; exhausting max_rounds
     unconverged raises instead of silently returning partial labels."""
