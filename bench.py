@@ -206,14 +206,22 @@ def run_weak_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    base_rows = 2_400_000
+    # PCR_SCALING_LO picks the N of the N->4N pair (default 8 -> 32). The
+    # 4->16 pair is a useful control on this sandbox: at 8->32 the hi side
+    # saturates the single host's DRAM (a ceiling a real 4x-node cluster
+    # does not share, since every node brings its own memory bus), while at
+    # 4->16 neither side is bandwidth-starved, isolating the ENGINE's
+    # scaling behavior from the host ceiling. Work stays fixed per CPU
+    # (300k turns/CPU) in both designs.
+    lo_cpus = int(os.environ.get("PCR_SCALING_LO", "8"))
+    base_rows = 300_000 * lo_cpus
     # min-of-N per level, interleaved (same host-noise windows for both);
     # PCR_SCALING_REPS=1 gives a cheap probe run when hunting a quiet window
     reps = int(os.environ.get("PCR_SCALING_REPS", "3"))
     runs_lo, runs_hi = [], []
     for _ in range(max(reps, 1)):
-        runs_lo.append(one(8, base_rows))
-        runs_hi.append(one(32, base_rows * 4))
+        runs_lo.append(one(lo_cpus, base_rows))
+        runs_hi.append(one(lo_cpus * 4, base_rows * 4))
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     # the north rule's criterion is ENCODE-throughput scaling; the total
@@ -224,6 +232,8 @@ def run_weak_scaling() -> dict:
     e_hi = min(r["queries"]["encode"] for r in runs_hi)
     return {
         "metric": "weak-scaling efficiency (4x CPUs, 4x data), fresh ray sessions",
+        "num_cpus_lo": lo_cpus,
+        "num_cpus_hi": lo_cpus * 4,
         "sec_lo_8cpu": r_lo["value"],
         "sec_hi_32cpu": r_hi["value"],
         "turns_per_sec_lo": r_lo["turns_per_sec"],
