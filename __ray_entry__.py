@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- slots 34-50: round-4 additions + queries this round refactored ---
         "asof_attribution": behavior.asof_attribution,
         "asof_attribution_salted": behavior.asof_attribution_salted,
+        "events_window_unique_users": windows.events_window_unique_users,
         "tfidf_top_terms": text.tfidf_top_terms,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_exact": dedup.dedup_exact,
@@ -374,6 +375,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM events, offs)
             SELECT event_type, window_start, count(*) AS n, round(sum(value), 4) AS sum_value
             FROM w GROUP BY event_type, window_start
+        """,
+        "events_window_unique_users": """
+            WITH offs(j) AS (VALUES (0), (1), (2), (3)),
+            w AS (SELECT DISTINCT
+                         to_timestamp(floor(epoch(ts) / 900) * 900 - j * 900)::TIMESTAMP AS window_start,
+                         user_id
+                  FROM events, offs)
+            SELECT window_start, count(*)::BIGINT AS n_users
+            FROM w GROUP BY window_start ORDER BY window_start
         """,
         "frequent_quantities": """
             SELECT l_quantity, count(*) AS cnt FROM lineitem GROUP BY l_quantity

@@ -314,6 +314,63 @@ def events_hopping_window(sf_dir: str) -> pa.Table:
     )
 
 
+def events_window_unique_users(sf_dir: str) -> pa.Table:
+    """EXACT distinct users per sliding 60-minute window (15-min hops) — the
+    streaming-cardinality shape (unique visitors per sliding hour). Distinct
+    is not mergeable from counts, so unlike ``events_hopping_window`` the
+    exchange carries PAIRS, not partial sums: each batch emits its distinct
+    (hop, user) pairs (bounded by hops x users-per-batch, never raw rows);
+    one hash groupby keyed on USER dedups globally with no driver state
+    (user groups are 4x fewer exchanged rows and far fewer keys than
+    (window, user) — the many-small-groups overhead this package documents),
+    each group tiles its active hops to the 4 overlapping windows in one
+    ``np.unique``, and only the window-bounded count table is driver-merged.
+    At 100 TB the pair exchange is the unavoidable cost of exactness — the
+    approximate cousin is ``analytics.approx_distinct_users_by_type``'s HLL
+    partials, which DO merge."""
+    ds = _t(sf_dir, "events", columns=["ts", "user_id"])
+    offs = np.arange(_N_HOPS, dtype=np.int64) * _HOP_US
+
+    def assign(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                "hop": (ts // _HOP_US) * _HOP_US,
+            }
+        ).drop_duplicates()
+
+    # the exchange is keyed on USER (not (window, user)): Ray's per-key
+    # aggregation overhead scales with group count, and tiling to windows
+    # BEFORE the shuffle would also 4x the exchanged rows. Each user's group
+    # tiles its active hops to windows and dedups in one np.unique; the
+    # per-batch (window, count) partials it emits are window-bounded.
+    def user_windows(g: pa.Table) -> pa.Table:
+        hops = np.unique(g["hop"].to_numpy(zero_copy_only=False))
+        wins = np.unique(hops[None, :] - offs[:, None])
+        return pa.table({"window_start": pa.array(wins)})
+
+    def cnt_partial(b: pa.Table) -> pd.DataFrame:
+        w, c = np.unique(
+            b["window_start"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pd.DataFrame({"window_start": w, "n_users": c.astype(np.int64)})
+
+    out = finish_on_driver(
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(user_windows, batch_format="pyarrow")
+        .map_batches(cnt_partial, batch_format="pyarrow"),
+        ["window_start"],
+        ["n_users"],
+    )
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    out["n_users"] = out["n_users"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("window_start").reset_index(drop=True), preserve_index=False
+    )
+
+
 # --- frequent items (Misra-Gries sketch + exact verify pass) ----------------------
 
 
