@@ -1,15 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The image/audio decode libraries are NOT available in this container, so the
-decode kernel is a clearly-marked deterministic STUB — but the Ray-side
-plumbing is real and tested: binary columns flow as Arrow ``binary`` (kept in
-``batch_format="pyarrow"`` — binary round-trips poorly through pandas), the
-feature extractor is an actor-pool stage with per-actor setup, batch sizes are
-small because payload rows are wide, and outputs are fixed-width feature
-vectors + metadata columns.
-
-Swap ``_StubDecoder.decode`` for a real PIL/libvips/ffmpeg call and nothing
-else changes.
+The COMPRESSED image/video codecs (JPEG/PNG/H.264) need libraries absent from
+this container and stay honestly gated behind ``NotImplementedError`` — but
+the decode stage is REAL for the raw wire formats that need none: Netpbm
+P5/P6 (``_decode_netpbm``) and uncompressed 8/24-bit BMP (``_decode_bmp``)
+are parsed with pure numpy (header grammar, palette LUT, BGR->luma, bottom-up
+rows, 4-byte stride padding), raw int16 PCM audio gets genuine windowed-RMS
+DSP, and the synthetic ``FAKE`` raster exercises the plumbing end to end.
+The Ray-side shape is the point and is real throughout: binary columns flow
+as Arrow ``binary`` (kept in ``batch_format="pyarrow"`` — binary round-trips
+poorly through pandas), the feature extractor is an actor-pool stage with
+per-actor setup, batch sizes are small because payload rows are wide, and
+outputs are fixed-width feature vectors + metadata columns. Swapping in
+PIL/ffmpeg for the compressed formats changes one dispatch branch.
 """
 
 from __future__ import annotations
@@ -20,43 +23,164 @@ import pyarrow as pa
 import ray.data
 
 
+def _encode_pgm(gray: np.ndarray) -> bytes:
+    """Minimal P5 writer (used by the synth table and the resize output for
+    Netpbm/BMP inputs)."""
+    h, w = gray.shape
+    return b"P5\n# synth\n%d %d\n255\n" % (w, h) + gray.tobytes()
+
+
+def _encode_bmp24(gray: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (bottom-up, BI_RGB, padded
+    rows) — gray replicated to BGR."""
+    h, w = gray.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    body = np.zeros((h, stride), np.uint8)
+    bgr = np.repeat(gray[::-1, :, None], 3, axis=2)  # bottom-up
+    body[:, : w * 3] = bgr.reshape(h, w * 3)
+    data = body.tobytes()
+    off = 14 + 40
+    hdr = (
+        b"BM"
+        + (off + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return hdr + data
+
+
 def synth_binary_dataset(n: int = 512, seed: int = 9) -> "ray.data.Dataset":
-    """Deterministic fake media table: (item_id, payload: binary, media_type,
-    width, height) — payload layout: 4-byte magic, 2x uint16 dims, raw bytes."""
+    """Deterministic media table: (item_id, payload: binary, media_type) —
+    a mix of REAL wire formats the pure-numpy decoders handle (Netpbm P5,
+    uncompressed 24-bit BMP) and the synthetic ``FAKE`` raw raster
+    (4-byte magic, 2x uint16 dims, raw bytes)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
-        body = rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
-        payload = b"FAKE" + int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little") + body
-        rows.append(
-            {
-                "item_id": i,
-                "payload": payload,
-                "media_type": ["image/fake", "audio/fake"][i % 2],
-            }
-        )
+        gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        if i % 4 == 1:
+            payload, mt = _encode_pgm(gray), "image/x-portable-graymap"
+        elif i % 4 == 3:
+            payload, mt = _encode_bmp24(gray), "image/bmp"
+        else:
+            payload = (
+                b"FAKE"
+                + int(w).to_bytes(2, "little")
+                + int(h).to_bytes(2, "little")
+                + gray.tobytes()
+            )
+            mt = "image/fake"
+        rows.append({"item_id": i, "payload": payload, "media_type": mt})
     return ray.data.from_items(rows)
 
 
-class _StubDecoder:
-    """STUB for the media decode library (not installed in this container).
+def _decode_netpbm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL Netpbm decoder (binary P5 graymap / P6 pixmap, maxval <= 255) in
+    pure numpy: whitespace-and-comment header grammar, then the raster; P6
+    RGB reduces to luma by the integer BT.601 approximation."""
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from the raster
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit Netpbm rasters are not supported")
+    if payload[:2] == b"P5":
+        return w, h, np.frombuffer(payload, np.uint8, count=w * h, offset=pos).reshape(h, w)
+    rgb = (
+        np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .astype(np.uint32)
+    )
+    gray = ((299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000).astype(
+        np.uint8
+    )
+    return w, h, gray
 
-    Real implementation would: PIL.Image.open(BytesIO(payload)) / soundfile /
-    pyav frame sampling. The stub parses the deterministic fake header and
-    produces a 16-bin byte histogram as the "feature vector"."""
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL uncompressed-BMP decoder (BITMAPINFOHEADER, 8-bit palette or
+    24-bit BGR, BI_RGB only) in pure numpy: bottom-up row order unless height
+    is negative, rows padded to 4-byte strides, palette mapped through a
+    luma LUT."""
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if comp != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            "compressed or non-8/24-bit BMP decoding requires an image library"
+        )
+    top_down, h = h < 0, abs(h)
+    stride = ((w * (bpp // 8) + 3) // 4) * 4
+    raw = np.frombuffer(payload, np.uint8, count=stride * h, offset=data_off).reshape(
+        h, stride
+    )
+    if bpp == 8:
+        n_colors = int.from_bytes(payload[46:50], "little") or 256
+        pal = (
+            np.frombuffer(payload, np.uint8, count=n_colors * 4, offset=14 + hdr_size)
+            .reshape(n_colors, 4)
+            .astype(np.uint32)
+        )
+        lut = ((299 * pal[:, 2] + 587 * pal[:, 1] + 114 * pal[:, 0]) // 1000).astype(
+            np.uint8
+        )
+        gray = lut[raw[:, :w]]
+    else:
+        px = raw[:, : w * 3].reshape(h, w, 3).astype(np.uint32)  # BGR order
+        gray = ((299 * px[..., 2] + 587 * px[..., 1] + 114 * px[..., 0]) // 1000).astype(
+            np.uint8
+        )
+    return w, h, (gray if top_down else gray[::-1])
+
+
+class MediaDecoder:
+    """Dispatch decoder: REAL pure-numpy paths for raw wire formats (Netpbm
+    P5/P6, uncompressed BMP, the synthetic FAKE raster); compressed formats
+    (JPEG/PNG/...) raise ``NotImplementedError`` honestly — those need
+    PIL/libvips, absent from this container. Returns (w, h, gray raster)."""
+
+    def decode_raster(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        if payload[:4] == b"FAKE":
+            w = int.from_bytes(payload[4:6], "little")
+            h = int.from_bytes(payload[6:8], "little")
+            return w, h, np.frombuffer(payload[8:], dtype=np.uint8)[: w * h].reshape(h, w)
+        if payload[:2] in (b"P5", b"P6"):
+            return _decode_netpbm(payload)
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        raise NotImplementedError(
+            "compressed media decoding requires PIL/ffmpeg — not available in this container"
+        )
 
     def decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
-        if payload[:4] != b"FAKE":
-            raise NotImplementedError(
-                "real media decoding requires PIL/ffmpeg — not available in this container"
-            )
-        w = int.from_bytes(payload[4:6], "little")
-        h = int.from_bytes(payload[6:8], "little")
-        body = np.frombuffer(payload[8:], dtype=np.uint8)
-        hist = np.bincount(body >> 4, minlength=16).astype(np.float64)
+        w, h, raster = self.decode_raster(payload)
+        hist = np.bincount((raster.ravel() >> 4), minlength=16).astype(np.float64)
         hist /= max(hist.sum(), 1)
         return w, h, hist
+
+
+_StubDecoder = MediaDecoder  # historical name (pre-round-4, decode was a stub)
 
 
 class FeatureExtractor:
@@ -64,7 +188,7 @@ class FeatureExtractor:
     per-batch feature extraction in __call__ (arrow in / arrow out)."""
 
     def __init__(self):
-        self.decoder = _StubDecoder()  # model/codec load happens ONCE per actor
+        self.decoder = MediaDecoder()  # model/codec load happens ONCE per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, feats = [], [], []
@@ -100,22 +224,20 @@ def multimodal_features(sf_dir: str | None = None) -> pa.Table:
 
 
 class Resizer:
-    """Actor-pool resize stage — REAL kernel (nearest-neighbour on the raw
-    raster; numpy index arithmetic), not a stub: the fake payload format IS a
-    raster. Swapping in JPEG/PNG sources only changes the decode call."""
+    """Actor-pool resize stage — REAL kernel (nearest-neighbour on the
+    decoded raster; numpy index arithmetic) over every format MediaDecoder
+    handles. Output payloads are always the raw FAKE raster (the internal
+    interchange format downstream stages consume)."""
 
     def __init__(self, target: int = 16):
         self.target = target
-        self.decoder = _StubDecoder()
+        self.decoder = MediaDecoder()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = self.target
         out_payloads = []
         for payload in batch["payload"]:
-            b = payload.as_py()
-            w = int.from_bytes(b[4:6], "little")
-            h = int.from_bytes(b[6:8], "little")
-            img = np.frombuffer(b[8:], dtype=np.uint8).reshape(h, w)
+            w, h, img = self.decoder.decode_raster(payload.as_py())
             yi = (np.arange(t) * h) // t
             xi = (np.arange(t) * w) // t
             small = img[yi][:, xi]

@@ -792,3 +792,71 @@ def test_audio_rms_windows_kernel(ray_session):
     # envelope makes within-clip loudness vary: max must exceed mean
     assert all(r["rms_max"] > r["rms_mean"] for r in rows.values())
     assert out.equals(audio_rms_windows())
+
+
+def test_media_decoders_real_formats(ray_session):
+    """The pure-numpy Netpbm/BMP decoders against hand-constructed payloads:
+    P5 header grammar with comments, P6 BT.601 luma, 24-bit BMP bottom-up
+    row order + 4-byte stride padding, 8-bit palette BMP, top-down BMP, and
+    the synth writers round-tripping through their own decoders."""
+    import numpy as np
+
+    from parquet_converter_ray.pipelines.multimodal import (
+        MediaDecoder,
+        _decode_bmp,
+        _decode_netpbm,
+        _encode_bmp24,
+        _encode_pgm,
+    )
+
+    # P5 3x2 with a comment line: raster rows [1,2,3],[4,5,6]
+    p5 = b"P5\n# a comment\n3 2\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    w, h, g = _decode_netpbm(p5)
+    assert (w, h) == (3, 2) and g.tolist() == [[1, 2, 3], [4, 5, 6]]
+
+    # P6 1x1 pure red -> luma 299*255//1000 = 76
+    p6 = b"P6 1 1 255\n" + bytes([255, 0, 0])
+    assert _decode_netpbm(p6)[2].tolist() == [[76]]
+
+    # 24-bit BMP 2x2, bottom-up: file rows are [bottom], [top]; stride pads
+    # 6 -> 8 bytes. Pixels (BGR): top (255,0,0)=blue luma 29, (0,255,0)=green
+    # luma 149; bottom (0,0,255)=red luma 76, (255,255,255)=white 255.
+    rows = [bytes([0, 0, 255, 255, 255, 255, 0, 0]),  # bottom row + pad
+            bytes([255, 0, 0, 0, 255, 0, 0, 0])]      # top row + pad
+    data = b"".join(rows)
+    hdr = (b"BM" + (54 + len(data)).to_bytes(4, "little") + b"\x00" * 4
+           + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+           + (2).to_bytes(4, "little", signed=True) + (2).to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little") + b"\x00" * 16)
+    w, h, g = _decode_bmp(hdr + data)
+    assert (w, h) == (2, 2) and g.tolist() == [[29, 149], [76, 255]]
+
+    # same image top-down (negative height): file rows are [top], [bottom]
+    hdr_td = hdr[:22] + (-2).to_bytes(4, "little", signed=True) + hdr[26:]
+    g_td = _decode_bmp(hdr_td + rows[1] + rows[0])[2]
+    assert g_td.tolist() == [[29, 149], [76, 255]]
+
+    # 8-bit palette BMP 1x1: palette[7] = BGR(0,0,255) -> luma 76
+    pal = bytearray(256 * 4)
+    pal[7 * 4 : 7 * 4 + 4] = bytes([0, 0, 255, 0])
+    data8 = bytes([7, 0, 0, 0])  # 1 byte + 3 pad
+    hdr8 = (b"BM" + (54 + 1024 + len(data8)).to_bytes(4, "little") + b"\x00" * 4
+            + (54 + 1024).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + (1).to_bytes(4, "little", signed=True) + (1).to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + len(data8).to_bytes(4, "little")
+            + b"\x00" * 8 + (256).to_bytes(4, "little") + b"\x00" * 4)
+    assert _decode_bmp(hdr8 + bytes(pal) + data8)[2].tolist() == [[76]]
+
+    # synth writers round-trip through the decoders
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    assert np.array_equal(_decode_netpbm(_encode_pgm(img))[2], img)
+    assert np.array_equal(_decode_bmp(_encode_bmp24(img))[2], img)
+
+    # compressed formats stay honestly gated
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        MediaDecoder().decode_raster(b"\x89PNG\r\n\x1a\n....")
