@@ -87,6 +87,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--order-col", default="turn_idx", help="within-conversation order column")
     p.add_argument("--salt-rows", type=int, default=100_000)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--cluster-by", default=None, metavar="COL",
+                   help="range-cluster partitions on a numeric/temporal column "
+                        "(zone maps then prune range scans; conv-key lookup "
+                        "degrades to scan)")
 
     p = sub.add_parser("decode", help="decode containers back to parquet")
     p.add_argument("input")
@@ -217,6 +221,7 @@ def main(argv: list[str] | None = None) -> int:
                 sort_key=(args.conv_col, args.order_col),
                 salt_rows=args.salt_rows,
                 resume=args.resume,
+                cluster_by=args.cluster_by,
             )
             print(json.dumps(summary))
         elif args.cmd == "decode":

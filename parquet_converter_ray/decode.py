@@ -139,17 +139,28 @@ def decode_dataset(
 def roundtrip_table(
     original: pa.Table,
     out_dir: str,
-    sort_key: list[str] = ["conv_id", "turn_idx"],
+    sort_key: list[str] | None = None,
 ) -> tuple[bool, str]:
     """Small-scale (test) verification: decode everything, sort both sides by
     the stable order key, compare column-by-column bit-identically.
 
     The north-rule invariant: per-turn text equality under stable turn
-    ordering (BASELINE.json input_hint).
-    """
+    ordering (BASELINE.json input_hint). ``sort_key`` defaults to the key
+    RECORDED in the store's ``_run.json`` (falling back to the transcript
+    key), so verifying a store keyed on other columns — e.g. a lineitem or
+    range-clustered store — needs no extra flags. When the recorded key does
+    not identify rows uniquely, ALL columns are appended as tie-breakers
+    (an order-insensitive whole-row compare — duplicate keys would otherwise
+    shuffle payload columns between tied rows on the two sides)."""
+    from . import manifest as mf
+
+    if sort_key is None:
+        params = mf.load_run_record(out_dir) or {}
+        sort_key = list(params.get("sort_key") or ["conv_id", "turn_idx"])
     decoded = decode_dataset(out_dir)
     dec_tbl = pa.concat_tables(list(decoded.iter_batches(batch_format="pyarrow")))
-    key = [(c, "ascending") for c in sort_key]
+    tie = [c for c in original.column_names if c not in sort_key]
+    key = [(c, "ascending") for c in list(sort_key) + tie]
     a = original.sort_by(key).combine_chunks()
     b = dec_tbl.select(original.column_names).sort_by(key).combine_chunks()
     if a.num_rows != b.num_rows:
@@ -309,6 +320,13 @@ def lookup_conversation(
         raise ValueError(
             f"no run record in {out_dir} — lookup needs the partitioning "
             "parameters written by encode_dataset (_run.json)"
+        )
+    if (params.get("partition_mode") or "hash") != "hash":
+        raise ValueError(
+            f"store {out_dir} is range-clustered on "
+            f"{params.get('cluster_by')!r}: conversation keys have no hash "
+            "route. Use scan_store(out_dir, [(conv_col, '==', value)]) — zone "
+            "maps and dictionary probes prune it instead."
         )
     n_parts = int(params["n_parts"])
     salt_rows = int(params.get("salt_rows") or 0)

@@ -27,7 +27,9 @@ import time
 import zlib
 from typing import Callable, Sequence
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -227,6 +229,43 @@ def make_page_packer(
     return pack
 
 
+def _range_cuts(ds, cluster_by: str, n_parts: int, per_batch: int = 512) -> list:
+    """Deterministic cut points for range clustering: every batch contributes
+    an evenly-strided sorted sample of its non-null cluster values (bounded
+    at ``per_batch``), the driver sorts the merged sample and takes the
+    n_parts-1 evenly-spaced order statistics. Driver state is
+    batches x per_batch values — bounded, independent of row count. Ties in
+    a skewed domain collapse to fewer distinct cuts (recorded as-is: some
+    buckets simply stay empty)."""
+    from .partition import cluster_key_array
+
+    def sample(batch: pa.Table) -> pa.Table:
+        col = batch[cluster_by]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = cluster_key_array(col)
+        if col.null_count:
+            v = v[~pc.is_null(col).to_numpy(zero_copy_only=False)]
+        v = np.sort(v)
+        stride = max(1, len(v) // per_batch)
+        return pa.table({"v": pa.array(v[::stride])})
+
+    parts = list(
+        ds.select_columns([cluster_by])
+        .map_batches(sample, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    vals = (
+        np.sort(np.concatenate([t["v"].to_numpy(zero_copy_only=False) for t in parts]))
+        if parts
+        else np.zeros(1)
+    )
+    if not len(vals):
+        vals = np.zeros(1)
+    idx = np.clip((len(vals) * np.arange(1, n_parts)) // n_parts, 0, len(vals) - 1)
+    return [x.item() for x in np.unique(vals[idx])]
+
+
 def encode_dataset(
     source: "ray.data.Dataset | str | list[str]",
     out_dir: str,
@@ -240,6 +279,7 @@ def encode_dataset(
     resume: bool = False,
     page_shuffle: bool = False,
     shuffle_strategy: str | None = None,
+    cluster_by: str | None = None,
     fault_hook: Callable[[int], None] | None = None,
 ) -> dict:
     """Run the encode pipeline; returns the consolidated manifest summary.
@@ -247,6 +287,19 @@ def encode_dataset(
     ``resume=True`` skips partitions already recorded in ``out_dir/_manifest``
     (partition assignment is a pure function of row content, so a resumed run
     reproduces the remaining partitions byte-for-byte).
+
+    ``cluster_by=COL`` switches partition assignment from conv-hash to RANGE
+    clustering on a numeric/temporal column: cut points are sampled once
+    (order statistics of a bounded per-batch sample), recorded in
+    ``_run.json`` (``partition_mode: "range"``, ``range_cuts``), and every
+    partition then covers a disjoint value range — so the zone maps written
+    per container actually PRUNE range predicates on that column
+    (``scan_store`` level 1), which a hash layout never can (every hash
+    partition spans the full domain). The layout trade: conv-key point
+    lookup loses its hash route (``lookup_conversation`` refuses; use
+    ``scan_store``), while delete/append stay correct (delete probes all
+    partitions, append reuses the recorded cuts). Resume reuses the recorded
+    cuts — never resamples.
 
     ``page_shuffle=True`` compresses the exchange: the map side packs each
     (block, partition) slice into a plain+zstd mini-container so the all-to-all
@@ -306,6 +359,22 @@ def encode_dataset(
             f"partition key column {conv_col!r} not in schema {schema_names}; "
             "pass conv_col= (string or integer column)"
         )
+    if cluster_by is not None:
+        if page_shuffle:
+            raise ValueError("cluster_by and page_shuffle are mutually exclusive")
+        if cluster_by not in schema_names:
+            raise ValueError(
+                f"cluster_by column {cluster_by!r} not in schema {schema_names}"
+            )
+
+    range_cuts: list | None = None
+    if cluster_by is not None:
+        if resume and prior is not None:
+            # resampling on resume would silently reassign rows — the cuts
+            # recorded by the original run are part of the layout
+            range_cuts = list(prior.get("range_cuts") or [])
+        else:
+            range_cuts = _range_cuts(ds, cluster_by, n_parts)
 
     run_params = {
         "n_parts": int(n_parts),
@@ -314,8 +383,14 @@ def encode_dataset(
         "order_col": order_col,
         "sort_key": list(sort_key),
         "hash_version": HASH_VERSION,
+        "partition_mode": "range" if cluster_by else "hash",
+        "cluster_by": cluster_by,
+        "range_cuts": range_cuts,
     }
     if resume and prior is not None:
+        # stores written before range clustering existed have no
+        # partition_mode key — they are hash stores
+        prior = {"partition_mode": "hash", "cluster_by": None, "range_cuts": None, **prior}
         mismatch = {
             k: (prior.get(k), run_params[k])
             for k in mf.RUN_PARAM_KEYS
@@ -337,6 +412,15 @@ def encode_dataset(
             make_page_packer(n_parts, conv_col, order_col, salt_rows),
             batch_format="pyarrow",
         )
+    elif cluster_by is not None:
+        from .partition import assign_part_id_range
+
+        cuts = list(range_cuts or [])
+
+        def _assign_range(batch: pa.Table) -> pa.Table:
+            return assign_part_id_range(batch, cuts, cluster_by)
+
+        ds = ds.map_batches(_assign_range, batch_format="pyarrow")
     else:
 
         def _assign(batch: pa.Table) -> pa.Table:
@@ -456,6 +540,10 @@ def compact_dataset(
         conv_col=kw.pop("conv_col", prior["conv_col"]),
         order_col=kw.pop("order_col", prior["order_col"]),
         salt_rows=kw.pop("salt_rows", int(prior.get("salt_rows") or 0)),
+        # a range-clustered store stays range-clustered through compaction
+        # (cuts are resampled for the new n_parts); pass cluster_by=None to
+        # convert back to the hash layout
+        cluster_by=kw.pop("cluster_by", prior.get("cluster_by")),
         **kw,
     )
 
@@ -581,6 +669,11 @@ def append_dataset(
             f"delivery lacks the partition/order column(s) "
             f"{[c for c in (conv_col, order_col) if c in missing]} — cannot append"
         )
+    if (prior.get("partition_mode") or "hash") == "range" and prior.get("cluster_by") in missing:
+        raise ValueError(
+            f"delivery lacks the range-cluster column {prior['cluster_by']!r} "
+            "— cannot assign partitions"
+        )
     for n, t in store_schema:
         if n in del_names:
             dt = del_schema.base_schema.field(n).type
@@ -601,10 +694,23 @@ def append_dataset(
     if missing or del_names != store_names:
         ds = ds.map_batches(_conform, batch_format="pyarrow")
 
-    def _assign(batch: pa.Table) -> pa.Table:
-        return assign_part_id(
-            batch, n_parts, conv_col=conv_col, order_col=order_col, salt_rows=salt_rows
-        )
+    if (prior.get("partition_mode") or "hash") == "range":
+        # a range-clustered store appends with the RECORDED cuts (the layout
+        # contract), so delivered rows land in the bucket readers expect
+        from .partition import assign_part_id_range
+
+        _r_cuts = list(prior.get("range_cuts") or [])
+        _r_col = prior["cluster_by"]
+
+        def _assign(batch: pa.Table) -> pa.Table:
+            return assign_part_id_range(batch, _r_cuts, _r_col)
+
+    else:
+
+        def _assign(batch: pa.Table) -> pa.Table:
+            return assign_part_id(
+                batch, n_parts, conv_col=conv_col, order_col=order_col, salt_rows=salt_rows
+            )
 
     encoder = EncodePartition(out_dir, codec=codec, sort_key=sort_key, generation=gen)
 
@@ -817,7 +923,12 @@ def delete_conversations(out_dir: str, conv_values: list, codec: str | dict = "a
         # under-deletes when turn indices aren't dense (e.g. an append of
         # turns 300..319 after 0..99 with salt_rows=300 lands in chunk 1,
         # which a stop-at-partial walk never visits).
-        if salted:
+        if (prior.get("partition_mode") or "hash") == "range":
+            # range-clustered layout: conv keys have no hash route, so every
+            # partition is a candidate — the parallel key-column probe below
+            # still prunes the rewrite set to partitions with actual victims
+            cand = set(by_part)
+        elif salted:
             k_max = mf.order_chunk_bound(recs, order_col, salt_rows)
             if k_max is None:
                 cand = set(by_part)  # pre-zonemap store: probe everything — sound

@@ -45,7 +45,18 @@ def manifest_dir(out_dir: str) -> str:
 
 # --- run-level record: the partitioning parameters a resume MUST reuse -------
 
-RUN_PARAM_KEYS = ("n_parts", "salt_rows", "conv_col", "order_col", "sort_key", "hash_version")
+RUN_PARAM_KEYS = (
+    "n_parts",
+    "salt_rows",
+    "conv_col",
+    "order_col",
+    "sort_key",
+    "hash_version",
+    # range-clustered layout (absent on pre-range stores = hash mode)
+    "partition_mode",
+    "cluster_by",
+    "range_cuts",
+)
 
 
 def run_record_path(out_dir: str) -> str:

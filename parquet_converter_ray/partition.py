@@ -208,3 +208,47 @@ def assign_part_id(
         h = (h ^ (salt * GOLDEN)) + salt  # mix so chunk k of a mega-conv moves
     part = (h % np.uint64(n_parts)).astype(np.int32)
     return batch.append_column("part_id", pa.array(part, type=pa.int32()))
+
+
+def cluster_key_array(col) -> np.ndarray:
+    """Comparable numpy view of a range-cluster column: int64 for
+    integer/boolean/temporal columns (timestamps/dates normalized to
+    microseconds), float64 for floats. Null slots carry arbitrary values —
+    callers mask them with the column's own null bitmap."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_floating(t):
+        return col.to_numpy(zero_copy_only=False).astype(np.float64)
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return (
+            col.to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        if col.null_count:
+            col = pc.fill_null(col, 0)
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    raise ValueError(
+        f"cluster_by needs a numeric or temporal column, got type {t} "
+        "(string clustering would need order-preserving key encoding)"
+    )
+
+
+def assign_part_id_range(batch: pa.Table, cuts, cluster_by: str) -> pa.Table:
+    """Range-clustered ``part_id``: the bucket of the cluster column against
+    the RECORDED cut points (part k holds cuts[k-1] < v <= cuts[k]). A pure
+    function of row content + recorded cuts, so it is resume- and
+    append-stable exactly like the hash assignment. Null cluster values
+    route to bucket 0."""
+    col = batch[cluster_by]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    v = cluster_key_array(col)
+    part = np.searchsorted(np.asarray(cuts, dtype=v.dtype), v, side="left").astype(
+        np.int32
+    )
+    if col.null_count:
+        part[pc.is_null(col).to_numpy(zero_copy_only=False)] = 0
+    return batch.append_column("part_id", pa.array(part, type=pa.int32()))

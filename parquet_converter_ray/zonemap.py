@@ -141,6 +141,10 @@ def _hash_route_parts(out_dir: str, recs: list[dict], clauses) -> "set[int] | No
     params = mf.load_run_record(out_dir)
     if not params or params.get("hash_version") != HASH_VERSION:
         return None
+    if (params.get("partition_mode") or "hash") != "hash":
+        # range-clustered store: part_id is not a hash of the conv key; the
+        # zone maps (level 1) carry the pruning instead
+        return None
     conv_col = params.get("conv_col")
     vals = None
     for col, op, val in clauses:
