@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_attribution": behavior.asof_attribution,
         "asof_attribution_salted": behavior.asof_attribution_salted,
         "events_window_unique_users": windows.events_window_unique_users,
+        "lineitem_range_scan": transcripts.lineitem_range_scan,
         "tfidf_top_terms": text.tfidf_top_terms,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_exact": dedup.dedup_exact,
@@ -375,6 +376,12 @@ def oracle_sql() -> dict[str, str]:
                   FROM events, offs)
             SELECT event_type, window_start, count(*) AS n, round(sum(value), 4) AS sum_value
             FROM w GROUP BY event_type, window_start
+        """,
+        "lineitem_range_scan": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
         """,
         "events_window_unique_users": """
             WITH offs(j) AS (VALUES (0), (1), (2), (3)),

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 import re
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -375,6 +376,62 @@ def lineitem_scan_pushdown(sf_dir: str) -> pa.Table:
     batches = list(ds.iter_batches(batch_format="pyarrow"))
     tbl = pa.concat_tables(batches) if batches else ds.schema().empty_table()
     return tbl.sort_by([("l_orderkey", "ascending"), ("l_linenumber", "ascending")])
+
+
+def _lineitem_range_store(sf_dir: str) -> str:
+    """Range-clustered lineitem store (cluster_by=l_shipdate), cached per sf.
+    Unlike ``_lineitem_store``'s hash layout, each container covers a
+    disjoint ship-date range so zone maps prune date-band scans."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_CACHE, f"encoded-lineitem-range-{tag}")
+    if not os.path.exists(os.path.join(out, "manifest.jsonl")):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        encode_dataset(
+            f"{sf_dir}/lineitem.parquet",
+            out,
+            conv_col="l_orderkey",
+            order_col="l_linenumber",
+            sort_key=("l_orderkey", "l_linenumber"),
+            salt_rows=0,
+            cluster_by="l_shipdate",
+        )
+    return out
+
+
+def lineitem_range_scan(sf_dir: str) -> pa.Table:
+    """Date-band revenue over a RANGE-CLUSTERED store: the 1996 ship-date
+    band decodes only the containers whose recorded zone-map range overlaps
+    it (a hash layout scans everything — asserted in tests), then per-batch
+    revenue partials merge on the driver. Oracle: plain SQL over the raw
+    table."""
+    from ..zonemap import scan_store
+
+    ds = scan_store(
+        _lineitem_range_store(sf_dir),
+        [("l_shipdate", "between", ("1996-01-01", "1996-12-31"))],
+        columns=["l_extendedprice", "l_discount"],
+    )
+    n = 0
+    rev = 0.0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        n += b.num_rows
+        if b.num_rows:
+            rev += float(
+                np.sum(
+                    b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+                )
+            )
+    from ._util import sql_round
+
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "revenue": pa.array([float(sql_round(np.array([rev]), 2)[0])], pa.float64()),
+        }
+    )
 
 
 def lineitem_store_profile(sf_dir: str) -> pa.Table:
