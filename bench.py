@@ -51,7 +51,14 @@ def run_bench() -> dict:
 
     from parquet_converter_ray.decode import decode_dataset
     from parquet_converter_ray.encode import encode_dataset
-    from parquet_converter_ray.pipelines import behavior, dedup, relational, similarity, text
+    from parquet_converter_ray.pipelines import (
+        behavior,
+        dedup,
+        relational,
+        similarity,
+        text,
+        transcripts,
+    )
     from parquet_converter_ray.pipelines.transcripts import _input_dir, _scale_rows
 
     n_turns = int(os.environ.get("PCR_BENCH_ROWS", 0)) or _scale_rows(SF_DIR)
@@ -127,6 +134,8 @@ def run_bench() -> dict:
         ("scrub_pii", text.scrub_pii),
         ("knn_bruteforce", similarity.knn_bruteforce),
         ("event_funnel", behavior.event_funnel),
+        ("asof_attribution", behavior.asof_attribution),
+        ("lineitem_range_scan", transcripts.lineitem_range_scan),
     ]
     for name, fn in query_list:
         t0 = time.monotonic()
