@@ -99,6 +99,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-generation", type=int, default=None,
                    help="snapshot read: only containers with generation <= g "
                         "(the store before later appended deliveries)")
+    p.add_argument("--partition-by", nargs="*", default=None, metavar="COL",
+                   help="write hive-partitioned parquet (one directory per "
+                        "value combination) — resumable, prunable output layout")
 
     p = sub.add_parser("append", help="append a new delivery of rows to an existing encoded store")
     p.add_argument("input", help="parquet file/dir with the new rows")
@@ -229,7 +232,10 @@ def main(argv: list[str] | None = None) -> int:
 
             ds = decode_dataset(args.input, columns=args.columns,
                                 max_generation=args.max_generation)
-            ds.write_parquet(args.output, compression=cfg.compression)
+            wkw = {"compression": cfg.compression}
+            if args.partition_by:
+                wkw["partition_cols"] = list(args.partition_by)
+            ds.write_parquet(args.output, **wkw)
             print(json.dumps({"rows": ray.data.read_parquet(args.output).count()}))
         elif args.cmd == "append":
             from .encode import append_dataset

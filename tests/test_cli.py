@@ -121,3 +121,24 @@ def test_cli_save_config_roundtrip(tmp_path):
     reloaded = EngineConfig.load(str(out), env={})
     assert dataclasses.asdict(reloaded) == dataclasses.asdict(cfg)
     assert reloaded.compression == "zstd" and reloaded.codec == "fsst"
+
+
+def test_cli_decode_partition_by(small_parquet, tmp_path_factory):
+    """decode --partition-by writes hive-partitioned parquet whose union
+    equals the store contents."""
+    import pyarrow.dataset as pads
+
+    enc = str(tmp_path_factory.mktemp("dp") / "enc")
+    out = str(tmp_path_factory.mktemp("dp") / "by_role")
+    r = run_cli("encode", small_parquet, enc, "--n-parts", "4", "--salt-rows", "1000")
+    assert r.returncode == 0, r.stderr
+    r = run_cli("decode", enc, out, "--partition-by", "role")
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout.strip().splitlines()[-1])["rows"] == 3000
+    dirs = sorted(os.listdir(out))
+    assert all(d.startswith("role=") for d in dirs) and len(dirs) > 1
+    t = pads.dataset(out, partitioning="hive").to_table()
+    src = pq.read_table(small_parquet)
+    assert t.num_rows == src.num_rows
+    key = [(c, "ascending") for c in sorted(src.column_names)]
+    assert t.select(src.column_names).cast(src.schema).sort_by(key).equals(src.sort_by(key))
