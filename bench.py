@@ -255,6 +255,91 @@ def run_weak_scaling() -> dict:
     }
 
 
+def run_weak_control() -> dict:
+    """Weak-scaling CONTROL experiment: the pipeline's N->4N pair interleaved
+    in the SAME noise window with two synthetic weak pairs whose ideal
+    efficiency is 1.0 — (a) register-resident integer spin (what this VM's
+    CPUs scale to when memory is not involved) and (b) a DRAM streaming
+    kernel (what anything bandwidth-bound scales to on ONE socket). On a
+    real cluster every 4x of nodes brings 4x memory buses, so the stream
+    control measures exactly the ceiling a single-host sandbox imposes that
+    a cluster does not share. ``host_adjusted_*`` divides the pipeline's
+    efficiency by each control's — the pipeline's own scaling behavior with
+    the host ceiling factored out."""
+
+    def pipeline(ncpu: int, rows: int) -> float:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            PCR_BENCH_ROWS=str(rows),
+            PCR_BENCH_HEADLINE_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return float(json.loads(out.strip().splitlines()[-1])["value"])
+
+    def control(workers: int, tasks: int, body: str) -> float:
+        code = (
+            "import time, multiprocessing as mp\n"
+            "import numpy as np\n"
+            f"def work(_):\n{body}\n"
+            "if __name__ == '__main__':\n"
+            f"    with mp.Pool({workers}) as p:\n"
+            "        p.map(work, [0] * 4)  # warm the pool\n"
+            "        t0 = time.monotonic()\n"
+            f"        p.map(work, range({tasks}))\n"
+            "        print('RESULT', time.monotonic() - t0)\n"
+        )
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, check=True).stdout
+        return float([l for l in out.splitlines() if l.startswith("RESULT")][0].split()[1])
+
+    spin_body = (
+        "    acc = 0\n"
+        "    for i in range(20_000_000):\n"
+        "        acc = (acc * 1103515245 + 12345) & 0x7FFFFFFF\n"
+        "    return acc\n"
+    )
+    stream_body = (
+        "    x = np.zeros(16_000_000)  # 128 MB\n"
+        "    for _ in range(40):\n"
+        "        x += 1.5\n"
+        "    return float(x[0])\n"
+    )
+
+    lo = int(os.environ.get("PCR_SCALING_LO", "8"))
+    rows = 300_000 * lo
+    reps = int(os.environ.get("PCR_SCALING_REPS", "3"))
+    legs: dict[str, list[float]] = {k: [] for k in ("p_lo", "p_hi", "s_lo", "s_hi", "m_lo", "m_hi")}
+    for _ in range(max(reps, 1)):
+        legs["p_lo"].append(pipeline(lo, rows))
+        legs["p_hi"].append(pipeline(lo * 4, rows * 4))
+        legs["s_lo"].append(control(lo, 3 * lo, spin_body))
+        legs["s_hi"].append(control(lo * 4, 12 * lo, spin_body))
+        legs["m_lo"].append(control(lo, 3 * lo, stream_body))
+        legs["m_hi"].append(control(lo * 4, 12 * lo, stream_body))
+    best = {k: min(v) for k, v in legs.items()}
+    eff_p = best["p_lo"] / best["p_hi"]
+    eff_s = best["s_lo"] / best["s_hi"]
+    eff_m = best["m_lo"] / best["m_hi"]
+    return {
+        "metric": "weak-scaling control: pipeline vs pure-CPU and DRAM-stream ideals, interleaved",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": lo * 4,
+        "pipeline_sec": [best["p_lo"], best["p_hi"]],
+        "weak_scaling_efficiency": round(eff_p, 3),
+        "spin_sec": [best["s_lo"], best["s_hi"]],
+        "spin_weak_efficiency": round(eff_s, 3),
+        "stream_sec": [best["m_lo"], best["m_hi"]],
+        "stream_weak_efficiency": round(eff_m, 3),
+        "host_adjusted_vs_cpu": round(eff_p / eff_s, 3),
+        "host_adjusted_vs_stream": round(eff_p / eff_m, 3),
+        "raw_reps": {k: [round(x, 3) for x in v] for k, v in legs.items()},
+    }
+
+
 def run_compute_scaling() -> dict:
     """Scaling of the ENCODE COMPUTE STAGE alone (no exchange): N independent
     partition-encode tasks over pre-materialized tables at 8 vs 32 CPUs.
@@ -394,7 +479,9 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--compute-scaling" in sys.argv:
+    if "--weak-control" in sys.argv:
+        print(json.dumps(run_weak_control()))
+    elif "--compute-scaling" in sys.argv:
         print(json.dumps(run_compute_scaling()))
     elif "--weak-scaling" in sys.argv:
         print(json.dumps(run_weak_scaling()))
