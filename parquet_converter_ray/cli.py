@@ -87,10 +87,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--order-col", default="turn_idx", help="within-conversation order column")
     p.add_argument("--salt-rows", type=int, default=100_000)
     p.add_argument("--resume", action="store_true")
-    p.add_argument("--cluster-by", default=None, metavar="COL",
-                   help="range-cluster partitions on a numeric/temporal column "
-                        "(zone maps then prune range scans; conv-key lookup "
-                        "degrades to scan)")
+    p.add_argument("--cluster-by", nargs="+", default=None, metavar="COL",
+                   help="range-cluster partitions on numeric/temporal column(s) "
+                        "— several columns use a Z-order key so zone maps prune "
+                        "predicates on ANY of them; conv-key lookup degrades to scan")
 
     p = sub.add_parser("decode", help="decode containers back to parquet")
     p.add_argument("input")

@@ -229,41 +229,64 @@ def make_page_packer(
     return pack
 
 
-def _range_cuts(ds, cluster_by: str, n_parts: int, per_batch: int = 512) -> list:
-    """Deterministic cut points for range clustering: every batch contributes
-    an evenly-strided sorted sample of its non-null cluster values (bounded
-    at ``per_batch``), the driver sorts the merged sample and takes the
-    n_parts-1 evenly-spaced order statistics. Driver state is
-    batches x per_batch values — bounded, independent of row count. Ties in
+def _range_cuts(
+    ds, cluster_by: list[str], n_parts: int, per_batch: int = 512
+) -> tuple[list, dict | None]:
+    """Deterministic layout parameters for range clustering: every batch
+    contributes an evenly-strided sample of its rows' cluster values (bounded
+    at ``per_batch`` rows), the driver merges them and takes the n_parts-1
+    evenly-spaced order statistics of the cluster KEY — the raw comparable
+    value for one column, the Z-order key for several (per-column [min, max]
+    spans come from the same sample and are returned as ``norm`` — the
+    recorded layout contract ``assign_part_id_range`` replays). Driver state
+    is batches x per_batch rows — bounded, independent of row count. Ties in
     a skewed domain collapse to fewer distinct cuts (recorded as-is: some
     buckets simply stay empty)."""
-    from .partition import cluster_key_array
+    from .partition import cluster_key_array, zorder_keys
 
     def sample(batch: pa.Table) -> pa.Table:
-        col = batch[cluster_by]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        v = cluster_key_array(col)
-        if col.null_count:
-            v = v[~pc.is_null(col).to_numpy(zero_copy_only=False)]
-        v = np.sort(v)
-        stride = max(1, len(v) // per_batch)
-        return pa.table({"v": pa.array(v[::stride])})
+        arrs, mask = [], None
+        for name in cluster_by:
+            col = batch[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            arrs.append(cluster_key_array(col))
+            if col.null_count:
+                m = pc.is_null(col).to_numpy(zero_copy_only=False)
+                mask = m if mask is None else (mask | m)
+        keep = ~mask if mask is not None else np.ones(batch.num_rows, bool)
+        order = np.argsort(arrs[0][keep], kind="stable")
+        stride = max(1, int(keep.sum()) // per_batch)
+        take = order[::stride]
+        return pa.table(
+            {f"v{i}": pa.array(a[keep][take]) for i, a in enumerate(arrs)}
+        )
 
     parts = list(
-        ds.select_columns([cluster_by])
+        ds.select_columns(list(cluster_by))
         .map_batches(sample, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")
     )
-    vals = (
-        np.sort(np.concatenate([t["v"].to_numpy(zero_copy_only=False) for t in parts]))
-        if parts
-        else np.zeros(1)
-    )
-    if not len(vals):
-        vals = np.zeros(1)
-    idx = np.clip((len(vals) * np.arange(1, n_parts)) // n_parts, 0, len(vals) - 1)
-    return [x.item() for x in np.unique(vals[idx])]
+    if parts:
+        merged = [
+            np.concatenate([t[f"v{i}"].to_numpy(zero_copy_only=False) for t in parts])
+            for i in range(len(cluster_by))
+        ]
+    else:
+        merged = [np.zeros(1) for _ in cluster_by]
+    if not len(merged[0]):
+        merged = [np.zeros(1) for _ in cluster_by]
+
+    if len(cluster_by) == 1:
+        keys, norm = merged[0], None
+    else:
+        norm = {
+            c: [float(v.min()), float(v.max())] for c, v in zip(cluster_by, merged)
+        }
+        keys = zorder_keys(merged, [tuple(norm[c]) for c in cluster_by])
+    keys = np.sort(keys)
+    idx = np.clip((len(keys) * np.arange(1, n_parts)) // n_parts, 0, len(keys) - 1)
+    return [x.item() for x in np.unique(keys[idx])], norm
 
 
 def encode_dataset(
@@ -360,21 +383,26 @@ def encode_dataset(
             "pass conv_col= (string or integer column)"
         )
     if cluster_by is not None:
+        cluster_by = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
         if page_shuffle:
             raise ValueError("cluster_by and page_shuffle are mutually exclusive")
-        if cluster_by not in schema_names:
+        missing_cluster = [c for c in cluster_by if c not in schema_names]
+        if missing_cluster:
             raise ValueError(
-                f"cluster_by column {cluster_by!r} not in schema {schema_names}"
+                f"cluster_by column(s) {missing_cluster} not in schema {schema_names}"
             )
 
     range_cuts: list | None = None
+    cluster_norm: dict | None = None
     if cluster_by is not None:
         if resume and prior is not None:
             # resampling on resume would silently reassign rows — the cuts
-            # recorded by the original run are part of the layout
+            # (and multi-column spans) recorded by the original run ARE the
+            # layout
             range_cuts = list(prior.get("range_cuts") or [])
+            cluster_norm = prior.get("cluster_norm")
         else:
-            range_cuts = _range_cuts(ds, cluster_by, n_parts)
+            range_cuts, cluster_norm = _range_cuts(ds, cluster_by, n_parts)
 
     run_params = {
         "n_parts": int(n_parts),
@@ -386,11 +414,18 @@ def encode_dataset(
         "partition_mode": "range" if cluster_by else "hash",
         "cluster_by": cluster_by,
         "range_cuts": range_cuts,
+        "cluster_norm": cluster_norm,
     }
     if resume and prior is not None:
         # stores written before range clustering existed have no
         # partition_mode key — they are hash stores
-        prior = {"partition_mode": "hash", "cluster_by": None, "range_cuts": None, **prior}
+        prior = {
+            "partition_mode": "hash",
+            "cluster_by": None,
+            "range_cuts": None,
+            "cluster_norm": None,
+            **prior,
+        }
         mismatch = {
             k: (prior.get(k), run_params[k])
             for k in mf.RUN_PARAM_KEYS
@@ -416,9 +451,10 @@ def encode_dataset(
         from .partition import assign_part_id_range
 
         cuts = list(range_cuts or [])
+        _norm = cluster_norm
 
         def _assign_range(batch: pa.Table) -> pa.Table:
-            return assign_part_id_range(batch, cuts, cluster_by)
+            return assign_part_id_range(batch, cuts, cluster_by, norm=_norm)
 
         ds = ds.map_batches(_assign_range, batch_format="pyarrow")
     else:
@@ -669,11 +705,15 @@ def append_dataset(
             f"delivery lacks the partition/order column(s) "
             f"{[c for c in (conv_col, order_col) if c in missing]} — cannot append"
         )
-    if (prior.get("partition_mode") or "hash") == "range" and prior.get("cluster_by") in missing:
-        raise ValueError(
-            f"delivery lacks the range-cluster column {prior['cluster_by']!r} "
-            "— cannot assign partitions"
-        )
+    if (prior.get("partition_mode") or "hash") == "range":
+        cl = prior.get("cluster_by") or []
+        cl = [cl] if isinstance(cl, str) else list(cl)
+        lacking = [c for c in cl if c in missing]
+        if lacking:
+            raise ValueError(
+                f"delivery lacks the range-cluster column(s) {lacking} "
+                "— cannot assign partitions"
+            )
     for n, t in store_schema:
         if n in del_names:
             dt = del_schema.base_schema.field(n).type
@@ -695,15 +735,16 @@ def append_dataset(
         ds = ds.map_batches(_conform, batch_format="pyarrow")
 
     if (prior.get("partition_mode") or "hash") == "range":
-        # a range-clustered store appends with the RECORDED cuts (the layout
-        # contract), so delivered rows land in the bucket readers expect
+        # a range-clustered store appends with the RECORDED cuts + spans (the
+        # layout contract), so delivered rows land in the bucket readers expect
         from .partition import assign_part_id_range
 
         _r_cuts = list(prior.get("range_cuts") or [])
-        _r_col = prior["cluster_by"]
+        _r_cols = prior["cluster_by"]
+        _r_norm = prior.get("cluster_norm")
 
         def _assign(batch: pa.Table) -> pa.Table:
-            return assign_part_id_range(batch, _r_cuts, _r_col)
+            return assign_part_id_range(batch, _r_cuts, _r_cols, norm=_r_norm)
 
     else:
 

@@ -56,6 +56,7 @@ RUN_PARAM_KEYS = (
     "partition_mode",
     "cluster_by",
     "range_cuts",
+    "cluster_norm",
 )
 
 

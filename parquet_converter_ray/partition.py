@@ -236,19 +236,61 @@ def cluster_key_array(col) -> np.ndarray:
     )
 
 
-def assign_part_id_range(batch: pa.Table, cuts, cluster_by: str) -> pa.Table:
-    """Range-clustered ``part_id``: the bucket of the cluster column against
-    the RECORDED cut points (part k holds cuts[k-1] < v <= cuts[k]). A pure
-    function of row content + recorded cuts, so it is resume- and
-    append-stable exactly like the hash assignment. Null cluster values
-    route to bucket 0."""
-    col = batch[cluster_by]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    v = cluster_key_array(col)
-    part = np.searchsorted(np.asarray(cuts, dtype=v.dtype), v, side="left").astype(
-        np.int32
-    )
-    if col.null_count:
-        part[pc.is_null(col).to_numpy(zero_copy_only=False)] = 0
+def assign_part_id_range(
+    batch: pa.Table, cuts, cluster_by: "str | list[str]", norm: dict | None = None
+) -> pa.Table:
+    """Range-clustered ``part_id``: the bucket of the cluster key against the
+    RECORDED cut points. A pure function of row content + recorded layout
+    (cuts, and for multi-column keys the per-column normalization spans), so
+    it is resume- and append-stable exactly like the hash assignment.
+
+    One column: the raw comparable value is the key (no quantization — int64
+    domains keep exact cut semantics). Multiple columns: the Z-order key of
+    the RECORDED per-column spans (``norm``). Rows with a null in any
+    cluster column route to bucket 0."""
+    cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    arrays = []
+    null_mask = None
+    for name in cols:
+        col = batch[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arrays.append((col, cluster_key_array(col)))
+        if col.null_count:
+            m = pc.is_null(col).to_numpy(zero_copy_only=False)
+            null_mask = m if null_mask is None else (null_mask | m)
+    if len(cols) == 1:
+        v = arrays[0][1]
+        key = v
+        cut_arr = np.asarray(cuts, dtype=v.dtype)
+    else:
+        key = zorder_keys([a for _, a in arrays], [tuple(norm[c]) for c in cols])
+        cut_arr = np.asarray(cuts, dtype=np.int64)
+    part = np.searchsorted(cut_arr, key, side="left").astype(np.int32)
+    if null_mask is not None:
+        part[null_mask] = 0
     return batch.append_column("part_id", pa.array(part, type=pa.int32()))
+
+
+def zorder_keys(cols: list[np.ndarray], norm: list[tuple[float, float]]) -> np.ndarray:
+    """Morton (Z-order) keys for k columns: each value quantizes to
+    ``63 // k`` bits against the RECORDED [min, max] span (values outside the
+    sampled span clip — bucketing stays valid, zone maps stay exact), then
+    the bit-planes interleave. Locality on the curve gives every clustered
+    column a tight per-partition range, so zone maps prune predicates on ANY
+    of them."""
+    k = len(cols)
+    bits = 63 // k
+    z = np.zeros(len(cols[0]), np.int64)
+    for c, (v, (lo, hi)) in enumerate(zip(cols, norm)):
+        span = float(hi) - float(lo)
+        if span <= 0:
+            continue
+        q = np.clip(
+            (v.astype(np.float64) - float(lo)) / span * ((1 << bits) - 1),
+            0,
+            (1 << bits) - 1,
+        ).astype(np.int64)
+        for b in range(bits):
+            z |= ((q >> b) & np.int64(1)) << np.int64(b * k + c)
+    return z

@@ -179,3 +179,45 @@ def test_range_resume_reuses_cuts_and_mismatch_guard(ray_session, stores, tmp_pa
             n_parts=8, conv_col="l_orderkey", order_col="l_linenumber",
             sort_key=("l_orderkey", "l_linenumber"), salt_rows=0,
         )
+
+
+def test_zorder_multi_column_clustering_prunes_both_columns(
+    ray_session, stores, tmp_path
+):
+    """Z-order clustering on (l_shipdate, l_quantity): zone maps must prune
+    containers for a band predicate on EITHER column alone (single-column
+    range clustering only ever prunes its own column), results identical to
+    the hash-store scan."""
+    from parquet_converter_ray.encode import encode_dataset
+    from parquet_converter_ray.zonemap import scan_store
+
+    zdir = str(tmp_path / "zorder")
+    encode_dataset(
+        stores["inp"], zdir, n_parts=16, conv_col="l_orderkey",
+        order_col="l_linenumber", sort_key=("l_orderkey", "l_linenumber"),
+        salt_rows=0, cluster_by=["l_shipdate", "l_quantity"],
+    )
+
+    for pred in (
+        [("l_shipdate", "between", ("1996-01-01", "1996-06-30"))],
+        [("l_quantity", "between", (1, 10))],
+    ):
+        z_ds, z_plan = scan_store(zdir, pred, return_plan=True)
+        h_ds, h_plan = scan_store(stores["hash"], pred, return_plan=True)
+        z = _sorted(pa.concat_tables(list(z_ds.iter_batches(batch_format="pyarrow"))))
+        h = _sorted(pa.concat_tables(list(h_ds.iter_batches(batch_format="pyarrow"))))
+        assert z.equals(h), pred
+        assert z.num_rows > 0
+        assert z_plan["pruned_stats"] > 0, (pred, z_plan)
+        assert h_plan["pruned_stats"] == 0, (pred, h_plan)
+
+    # full-table decode still bit-identical
+    from parquet_converter_ray.decode import decode_dataset
+
+    got = _sorted(
+        pa.concat_tables(
+            list(decode_dataset(zdir).iter_batches(batch_format="pyarrow"))
+        )
+    )
+    want = _sorted(stores["input"])
+    assert got.select(want.column_names).equals(want)
