@@ -322,12 +322,25 @@ def lookup_conversation(
             "parameters written by encode_dataset (_run.json)"
         )
     if (params.get("partition_mode") or "hash") != "hash":
-        raise ValueError(
-            f"store {out_dir} is range-clustered on "
-            f"{params.get('cluster_by')!r}: conversation keys have no hash "
-            "route. Use scan_store(out_dir, [(conv_col, '==', value)]) — zone "
-            "maps and dictionary probes prune it instead."
-        )
+        # range-clustered layout: conversation keys have no hash route, so
+        # point access degrades to the predicate-pushdown scan — zone maps
+        # and the dictionary probe prune it instead of the partition
+        # arithmetic (slower than O(1) routing, still never a full decode
+        # when the key column is dict-encoded or zone-mapped)
+        from .zonemap import scan_store
+
+        conv_col = params["conv_col"]
+        order_col = params.get("order_col")
+        ds = scan_store(out_dir, [(conv_col, "==", conv_value)], columns=columns)
+        batches = list(ds.iter_batches(batch_format="pyarrow"))
+        if batches:
+            out = pa.concat_tables(batches)
+        else:
+            s = ds.schema()
+            out = pa.table({n: pa.array([], type=t) for n, t in zip(s.names, s.types)})
+        if out.num_rows and order_col and order_col in out.column_names:
+            out = out.sort_by([(conv_col, "ascending"), (order_col, "ascending")])
+        return out.combine_chunks()
     n_parts = int(params["n_parts"])
     salt_rows = int(params.get("salt_rows") or 0)
     conv_col = params["conv_col"]

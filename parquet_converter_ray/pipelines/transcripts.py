@@ -374,7 +374,11 @@ def lineitem_scan_pushdown(sf_dir: str) -> pa.Table:
         columns=cols,
     )
     batches = list(ds.iter_batches(batch_format="pyarrow"))
-    tbl = pa.concat_tables(batches) if batches else ds.schema().empty_table()
+    if batches:
+        tbl = pa.concat_tables(batches)
+    else:  # ray.data.Schema has no empty_table — build the typed empty directly
+        s = ds.schema()
+        tbl = pa.table({n: pa.array([], type=t) for n, t in zip(s.names, s.types)})
     return tbl.sort_by([("l_orderkey", "ascending"), ("l_linenumber", "ascending")])
 
 

@@ -80,11 +80,19 @@ def test_range_scan_prunes_hash_scan_cannot(stores):
     assert r.num_rows == want > 0
 
 
-def test_range_store_lookup_refuses_with_pointer(stores):
+def test_range_store_lookup_falls_back_to_pruned_scan(stores):
+    """Point access on a range-clustered store has no hash route; lookup must
+    degrade to the predicate-pushdown scan and return the same rows a
+    hash-store lookup returns."""
     from parquet_converter_ray.decode import lookup_conversation
 
-    with pytest.raises(ValueError, match="range-clustered.*scan_store"):
-        lookup_conversation(stores["range"], 1)
+    key = int(stores["input"]["l_orderkey"][0].as_py())
+    got = lookup_conversation(stores["range"], key)
+    want = lookup_conversation(stores["hash"], key)
+    assert got.num_rows == want.num_rows > 0
+    assert _sorted(got.select(want.column_names)).equals(_sorted(want))
+    missing = lookup_conversation(stores["range"], 987_654_321)
+    assert missing.num_rows == 0
 
 
 def test_range_store_append_uses_recorded_cuts_and_delete_works(
