@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_attribution": behavior.asof_attribution,
         "asof_attribution_salted": behavior.asof_attribution_salted,
         "events_window_unique_users": windows.events_window_unique_users,
+        "events_window_unique_users_approx": windows.events_window_unique_users_approx,
         "lineitem_range_scan": transcripts.lineitem_range_scan,
         "tfidf_top_terms": text.tfidf_top_terms,
         "dedup_minhash": dedup.dedup_minhash,

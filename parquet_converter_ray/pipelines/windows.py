@@ -371,6 +371,57 @@ def events_window_unique_users(sf_dir: str) -> pa.Table:
     )
 
 
+def events_window_unique_users_approx(sf_dir: str, p: int = 12) -> pa.Table:
+    """APPROXIMATE distinct users per sliding window — the mergeable-sketch
+    dual of ``events_window_unique_users``: each batch emits one HLL register
+    array PER HOP it touches (fixed 2^p bytes per (hop, batch), independent
+    of user cardinality), the driver max-merges per hop, and because HLL
+    union IS register max, each window's sketch is the merge of its 4 hop
+    sketches. ZERO shuffles — the exact op's (hop, user) pair exchange
+    disappears entirely, which is the whole trade at 100 TB. Accuracy is
+    pytest-asserted against the exact op (~1.6% standard error at p=12)."""
+    from ..partition import stable_hash_ints
+    from ..profile import _hll_estimate, _hll_partial
+
+    ds = _t(sf_dir, "events", columns=["ts", "user_id"])
+    offs = np.arange(_N_HOPS, dtype=np.int64) * _HOP_US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hop = (ts // _HOP_US) * _HOP_US
+        h = stable_hash_ints(batch["user_id"])
+        hops, regs = [], []
+        for hv in np.unique(hop):
+            hops.append(int(hv))
+            regs.append(_hll_partial(h[hop == hv], p).tobytes())
+        return pa.table(
+            {"hop": pa.array(hops, pa.int64()), "reg": pa.array(regs, pa.binary())}
+        )
+
+    by_hop: dict[int, np.ndarray] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        reg = np.frombuffer(row["reg"], dtype=np.uint8)
+        cur = by_hop.get(row["hop"])
+        by_hop[row["hop"]] = reg if cur is None else np.maximum(cur, reg)
+
+    wins: dict[int, np.ndarray] = {}
+    for hv, reg in by_hop.items():
+        for off in offs:
+            w = int(hv - off)
+            cur = wins.get(w)
+            wins[w] = reg.copy() if cur is None else np.maximum(cur, reg)
+    out = pd.DataFrame(
+        {
+            "window_start": np.array(sorted(wins), dtype="datetime64[us]"),
+            "n_users_approx": [
+                int(round(_hll_estimate(wins[w]))) for w in sorted(wins)
+            ],
+        }
+    )
+    out["n_users_approx"] = out["n_users_approx"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- frequent items (Misra-Gries sketch + exact verify pass) ----------------------
 
 

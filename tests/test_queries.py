@@ -155,6 +155,7 @@ def test_all_queries_have_oracle_or_are_documented(ray_session):
         "convert_csv_roundtrip",
         "approx_distinct_parts",
         "approx_distinct_users_by_type",
+        "events_window_unique_users_approx",
         "weighted_sample_orders",
         "approx_price_quantiles",
         "multimodal_features",
@@ -860,3 +861,22 @@ def test_media_decoders_real_formats(ray_session):
 
     with _pytest.raises(NotImplementedError):
         MediaDecoder().decode_raster(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_window_unique_users_hll_accuracy(ray_session):
+    """The zero-shuffle HLL window sketch must land within 5% of the exact
+    sliding-window distinct counts on every window (p=12 ~ 1.6% sigma), and
+    cover exactly the same window set."""
+    from parquet_converter_ray.pipelines.windows import (
+        events_window_unique_users,
+        events_window_unique_users_approx,
+    )
+
+    exact = events_window_unique_users(SF_DIR).to_pandas().set_index("window_start")
+    approx = (
+        events_window_unique_users_approx(SF_DIR).to_pandas().set_index("window_start")
+    )
+    assert set(exact.index) == set(approx.index)
+    joined = exact.join(approx)
+    err = (joined["n_users_approx"] - joined["n_users"]).abs() / joined["n_users"]
+    assert float(err.max()) <= 0.05, float(err.max())
