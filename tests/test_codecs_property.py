@@ -137,3 +137,58 @@ def test_ordered_topk_matches_sort(ray_session, pairs, k, desc):
     ds = ray.data.from_arrow(t)
     got = ordered_topk(ds, ["a", "b"], k, descending=desc)
     assert got.equals(expect.combine_chunks())
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals=st.lists(st.integers(-(10**12), 10**12), min_size=1, max_size=400),
+    cuts=st.lists(st.integers(-(10**12), 10**12), min_size=1, max_size=15, unique=True),
+)
+def test_range_assignment_monotone_and_bounded(vals, cuts):
+    """Range partition assignment: monotone in the cluster value, bucket ids
+    within [0, len(cuts)], equal values always share a bucket, and the
+    assignment is a pure function (two calls identical)."""
+    from parquet_converter_ray.partition import assign_part_id_range
+
+    cuts = sorted(cuts)
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    a = assign_part_id_range(t, cuts, "v")["part_id"].to_numpy()
+    b = assign_part_id_range(t, cuts, "v")["part_id"].to_numpy()
+    assert np.array_equal(a, b)
+    assert a.min() >= 0 and a.max() <= len(cuts)
+    order = np.argsort(np.asarray(vals), kind="stable")
+    assert np.all(np.diff(a[order]) >= 0)  # monotone in value
+    for v, p in zip(vals, a):  # equal value -> equal bucket
+        assert p == a[vals.index(v)]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.integers(1, 200),
+    seed=st.integers(0, 2**31 - 1),
+    k=st.integers(2, 3),
+)
+def test_zorder_keys_locality_and_determinism(rows, seed, k):
+    """Z-order keys: deterministic, within int64, min corner maps to 0, and
+    the max corner maps to the all-ones key for the bit budget."""
+    from parquet_converter_ray.partition import zorder_keys
+
+    rng = np.random.default_rng(seed)
+    cols = [rng.integers(-1000, 1000, rows).astype(np.int64) for _ in range(k)]
+    norm = [(float(c.min()), float(c.max())) for c in cols]
+    z1 = zorder_keys(cols, norm)
+    z2 = zorder_keys(cols, norm)
+    assert np.array_equal(z1, z2)
+    assert z1.dtype == np.int64 and z1.min() >= 0
+    bits = 63 // k
+    corner_lo = [np.array([lo], np.int64) for lo, _ in norm]
+    corner_hi = [np.array([hi], np.int64) for _, hi in norm]
+    assert zorder_keys(corner_lo, norm)[0] == 0
+    full = zorder_keys(corner_hi, norm)[0]
+    spans = [hi > lo for lo, hi in norm]
+    expect = sum(
+        sum(1 << (b * k + c) for b in range(bits))
+        for c, s in enumerate(spans)
+        if s
+    )
+    assert full == expect
