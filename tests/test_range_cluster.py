@@ -229,3 +229,29 @@ def test_zorder_multi_column_clustering_prunes_both_columns(
     )
     want = _sorted(stores["input"])
     assert got.select(want.column_names).equals(want)
+
+
+def test_compact_preserves_range_clustering(ray_session, stores, tmp_path):
+    """Compacting a range-clustered store re-encodes with the SAME clustering
+    column (cuts resampled for the new n_parts): the result is still
+    partition_mode=range and still prunes date-band scans."""
+    import json
+    import os
+
+    from parquet_converter_ray.encode import compact_dataset
+    from parquet_converter_ray.zonemap import scan_store
+
+    out = str(tmp_path / "compacted")
+    compact_dataset(stores["range"], out, n_parts=4)
+    with open(os.path.join(out, "_run.json")) as f:
+        params = json.load(f)
+    assert params["partition_mode"] == "range"
+    assert params["cluster_by"] == ["l_shipdate"]
+
+    pred = [("l_shipdate", "between", ("1996-01-01", "1996-03-31"))]
+    ds, plan = scan_store(out, pred, return_plan=True)
+    got = _sorted(pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow"))))
+    ref_ds = scan_store(stores["hash"], pred)
+    ref = _sorted(pa.concat_tables(list(ref_ds.iter_batches(batch_format="pyarrow"))))
+    assert got.equals(ref)
+    assert plan["pruned_stats"] > 0, plan
