@@ -47,6 +47,25 @@ _STR_CODECS = {
     "fsst": (_fsst.enc_fsst, _fsst.dec_fsst),
 }
 
+# selective-row decoders (late materialization): decode ONLY the rows at a
+# sorted index vector, touching as little of the encoded stream as the codec
+# structure allows (see numeric.py / strings.py / fsst.py `dec_*_rows`)
+_NUM_ROWS = {
+    "plain": _num.dec_plain_rows,
+    "bitpack": _num.dec_bitpack_rows,
+    "for": _num.dec_for_rows,
+    "delta": _num.dec_delta_rows,
+    "rle": _num.dec_rle_rows,
+    "dict": _num.dec_dictnum_rows,
+    "shuffle": _num.dec_shuffle_rows,
+}
+
+_STR_ROWS = {
+    "plain": _str.dec_plain_s_rows,
+    "dict": _str.dec_dict_s_rows,
+    "fsst": _fsst.dec_fsst_rows,
+}
+
 
 @dataclass
 class ColumnBlob:
@@ -259,5 +278,39 @@ def decode_array(blob: ColumnBlob) -> pa.Array:
     out = _from_physical(kind, vals, t)
     if blob.null_count:
         valid = unpack_validity(unwrap_buf(blob.validity), blob.n)
+        out = pc.if_else(pa.array(valid), out, pa.scalar(None, type=t))
+    return out
+
+
+def decode_array_rows(blob: ColumnBlob, sel) -> pa.Array:
+    """Decode ONLY the rows at sorted indices ``sel`` — bit-identical to
+    ``decode_array(blob).take(sel)``, without materializing the full column.
+
+    This is the payload side of late materialization: a scan decodes its
+    predicate columns first, and every other column only at the rows that
+    survived the filter. The transport layer still reads/unzstds whole
+    buffers (they are container-resident), but the structural decode — bit
+    unpacking, prefix sums, payload copies, FSST symbol expansion — runs on
+    selected rows only (FSST additionally skips untouched 256 KB slabs).
+
+    Examples
+    --------
+    >>> import pyarrow as pa
+    >>> blob = encode_array(pa.array(["aa", None, "cc", "dd"]), codec="dict")
+    >>> decode_array_rows(blob, [1, 3]).to_pylist()
+    [None, 'dd']
+    """
+    sel = np.asarray(sel, dtype=np.int64)
+    t = str_to_type(blob.type_str)
+    kind = "str" if _is_str(t) else ("bin" if _is_bin(t) else "num")
+    rows_table = _NUM_ROWS if kind == "num" else _STR_ROWS
+    fn = rows_table.get(blob.codec)
+    if fn is None:  # unknown codec: correctness fallback
+        return pc.take(decode_array(blob), pa.array(sel))
+    bufs = [unwrap_buf(b) for b in blob.bufs]
+    vals = fn(blob.meta, bufs, blob.n, sel)
+    out = _from_physical(kind, vals, t)
+    if blob.null_count:
+        valid = unpack_validity(unwrap_buf(blob.validity), blob.n)[sel]
         out = pc.if_else(pa.array(valid), out, pa.scalar(None, type=t))
     return out

@@ -38,6 +38,7 @@ import pyarrow as pa
 
 from .numeric import dec_for, enc_for
 from .strings import str_build, str_parts
+from .util import gather_slices
 
 _MAX_SYMBOL_LEN = 8
 _MAX_MERGES = 128
@@ -386,11 +387,64 @@ def enc_fsst(arr: pa.Array, table: FsstTable | None = None):
 
 def dec_fsst(meta, bufs, n):
     lens = dec_for(meta["lmeta"], [bufs[0]], n)
-    sym_flat = bufs[1]
+    code_syms = _split_syms(meta, bufs[1])
+    data = decompress(bufs[2], code_syms, slabs=meta.get("slabs"))
+    return str_build(lens, data)
+
+
+def _split_syms(meta, sym_flat: bytes) -> list[bytes]:
     code_syms: list[bytes] = []
     off = 0
     for sl in meta["sym_lens"]:
         code_syms.append(sym_flat[off : off + sl])
         off += sl
-    data = decompress(bufs[2], code_syms, slabs=meta.get("slabs"))
-    return str_build(lens, data)
+    return code_syms
+
+
+def dec_fsst_rows(meta, bufs, n, idx):
+    """Rows ``idx`` decoded via FSST's random-access property (the paper's
+    headline capability): string byte ranges map to 256 KB slabs through the
+    recorded per-slab (enc_len, dec_len) pairs, and ONLY the slabs a selected
+    string touches are decompressed. A sparse selection over a large container
+    decodes a handful of slabs instead of the whole payload."""
+    lens = dec_for(meta["lmeta"], [bufs[0]], n)
+    if len(idx) == 0:
+        return str_build(np.zeros(0, dtype=np.int64), b"")
+    slabs = meta.get("slabs")
+    if not slabs:
+        data = decompress(bufs[2], _split_syms(meta, bufs[1]), slabs=slabs)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        ls = lens[idx]
+        return str_build(ls, gather_slices(np.frombuffer(data, dtype=np.uint8), offs[idx], ls))
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    starts, ls = offs[idx], lens[idx]
+    enc_lens = np.array([s[0] for s in slabs], dtype=np.int64)
+    dec_lens = np.array([s[1] for s in slabs], dtype=np.int64)
+    dec_ends = np.cumsum(dec_lens)
+    dec_starts = dec_ends - dec_lens
+    enc_ends = np.cumsum(enc_lens)
+    enc_starts = enc_ends - enc_lens
+    n_slabs = len(slabs)
+    nz = ls > 0
+    s_lo = np.searchsorted(dec_ends, starts[nz], side="right")
+    s_hi = np.searchsorted(dec_ends, starts[nz] + ls[nz] - 1, side="right")
+    # keep every slab each selected string spans (ranges merge into runs, so a
+    # spanning string stays contiguous in the concatenated decode below)
+    mark = np.zeros(n_slabs + 1, dtype=np.int64)
+    np.add.at(mark, s_lo, 1)
+    np.add.at(mark, s_hi + 1, -1)
+    kept = np.nonzero(np.cumsum(mark[:n_slabs]) > 0)[0]
+    tables = _expansion_tables(_split_syms(meta, bufs[1]))
+    parts = []
+    shift = np.zeros(n_slabs, dtype=np.int64)  # orig dec offset -> concat offset
+    off = 0
+    for si in kept:
+        parts.append(_decompress_one(bufs[2][enc_starts[si] : enc_ends[si]], tables))
+        shift[si] = off - dec_starts[si]
+        off += dec_lens[si]
+    concat = np.frombuffer(b"".join(parts), dtype=np.uint8)
+    tr_starts = np.zeros(len(idx), dtype=np.int64)
+    tr_starts[nz] = starts[nz] + shift[s_lo]
+    return str_build(ls, gather_slices(concat, tr_starts, ls))

@@ -24,6 +24,7 @@ from .util import (
     bit_width,
     bitpack,
     bitunpack,
+    bitunpack_at,
     rle_join,
     rle_split,
     unzigzag,
@@ -187,3 +188,71 @@ def dec_dictnum(meta, bufs, n):
     else:
         codes = dec_bitpack(cmeta, bufs[1:], n)
     return uniq[codes.astype(np.int64)]
+
+
+# --- selective-row decode (late materialization) ----------------------------
+#
+# Each ``dec_*_rows(meta, bufs, n, idx)`` returns exactly the rows at sorted
+# indices ``idx`` — equal to ``dec_*(meta, bufs, n)[idx]`` — while touching as
+# little of the encoded stream as the codec's structure allows: plain/shuffle
+# gather directly, FOR/bitpack extract single bit-fields, RLE binary-searches
+# run boundaries, dict gathers codes then probes the (already tiny) uniq
+# buffer. Delta is the one prefix-dependent codec: it decodes the prefix up to
+# max(idx) (cumsum can't skip) and gathers from it.
+
+
+def dec_plain_rows(meta, bufs, n, idx):
+    return np.frombuffer(bufs[0], dtype=np.dtype(meta["dtype"]))[idx]
+
+
+def dec_shuffle_rows(meta, bufs, n, idx):
+    dt = np.dtype(meta["dtype"])
+    raw = np.frombuffer(bufs[0], dtype=np.uint8).reshape(dt.itemsize, n)
+    return np.ascontiguousarray(raw[:, idx].T).reshape(-1).view(dt)[: len(idx)]
+
+
+def dec_for_rows(meta, bufs, n, idx):
+    d = bitunpack_at(bufs[0], meta["w"], idx).view(np.int64) + meta["ref"]
+    return d.astype(np.dtype(meta["dtype"]))
+
+
+def dec_bitpack_rows(meta, bufs, n, idx):
+    return bitunpack_at(bufs[0], meta["w"], idx).view(np.int64).astype(np.dtype(meta["dtype"]))
+
+
+def dec_delta_rows(meta, bufs, n, idx):
+    dt = np.dtype(meta["dtype"])
+    if len(idx) == 0 or n == 0:
+        return np.zeros(0, dtype=dt)
+    m = int(np.max(idx)) + 1  # prefix decode: deltas 0..m-2 suffice
+    z = bitunpack(bufs[0], meta["w"], m - 1) + np.uint64(meta["ref"])
+    d = unzigzag(z)
+    out = np.empty(m, dtype=np.int64)
+    out[0] = meta["first"]
+    np.cumsum(d, out=out[1:])
+    out[1:] += meta["first"]
+    return out[idx].astype(dt)
+
+
+def dec_rle_rows(meta, bufs, n, idx):
+    dt = np.dtype(meta["dtype"])
+    n_runs = meta["n_runs"]
+    if dt.kind in "iu":
+        values = dec_for(meta["vmeta"], [bufs[0]], n_runs)
+    else:
+        values = np.frombuffer(bufs[0], dtype=dt)
+    lengths = dec_for(meta["lmeta"], [bufs[1]], n_runs)
+    ends = np.cumsum(lengths)
+    return values[np.searchsorted(ends, np.asarray(idx, dtype=np.int64), side="right")]
+
+
+def dec_codes_rows(cmeta, cbufs, n, idx) -> np.ndarray:
+    """Selected dictionary codes (int64) under the dict sub-encoding."""
+    if cmeta["sub"] == "rle":
+        return dec_rle_rows(cmeta, cbufs, n, idx).astype(np.int64)
+    return dec_bitpack_rows(cmeta, cbufs, n, idx).astype(np.int64)
+
+
+def dec_dictnum_rows(meta, bufs, n, idx):
+    uniq = np.frombuffer(bufs[0], dtype=np.dtype(meta["dtype"]))
+    return uniq[dec_codes_rows(meta["codes"], bufs[1:], n, idx)]

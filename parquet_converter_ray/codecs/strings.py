@@ -17,7 +17,16 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .numeric import dec_bitpack, dec_for, dec_rle, enc_bitpack, enc_for, enc_rle
+from .numeric import (
+    dec_bitpack,
+    dec_codes_rows,
+    dec_for,
+    dec_rle,
+    enc_bitpack,
+    enc_for,
+    enc_rle,
+)
+from .util import gather_slices
 
 
 def str_parts(arr: pa.Array) -> tuple[np.ndarray, bytes]:
@@ -95,3 +104,25 @@ def dec_dict_s(meta, bufs, n):
         codes = dec_bitpack(cmeta, bufs[:ncb], n)
     dict_vals = dec_plain_s(meta["vmeta"], bufs[ncb:], meta["card"])
     return pc.take(dict_vals, pa.array(codes.astype(np.int64)))
+
+
+# --- selective-row decode (late materialization) ----------------------------
+
+
+def dec_plain_s_rows(meta, bufs, n, idx):
+    """Rows ``idx`` of a plain-encoded string column: lengths decode fully
+    (cheap bit-packed ints — offsets need the prefix sum anyway), the heavy
+    payload is gathered slice-wise for selected rows only."""
+    lens = dec_for(meta["lmeta"], [bufs[0]], n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    ls = lens[idx]
+    payload = gather_slices(np.frombuffer(bufs[1], dtype=np.uint8), offs[idx], ls)
+    return str_build(ls, payload)
+
+
+def dec_dict_s_rows(meta, bufs, n, idx):
+    ncb = meta["ncb"]
+    codes = dec_codes_rows(meta["codes"], bufs[:ncb], n, idx)
+    dict_vals = dec_plain_s(meta["vmeta"], bufs[ncb:], meta["card"])
+    return pc.take(dict_vals, pa.array(codes))

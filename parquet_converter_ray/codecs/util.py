@@ -75,6 +75,43 @@ def bitunpack(buf: bytes, width: int, n: int) -> np.ndarray:
     return (bits << shifts).sum(axis=1)
 
 
+def bitunpack_at(buf: bytes, width: int, idx: np.ndarray) -> np.ndarray:
+    """Random-access bitunpack: extract ONLY the values at row indices ``idx``
+    from a bit-packed stream -> uint64 array of len(idx).
+
+    Value i occupies stream bits [i*width, (i+1)*width) MSB-first (matching
+    ``bitpack``'s np.packbits layout). Cost is O(len(idx) * width) gathers —
+    the same per-row work as a full unpack, paid only for selected rows.
+    """
+    k = len(idx)
+    if width == 0 or k == 0:
+        return np.zeros(k, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    pos = np.asarray(idx, dtype=np.int64)[:, None] * width + np.arange(width, dtype=np.int64)
+    bits = (b[pos >> 3] >> (7 - (pos & 7)).astype(np.uint8)) & np.uint8(1)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    return (bits.astype(np.uint64) << shifts).sum(axis=1)
+
+
+def gather_slices(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> bytes:
+    """Concatenate ``data[starts[i] : starts[i]+lens[i]]`` for every i, fully
+    vectorized (the scatter+cumsum source-index trick from the FSST decoder:
+    within a slice src advances by 1, at each slice boundary it jumps to the
+    next slice's start). Zero-length slices contribute nothing."""
+    nz = lens > 0
+    s = starts[nz].astype(np.int64)
+    l = lens[nz].astype(np.int64)
+    if len(s) == 0:
+        return b""
+    total = int(l.sum())
+    ends = np.cumsum(l)
+    delta = np.ones(total, dtype=np.int64)
+    delta[0] = s[0]
+    if len(s) > 1:
+        delta[ends[:-1]] = s[1:] - (s[:-1] + l[:-1] - 1)
+    return data[np.cumsum(delta)].tobytes()
+
+
 # --- run-length ------------------------------------------------------------
 
 

@@ -14,7 +14,11 @@ partition table right before packing. They power two at-scale features:
   buffers (footer tail seek + ranged reads, a few KB) and drops containers
   whose dictionary lacks the value — all before a single data buffer is
   decoded. Survivors stream through the normal pruned decode with the exact
-  filter applied batch-wise.
+  filter applied batch-wise — and with LATE MATERIALIZATION: predicate
+  columns decode first, and when few rows match, the remaining columns are
+  decoded at the matching rows only (``codecs.decode_array_rows`` — selective
+  bit-field extraction, RLE run probes, dict code gathers, FSST slab
+  skipping per the FSST paper's random-access design).
 
 The design follows Parquet's row-group statistics (public format spec) at
 container granularity; string bounds use the standard truncate-and-increment
@@ -281,9 +285,9 @@ def _pa_scalar(value, t: pa.DataType) -> pa.Scalar:
         return pa.scalar(value).cast(t)
 
 
-def apply_predicate(table: pa.Table, clauses) -> pa.Table:
-    """Exact batch-wise filter for the same clause list (AND of conjuncts,
-    nulls never match)."""
+def predicate_mask(table: pa.Table, clauses):
+    """Boolean match mask for the clause list over ``table``'s columns (AND of
+    conjuncts, null-safe: nulls come back False). None when no clauses."""
     mask = None
     for col, op, val in clauses:
         c = table[col]
@@ -307,8 +311,15 @@ def apply_predicate(table: pa.Table, clauses) -> pa.Table:
             m = fn(c, _pa_scalar(val, t))
         mask = m if mask is None else pc.and_kleene(mask, m)
     if mask is None:
-        return table
-    return table.filter(pc.fill_null(mask, False))
+        return None
+    return pc.fill_null(mask, False)
+
+
+def apply_predicate(table: pa.Table, clauses) -> pa.Table:
+    """Exact batch-wise filter for the same clause list (AND of conjuncts,
+    nulls never match)."""
+    mask = predicate_mask(table, clauses)
+    return table if mask is None else table.filter(mask)
 
 
 # --- dictionary probe (ranged reads, no data decode) ---------------------------
@@ -394,28 +405,63 @@ def dict_probe_path(path: str, clauses) -> bool:
 # --- store scan (predicate pushdown) -------------------------------------------
 
 
+_LATE_MAT_FRAC = 0.05  # late-materialize when <= this fraction of rows match
+
+
+def _late_mat_frac() -> float:
+    return float(os.environ.get("PCR_LATE_MAT_FRAC", _LATE_MAT_FRAC))
+
+
 class _ScanDecoder:
-    """Decode surviving containers with column pruning + exact filter."""
+    """Decode surviving containers with column pruning, exact filter, and
+    LATE MATERIALIZATION: the predicate columns decode first; when at most
+    ``PCR_LATE_MAT_FRAC`` of a container's rows match, every other column is
+    decoded at the matching rows ONLY (``decode_array_rows`` — selective bit
+    extraction / RLE run probes / dict code gathers / FSST slab skipping).
+    A selective scan over a store with heavy text columns thus never expands
+    the text it is about to throw away; above the threshold the classic
+    full-decode + filter path is cheaper and is kept."""
 
     def __init__(self, read_cols, out_cols, clauses, verify_crc=False):
         self.read_cols = read_cols
         self.out_cols = out_cols
         self.clauses = clauses
         self.verify_crc = verify_crc
+        self.frac = _late_mat_frac()
+
+    def _one(self, data: bytes) -> pa.Table:
+        from .codecs import decode_array, decode_array_rows
+        from .container import unpack_container
+
+        footer, blobs = unpack_container(data, columns=self.read_cols, verify_crc=self.verify_crc)
+        names = [c["name"] for c in footer["columns"] if self.read_cols is None or c["name"] in self.read_cols]
+        if not self.clauses:
+            t = pa.table({nm: decode_array(blobs[nm]) for nm in names})
+            return t.select(self.out_cols) if self.out_cols is not None else t
+        pred_cols = list(dict.fromkeys(c for c, _, _ in self.clauses))
+        pred = {nm: decode_array(blobs[nm]) for nm in pred_cols}
+        mask = predicate_mask(pa.table(pred), self.clauses)
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        n = blobs[pred_cols[0]].n  # rows in container
+        k = int(pc.sum(mask).as_py() or 0)
+        out_names = self.out_cols if self.out_cols is not None else names
+        if k <= self.frac * n:
+            sel = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
+            sel_arr = pa.array(sel)
+            cols = {
+                nm: (pc.take(pred[nm], sel_arr) if nm in pred else decode_array_rows(blobs[nm], sel))
+                for nm in out_names
+            }
+            return pa.table(cols)
+        t = pa.table({nm: pred[nm] if nm in pred else decode_array(blobs[nm]) for nm in out_names})
+        return t.filter(mask)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .container import decode_table
         from .encode import pin_arrow_threads
 
         pin_arrow_threads(1)
-        tables = []
-        for blob in batch["bytes"]:
-            t = decode_table(blob.as_py(), columns=self.read_cols, verify_crc=self.verify_crc)
-            t = apply_predicate(t, self.clauses)
-            if self.out_cols is not None:
-                t = t.select(self.out_cols)
-            tables.append(t)
-        return pa.concat_tables(tables)
+        return pa.concat_tables([self._one(blob.as_py()) for blob in batch["bytes"]])
 
 
 def _store_schema(out_dir: str, recs: list[dict]) -> list[tuple[str, pa.DataType]]:
