@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_unique_users": windows.events_window_unique_users,
         "events_window_unique_users_approx": windows.events_window_unique_users_approx,
         "lineitem_range_scan": transcripts.lineitem_range_scan,
+        "documents_source_scan": transcripts.documents_source_scan,
         "tfidf_top_terms": text.tfidf_top_terms,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_exact": dedup.dedup_exact,
@@ -383,6 +384,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem
             WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        """,
+        "documents_source_scan": """
+            SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+            FROM documents WHERE source IN ('src3', 'src7')
+            GROUP BY lang ORDER BY lang
         """,
         "events_window_unique_users": """
             WITH offs(j) AS (VALUES (0), (1), (2), (3)),

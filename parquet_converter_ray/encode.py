@@ -96,12 +96,14 @@ class EncodePartition:
         sort_key: Sequence[str] = ("conv_id", "turn_idx"),
         fault_hook: Callable[[int], None] | None = None,
         generation: int = 0,
+        bound_cols: "frozenset[str]" = frozenset(),
     ):
         self.out_dir = out_dir
         self.codec = codec
         self.sort_key = list(sort_key)
         self.fault_hook = fault_hook
         self.generation = int(generation)
+        self.bound_cols = frozenset(bound_cols)  # force zone-map bounds (range-cluster string cols)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         pin_arrow_threads(1)
@@ -127,7 +129,9 @@ class EncodePartition:
         t_enc = time.monotonic()
         from .zonemap import column_stats
 
-        stats = column_stats(table, {name: blob.codec for name, blob in blobs.items()})
+        stats = column_stats(
+            table, {name: blob.codec for name, blob in blobs.items()}, bound_cols=self.bound_cols
+        )
         payload = pack_container(
             blobs,
             extra={"part_id": part_id, "rows": table.num_rows, "sort_key": sort_cols,
@@ -236,57 +240,116 @@ def _range_cuts(
     contributes an evenly-strided sample of its rows' cluster values (bounded
     at ``per_batch`` rows), the driver merges them and takes the n_parts-1
     evenly-spaced order statistics of the cluster KEY — the raw comparable
-    value for one column, the Z-order key for several (per-column [min, max]
-    spans come from the same sample and are returned as ``norm`` — the
-    recorded layout contract ``assign_part_id_range`` replays). Driver state
-    is batches x per_batch rows — bounded, independent of row count. Ties in
-    a skewed domain collapse to fewer distinct cuts (recorded as-is: some
-    buckets simply stay empty)."""
-    from .partition import cluster_key_array, zorder_keys
+    value for one numeric column, the Z-order key for several (per-column
+    [min, max] spans come from the same sample and are returned as ``norm`` —
+    the recorded layout contract ``assign_part_id_range`` replays). A
+    string/binary cluster column samples fixed 32-byte prefixes; the driver
+    computes the sample's common-prefix length (``skip``) and keys on the 6
+    bytes after it (48 bits — float64-exact through the JSON round trip),
+    recording ``{"skip", "span"}`` in ``norm`` so assignment and appends
+    replay the identical layout. Driver state is batches x per_batch rows —
+    bounded, independent of row count. Ties in a skewed domain collapse to
+    fewer distinct cuts (recorded as-is: some buckets simply stay empty)."""
+    from .partition import (
+        STR_KEY_BYTES,
+        STR_SAMPLE_BYTES,
+        cluster_key_array,
+        is_strlike,
+        matrix_keys,
+        prefix_matrix,
+        zorder_keys,
+    )
 
     def sample(batch: pa.Table) -> pa.Table:
         arrs, mask = [], None
-        for name in cluster_by:
+        sort0 = None
+        for i, name in enumerate(cluster_by):
             col = batch[name]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            arrs.append(cluster_key_array(col))
+            if is_strlike(col.type):
+                m = prefix_matrix(col, STR_SAMPLE_BYTES)
+                arrs.append(("str", m))
+                if i == 0:
+                    sort0 = matrix_keys(m[:, :STR_KEY_BYTES])
+            else:
+                a = cluster_key_array(col)
+                arrs.append(("num", a))
+                if i == 0:
+                    sort0 = a
             if col.null_count:
-                m = pc.is_null(col).to_numpy(zero_copy_only=False)
-                mask = m if mask is None else (mask | m)
+                nm = pc.is_null(col).to_numpy(zero_copy_only=False)
+                mask = nm if mask is None else (mask | nm)
         keep = ~mask if mask is not None else np.ones(batch.num_rows, bool)
-        order = np.argsort(arrs[0][keep], kind="stable")
+        order = np.argsort(sort0[keep], kind="stable")
         stride = max(1, int(keep.sum()) // per_batch)
         take = order[::stride]
-        return pa.table(
-            {f"v{i}": pa.array(a[keep][take]) for i, a in enumerate(arrs)}
-        )
+        cols = {}
+        for i, (kind, a) in enumerate(arrs):
+            picked = a[keep][take]
+            if kind == "str":
+                cols[f"v{i}"] = pa.Array.from_buffers(
+                    pa.binary(STR_SAMPLE_BYTES),
+                    len(picked),
+                    [None, pa.py_buffer(np.ascontiguousarray(picked).tobytes())],
+                )
+            else:
+                cols[f"v{i}"] = pa.array(picked)
+        return pa.table(cols)
+
+    def _fsb_matrix(arr) -> np.ndarray:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        buf = arr.buffers()[1]
+        w = STR_SAMPLE_BYTES
+        return np.frombuffer(buf, dtype=np.uint8)[arr.offset * w : (arr.offset + len(arr)) * w].reshape(-1, w)
 
     parts = list(
         ds.select_columns(list(cluster_by))
         .map_batches(sample, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")
     )
+    str_col = [bool(parts) and pa.types.is_fixed_size_binary(parts[0][f"v{i}"].type) for i in range(len(cluster_by))]
+    merged: list[np.ndarray] = []
     if parts:
+        for i in range(len(cluster_by)):
+            if str_col[i]:
+                merged.append(np.concatenate([_fsb_matrix(t[f"v{i}"]) for t in parts]))
+            else:
+                merged.append(np.concatenate([t[f"v{i}"].to_numpy(zero_copy_only=False) for t in parts]))
+    if not parts or not len(merged[0]):
         merged = [
-            np.concatenate([t[f"v{i}"].to_numpy(zero_copy_only=False) for t in parts])
-            for i in range(len(cluster_by))
+            np.zeros((1, STR_SAMPLE_BYTES), np.uint8) if s else np.zeros(1)
+            for s in str_col or [False for _ in cluster_by]
         ]
-    else:
-        merged = [np.zeros(1) for _ in cluster_by]
-    if not len(merged[0]):
-        merged = [np.zeros(1) for _ in cluster_by]
+
+    # string columns: common-prefix skip + 48-bit keys from the sample
+    norm: dict = {}
+    keyed: list[np.ndarray] = []
+    for c, s, v in zip(cluster_by, str_col, merged):
+        if s:
+            diffs = (v != v[0]).any(axis=0)
+            skip = int(np.argmax(diffs)) if diffs.any() else STR_SAMPLE_BYTES
+            skip = min(skip, STR_SAMPLE_BYTES - STR_KEY_BYTES)
+            k = matrix_keys(v[:, skip : skip + STR_KEY_BYTES])
+            norm[c] = {"skip": skip, "span": [float(k.min()), float(k.max())]}
+            keyed.append(k)
+        else:
+            keyed.append(v)
 
     if len(cluster_by) == 1:
-        keys, norm = merged[0], None
+        keys = keyed[0]
     else:
-        norm = {
-            c: [float(v.min()), float(v.max())] for c, v in zip(cluster_by, merged)
-        }
-        keys = zorder_keys(merged, [tuple(norm[c]) for c in cluster_by])
+        for c, s, v in zip(cluster_by, str_col, keyed):
+            if not s:
+                norm[c] = [float(v.min()), float(v.max())]
+        keys = zorder_keys(
+            keyed,
+            [tuple(norm[c]["span"]) if isinstance(norm[c], dict) else tuple(norm[c]) for c in cluster_by],
+        )
     keys = np.sort(keys)
     idx = np.clip((len(keys) * np.arange(1, n_parts)) // n_parts, 0, len(keys) - 1)
-    return [x.item() for x in np.unique(keys[idx])], norm
+    return [x.item() for x in np.unique(keys[idx])], (norm or None)
 
 
 def encode_dataset(
@@ -481,7 +544,10 @@ def encode_dataset(
             ds = ds.map_batches(_skip_done, batch_format="pyarrow")
 
     cls = EncodePages if page_shuffle else EncodePartition
-    encoder = cls(out_dir, codec=codec, sort_key=sort_key, fault_hook=fault_hook)
+    encoder = cls(
+        out_dir, codec=codec, sort_key=sort_key, fault_hook=fault_hook,
+        bound_cols=frozenset(cluster_by or ()),
+    )
 
     def encode_partition(group: pa.Table) -> pa.Table:
         return encoder(group)
@@ -753,7 +819,10 @@ def append_dataset(
                 batch, n_parts, conv_col=conv_col, order_col=order_col, salt_rows=salt_rows
             )
 
-    encoder = EncodePartition(out_dir, codec=codec, sort_key=sort_key, generation=gen)
+    encoder = EncodePartition(
+        out_dir, codec=codec, sort_key=sort_key, generation=gen,
+        bound_cols=frozenset(prior.get("cluster_by") or ()),
+    )
 
     def _encode_group(g: pa.Table) -> pa.Table:
         if skip_existing and g.num_rows:
@@ -798,6 +867,7 @@ def _rewrite_partition(
     sort_key: Sequence[str],
     codec: str | dict,
     victims: list,
+    bound_cols: "frozenset[str]" = frozenset(),
 ) -> tuple[int, int]:
     """Rewrite ONE partition without the victim conversations (delete worker).
 
@@ -866,7 +936,9 @@ def _rewrite_partition(
             os.remove(rf)
         except OSError:
             pass
-    enc = EncodePartition(out_dir, codec=codec, sort_key=sort_key, generation=0)
+    enc = EncodePartition(
+        out_dir, codec=codec, sort_key=sort_key, generation=0, bound_cols=bound_cols
+    )
     enc.encode_one(pid, t, folded=folded)
     base = os.path.join(out_dir, f"part-{pid:05d}.pcc")
     for p in container_paths + leftover_paths:
@@ -1054,6 +1126,7 @@ def delete_conversations(out_dir: str, conv_values: list, codec: str | dict = "a
                 rewrite.remote(
                     pid, [], leftovers, [], {}, None,
                     out_dir, conv_col, sort_key, codec, victims,
+                    frozenset(prior.get("cluster_by") or ()),
                 )
             )
             continue
@@ -1081,6 +1154,7 @@ def delete_conversations(out_dir: str, conv_values: list, codec: str | dict = "a
                 (base_rec or {}).get("folded") or {},
                 (base_rec or {}).get("crc32"),
                 out_dir, conv_col, sort_key, codec, victims,
+                frozenset(prior.get("cluster_by") or ()),
             )
         )
     results = ray.get(futures)

@@ -231,9 +231,64 @@ def cluster_key_array(col) -> np.ndarray:
             col = pc.fill_null(col, 0)
         return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
     raise ValueError(
-        f"cluster_by needs a numeric or temporal column, got type {t} "
-        "(string clustering would need order-preserving key encoding)"
+        f"cluster_by needs a numeric, temporal, string or binary column, got type {t}"
     )
+
+
+def is_strlike(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    )
+
+
+STR_SAMPLE_BYTES = 32  # sampled prefix width for string cluster-key layout
+STR_KEY_BYTES = 6  # key bytes after the recorded skip: 48 bits, float64-exact
+
+
+def prefix_matrix(col: "pa.Array | pa.ChunkedArray", nbytes: int) -> np.ndarray:
+    """(n, nbytes) uint8 matrix of each value's first ``nbytes`` UTF-8/binary
+    bytes, zero-padded. Zero-padding is order-preserving up to ties (a string
+    that is a prefix of another compares equal on the shared window — they
+    merge into one bucket, which range clustering tolerates). Nulls become
+    empty (all-zero rows); callers that must exclude them mask separately."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if col.null_count:
+        col = pc.fill_null(col, "" if (pa.types.is_string(t) or pa.types.is_large_string(t)) else b"")
+    odt = np.int64 if (pa.types.is_large_string(t) or pa.types.is_large_binary(t)) else np.int32
+    bufs = col.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=odt)[col.offset : col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    lens = np.minimum(np.diff(offsets), nbytes)
+    pos = offsets[:-1, None] + np.arange(nbytes, dtype=np.int64)
+    valid = np.arange(nbytes) < lens[:, None]
+    if len(data) == 0:
+        return np.zeros((len(col), nbytes), dtype=np.uint8)
+    return np.where(valid, data[np.minimum(pos, len(data) - 1)], 0).astype(np.uint8)
+
+
+def matrix_keys(m: np.ndarray) -> np.ndarray:
+    """Big-endian int64 key from up to 7 prefix-byte columns (order matches
+    the byte order, so key order == truncated lexicographic order)."""
+    out = np.zeros(len(m), dtype=np.int64)
+    for j in range(m.shape[1]):
+        out = (out << np.int64(8)) | m[:, j].astype(np.int64)
+    return out
+
+
+def string_cluster_keys(col, skip: int, nbytes: int = STR_KEY_BYTES) -> np.ndarray:
+    """Order-preserving-ish int64 cluster key for a string/binary column: the
+    ``nbytes`` bytes after skipping the first ``skip`` (the sample's common
+    prefix, recorded in the store layout so assignment replays identically).
+    Values that do not share the recorded prefix still key deterministically —
+    clustering quality degrades for them, never correctness: partition zone
+    maps record the REAL string bounds of whatever landed there."""
+    m = prefix_matrix(col, skip + nbytes)
+    return matrix_keys(m[:, skip:])
 
 
 def assign_part_id_range(
@@ -245,17 +300,26 @@ def assign_part_id_range(
     it is resume- and append-stable exactly like the hash assignment.
 
     One column: the raw comparable value is the key (no quantization — int64
-    domains keep exact cut semantics). Multiple columns: the Z-order key of
-    the RECORDED per-column spans (``norm``). Rows with a null in any
-    cluster column route to bucket 0."""
+    domains keep exact cut semantics); a string/binary column keys through
+    ``string_cluster_keys`` with the skip recorded in ``norm``. Multiple
+    columns: the Z-order key of the RECORDED per-column spans (``norm``).
+    Rows with a null in any cluster column route to bucket 0."""
     cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
     arrays = []
+    spans = []
     null_mask = None
     for name in cols:
         col = batch[name]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        arrays.append((col, cluster_key_array(col)))
+        ent = (norm or {}).get(name)
+        if is_strlike(col.type):
+            skip = int(ent["skip"]) if isinstance(ent, dict) else 0
+            arrays.append((col, string_cluster_keys(col, skip)))
+            spans.append(tuple(ent["span"]) if isinstance(ent, dict) and "span" in ent else None)
+        else:
+            arrays.append((col, cluster_key_array(col)))
+            spans.append(tuple(ent) if ent is not None and not isinstance(ent, dict) else None)
         if col.null_count:
             m = pc.is_null(col).to_numpy(zero_copy_only=False)
             null_mask = m if null_mask is None else (null_mask | m)
@@ -264,7 +328,7 @@ def assign_part_id_range(
         key = v
         cut_arr = np.asarray(cuts, dtype=v.dtype)
     else:
-        key = zorder_keys([a for _, a in arrays], [tuple(norm[c]) for c in cols])
+        key = zorder_keys([a for _, a in arrays], spans)
         cut_arr = np.asarray(cuts, dtype=np.int64)
     part = np.searchsorted(cut_arr, key, side="left").astype(np.int32)
     if null_mask is not None:

@@ -438,6 +438,65 @@ def lineitem_range_scan(sf_dir: str) -> pa.Table:
     )
 
 
+def _documents_source_store(sf_dir: str) -> str:
+    """Documents store range-clustered on the STRING column ``source`` (the
+    sampled common prefix 'src' is skipped, recorded in cluster_norm; zone
+    maps carry real string bounds even though source is fsst/dict-coded by
+    the cost model's choice — forced via bound_cols). Cached per sf."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_CACHE, f"encoded-docs-source-{tag}")
+    if not os.path.exists(os.path.join(out, "manifest.jsonl")):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        encode_dataset(
+            f"{sf_dir}/documents.parquet",
+            out,
+            conv_col="doc_id",
+            order_col="doc_id",
+            sort_key=("doc_id",),
+            salt_rows=0,
+            cluster_by="source",
+        )
+    return out
+
+
+def documents_source_scan(sf_dir: str) -> pa.Table:
+    """Per-language doc counts/chars for two sources over a STRING-range-
+    clustered store: the `in` predicate prunes containers via the recorded
+    string zone-map bounds (and the dict probe where source dict-encoded),
+    surviving rows late-materialize (lang, n_chars) only. The per-batch
+    partial keyed on lang (bounded: 5 langs) merges on the driver. Oracle:
+    plain SQL over the raw documents table."""
+    from ..zonemap import scan_store
+
+    ds = scan_store(
+        _documents_source_store(sf_dir),
+        [("source", "in", ["src3", "src7"])],
+        columns=["lang", "n_chars"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table({"lang": batch["lang"], "n_chars": batch["n_chars"]})
+        g = t.group_by("lang").aggregate([("n_chars", "sum"), ("lang", "count")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "n_docs": g["lang_count"].cast(pa.int64()),
+                "sum_chars": g["n_chars_sum"].cast(pa.int64()),
+            }
+        )
+
+    from ._util import finish_on_driver
+
+    df = finish_on_driver(
+        ds.map_batches(partial, batch_format="pyarrow"), ["lang"], ["n_docs", "sum_chars"]
+    )
+    return pa.Table.from_pandas(df.sort_values("lang").reset_index(drop=True), preserve_index=False)
+
+
 def lineitem_store_profile(sf_dir: str) -> pa.Table:
     """Metadata-only store profile, oracle-checked: global per-column bounds
     and null counts read from the manifest zone maps ALONE (zero container

@@ -84,7 +84,11 @@ def _int_physical(t: pa.DataType) -> pa.DataType | None:
     return None
 
 
-def column_stats(table: pa.Table, codecs: dict[str, str] | None = None) -> dict[str, dict]:
+def column_stats(
+    table: pa.Table,
+    codecs: dict[str, str] | None = None,
+    bound_cols: "set[str] | frozenset[str] | None" = None,
+) -> dict[str, dict]:
     """Per-column zone-map entries for one partition table.
 
     Numeric / timestamp / date / bool columns always get bounds (SIMD
@@ -92,8 +96,12 @@ def column_stats(table: pa.Table, codecs: dict[str, str] | None = None) -> dict[
     ``nanmin`` so NaN rows — which never satisfy a comparison — don't poison
     the bounds). String columns get bounds only when dict-encoded: free text
     (fsst/plain) has useless bounds at real scale and ``min_max`` over it
-    would rescan the heaviest payload. Binary columns record nulls only.
+    would rescan the heaviest payload. ``bound_cols`` overrides that gate —
+    a range-cluster string column is range-bounded per partition BY LAYOUT,
+    so its bounds are the whole point and get recorded whatever its codec.
+    Binary columns record nulls only.
     """
+    bound_cols = bound_cols or frozenset()
     out: dict[str, dict] = {}
     for name in table.column_names:
         col = table.column(name)
@@ -113,7 +121,7 @@ def column_stats(table: pa.Table, codecs: dict[str, str] | None = None) -> dict[
                     lo, hi = np.nanmin(v), np.nanmax(v)
                 if not np.isnan(lo):
                     mn, mx = float(lo), float(hi)
-            elif _is_strlike(t) and (codecs is None or codecs.get(name) == "dict"):
+            elif _is_strlike(t) and (codecs is None or codecs.get(name) == "dict" or name in bound_cols):
                 mm = pc.min_max(col)
                 mn, lo_approx = _trunc_min(mm["min"].as_py())
                 mx, hi_approx = _trunc_max(mm["max"].as_py())

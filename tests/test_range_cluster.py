@@ -255,3 +255,160 @@ def test_compact_preserves_range_clustering(ray_session, stores, tmp_path):
     ref = _sorted(pa.concat_tables(list(ref_ds.iter_batches(batch_format="pyarrow"))))
     assert got.equals(ref)
     assert plan["pruned_stats"] > 0, plan
+
+
+# --- string cluster keys ---------------------------------------------------------
+
+
+def test_string_cluster_key_primitives():
+    from parquet_converter_ray.partition import (
+        matrix_keys,
+        prefix_matrix,
+        string_cluster_keys,
+    )
+
+    vals = ["", "a", "ab", "abc", "ab\x00x", "zz", "ü", "日本語テキスト", "x" * 100, None]
+    arr = pa.array(vals, type=pa.string())
+    m = prefix_matrix(arr, 6)
+    assert m.shape == (len(vals), 6)
+    assert bytes(m[1]).rstrip(b"\0") == b"a"
+    assert bytes(m[8]) == b"xxxxxx"  # truncated long value
+    assert not m[-1].any()  # null -> zero row
+    # key order respects truncated lexicographic byte order (ties allowed)
+    keys = matrix_keys(m)
+    enc = [(v or "").encode()[:6] for v in vals]
+    for i in range(len(vals)):
+        for j in range(len(vals)):
+            if enc[i] < enc[j]:
+                assert keys[i] <= keys[j], (vals[i], vals[j])
+    # skip: keys come from bytes AFTER the recorded common prefix
+    pref = pa.array(["conv-" + s for s in ["aaa", "abc", "zzz"]])
+    k0 = string_cluster_keys(pref, 0)
+    k5 = string_cluster_keys(pref, 5)
+    assert len(np.unique(k0)) <= len(np.unique(k5)) == 3
+    assert list(np.argsort(k5)) == [0, 1, 2]
+    # binary columns key too
+    kb = string_cluster_keys(pa.array([b"\x00\x01", b"\xff\xfe"], type=pa.binary()), 0)
+    assert kb[0] < kb[1]
+
+
+@pytest.fixture(scope="module")
+def str_store(ray_session, tmp_path_factory):
+    import ray
+
+    from parquet_converter_ray.encode import encode_dataset
+    from parquet_converter_ray.synth import make_transcripts
+
+    t = make_transcripts(12_000, seed=5)
+    out = str(tmp_path_factory.mktemp("strclu") / "range")
+    encode_dataset(ray.data.from_arrow(t), out, n_parts=8, cluster_by="conv_id")
+    return out, t
+
+
+def test_string_clustered_store_prunes_and_roundtrips(str_store):
+    """Range clustering on a STRING column: the sampled common prefix is
+    skipped (recorded in cluster_norm), zone maps carry real string bounds
+    even though conv_id is not dict-encoded, and both point and range
+    predicates prune containers with exact results."""
+    import json
+    import os
+
+    from parquet_converter_ray.decode import decode_dataset
+    from parquet_converter_ray.zonemap import scan_store
+
+    out, t = str_store
+    with open(os.path.join(out, "_run.json")) as f:
+        run = json.load(f)
+    assert run["partition_mode"] == "range"
+    ent = run["cluster_norm"]["conv_id"]
+    assert ent["skip"] > 0 and len(ent["span"]) == 2
+
+    key = [(c, "ascending") for c in t.column_names]
+    cid = t["conv_id"][500].as_py()
+    ds, plan = scan_store(out, [("conv_id", "==", cid)], return_plan=True)
+    got = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    exp = t.filter(pc.equal(t["conv_id"], cid))
+    assert got.sort_by(key).equals(exp.sort_by(key).combine_chunks())
+    assert plan["pruned_stats"] > 0, plan
+
+    lo, hi = "conv-00000100", "conv-00000200"
+    ds2, plan2 = scan_store(out, [("conv_id", "between", (lo, hi))], return_plan=True)
+    got2 = pa.concat_tables(list(ds2.iter_batches(batch_format="pyarrow")))
+    exp2 = t.filter(
+        pc.and_(pc.greater_equal(t["conv_id"], lo), pc.less_equal(t["conv_id"], hi))
+    )
+    assert got2.num_rows == exp2.num_rows > 0
+    assert got2.sort_by(key).equals(exp2.sort_by(key).combine_chunks())
+    assert plan2["pruned_stats"] > 0, plan2
+
+    # full decode stays bit-identical
+    dec = pa.concat_tables(list(decode_dataset(out).iter_batches(batch_format="pyarrow")))
+    assert dec.sort_by(key).equals(t.sort_by(key).combine_chunks())
+
+
+def test_string_clustered_append_delete(ray_session, str_store, tmp_path):
+    """Appends to a string-clustered store replay the RECORDED skip + cuts
+    (the new conversation is findable via the pruned scan), delete removes it."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray.encode import append_dataset, delete_conversations
+    from parquet_converter_ray.zonemap import scan_store
+
+    out, t = str_store
+    store = str(tmp_path / "copy")
+    shutil.copytree(out, store)
+    newid = "conv-99999999"
+    extra = pa.table(
+        {
+            "conv_id": pa.array([newid, newid]),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": pa.array(["user", "assistant"]),
+            "text": pa.array(["hi", "hello"]),
+            "tool": pa.array([None, None], pa.string()),
+            "ts": pa.array(
+                np.array(["2026-01-01T00:00:00", "2026-01-01T00:00:01"], dtype="datetime64[us]")
+            ),
+        }
+    )
+    sch = pa.concat_tables([t]).schema
+    delivery = str(tmp_path / "delivery.parquet")
+    pq.write_table(extra.cast(pa.schema([sch.field(c) for c in extra.column_names])), delivery)
+    assert append_dataset(delivery, store)["rows_appended"] == 2
+
+    ds, plan = scan_store(store, [("conv_id", "==", newid)], return_plan=True)
+    got = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    assert got.num_rows == 2
+    assert plan["pruned_stats"] > 0, plan  # bounds still prune post-append
+
+    res = delete_conversations(store, [newid])
+    assert res["convs_found"] == 1
+    ds2 = scan_store(store, [("conv_id", "==", newid)])
+    left = list(ds2.iter_batches(batch_format="pyarrow"))
+    assert sum(b.num_rows for b in left) == 0
+
+
+def test_mixed_zorder_string_numeric(ray_session, stores, tmp_path):
+    """Z-order over (string, numeric): the string column keys through the
+    recorded skip/span, and band predicates on EITHER column prune."""
+    from parquet_converter_ray.encode import encode_dataset
+    from parquet_converter_ray.zonemap import scan_store
+
+    zdir = str(tmp_path / "zmix")
+    encode_dataset(
+        stores["inp"], zdir, n_parts=16, conv_col="l_orderkey",
+        order_col="l_linenumber", sort_key=("l_orderkey", "l_linenumber"),
+        salt_rows=0, cluster_by=["l_returnflag", "l_quantity"],
+    )
+    for pred in (
+        [("l_returnflag", "==", "R")],
+        [("l_quantity", "between", (1, 8))],
+    ):
+        z_ds, z_plan = scan_store(zdir, pred, return_plan=True)
+        h_ds, _ = scan_store(stores["hash"], pred, return_plan=True)
+        z = _sorted(pa.concat_tables(list(z_ds.iter_batches(batch_format="pyarrow"))))
+        h = _sorted(pa.concat_tables(list(h_ds.iter_batches(batch_format="pyarrow"))))
+        assert z.equals(h), pred
+        assert z.num_rows > 0
+        assert z_plan["pruned_stats"] > 0, (pred, z_plan)
