@@ -301,16 +301,38 @@ def decode_array_rows(blob: ColumnBlob, sel) -> pa.Array:
     [None, 'dd']
     """
     sel = np.asarray(sel, dtype=np.int64)
+    return make_row_reader(blob)(sel)
+
+
+def make_row_reader(blob: ColumnBlob):
+    """Repeated-selective-decode handle: unwraps (un-zstds) the blob's
+    buffers and validity ONCE and returns ``read(sel) -> pa.Array``,
+    bit-identical to ``decode_array(blob).take(sel)`` per call.
+
+    The sorted-scan binary search calls this O(log n) times per container
+    with single-row selections — per-call transport decompression (which
+    ``decode_array_rows`` pays, being one-shot) would dwarf the decode the
+    search avoids."""
     t = str_to_type(blob.type_str)
     kind = "str" if _is_str(t) else ("bin" if _is_bin(t) else "num")
     rows_table = _NUM_ROWS if kind == "num" else _STR_ROWS
     fn = rows_table.get(blob.codec)
     if fn is None:  # unknown codec: correctness fallback
-        return pc.take(decode_array(blob), pa.array(sel))
+        full = decode_array(blob)
+
+        def read_full(sel) -> pa.Array:
+            return pc.take(full, pa.array(np.asarray(sel, dtype=np.int64)))
+
+        return read_full
     bufs = [unwrap_buf(b) for b in blob.bufs]
-    vals = fn(blob.meta, bufs, blob.n, sel)
-    out = _from_physical(kind, vals, t)
-    if blob.null_count:
-        valid = unpack_validity(unwrap_buf(blob.validity), blob.n)[sel]
-        out = pc.if_else(pa.array(valid), out, pa.scalar(None, type=t))
-    return out
+    valid = unpack_validity(unwrap_buf(blob.validity), blob.n) if blob.null_count else None
+
+    def read(sel) -> pa.Array:
+        sel = np.asarray(sel, dtype=np.int64)
+        vals = fn(blob.meta, bufs, blob.n, sel)
+        out = _from_physical(kind, vals, t)
+        if valid is not None:
+            out = pc.if_else(pa.array(valid[sel]), out, pa.scalar(None, type=t))
+        return out
+
+    return read

@@ -25,6 +25,7 @@ from .util import (
     bitpack,
     bitunpack,
     bitunpack_at,
+    bitunpack_range,
     rle_join,
     rle_split,
     unzigzag,
@@ -96,6 +97,9 @@ def dec_bitpack(meta, bufs, n):
 # --- delta (+zigzag +FOR): sorted-ish sequences, timestamps ----------------
 
 
+DELTA_BLOCK = 4096  # anchor spacing: random access decodes one block, not a prefix
+
+
 def enc_delta(vals: np.ndarray):
     v = vals.astype(np.int64, copy=False)
     if len(v) == 0:
@@ -110,9 +114,13 @@ def enc_delta(vals: np.ndarray):
         w = bit_width(int(zz.max()))
     else:
         ref, w, zz = 0, 0, z
+    # block anchors: the raw value at every DELTA_BLOCK-th row (8 bytes per
+    # 4096 rows, <1% of any real delta stream) buy O(block) random access —
+    # without them every selective decode prefix-sums from row 0
+    anchors = np.ascontiguousarray(v[DELTA_BLOCK::DELTA_BLOCK])
     return (
-        {"dtype": vals.dtype.str, "first": int(v[0]), "ref": ref, "w": w},
-        [bitpack(zz, w)],
+        {"dtype": vals.dtype.str, "first": int(v[0]), "ref": ref, "w": w, "B": DELTA_BLOCK},
+        [bitpack(zz, w), anchors.tobytes()],
     )
 
 
@@ -222,9 +230,32 @@ def dec_bitpack_rows(meta, bufs, n, idx):
 
 def dec_delta_rows(meta, bufs, n, idx):
     dt = np.dtype(meta["dtype"])
+    idx = np.asarray(idx, dtype=np.int64)
     if len(idx) == 0 or n == 0:
         return np.zeros(0, dtype=dt)
-    m = int(np.max(idx)) + 1  # prefix decode: deltas 0..m-2 suffice
+    B = meta.get("B")
+    m = int(idx[-1]) + 1  # idx is sorted by contract
+    if B and len(bufs) > 1:
+        blocks = np.unique(idx // B)
+        # dense selections: one vectorized prefix decode beats a block loop
+        if len(blocks) * B < m // 2:
+            anchors = np.frombuffer(bufs[1], dtype=np.int64)
+            w, ref, first = meta["w"], np.uint64(meta["ref"]), meta["first"]
+            out = np.empty(len(idx), dtype=np.int64)
+            pos = 0
+            for b in blocks:
+                start = int(b) * B
+                end = min(start + B, n)
+                base = first if b == 0 else int(anchors[b - 1])
+                d = unzigzag(bitunpack_range(bufs[0], w, start, end - 1 - start) + ref)
+                vals = np.empty(end - start, dtype=np.int64)
+                vals[0] = base
+                np.cumsum(d, out=vals[1:])
+                vals[1:] += base
+                k = np.searchsorted(idx, end, side="left")
+                out[pos:k] = vals[idx[pos:k] - start]
+                pos = k
+            return out.astype(dt)
     z = bitunpack(bufs[0], meta["w"], m - 1) + np.uint64(meta["ref"])
     d = unzigzag(z)
     out = np.empty(m, dtype=np.int64)

@@ -75,6 +75,23 @@ def bitunpack(buf: bytes, width: int, n: int) -> np.ndarray:
     return (bits << shifts).sum(axis=1)
 
 
+def bitunpack_range(buf: bytes, width: int, start: int, n: int) -> np.ndarray:
+    """Unpack the ``n`` values at stream positions [start, start+n) — i.e.
+    ``bitunpack(buf, width, start + n)[start:]`` — touching only the bytes
+    that hold those bits. The block-anchored delta decoder uses this to
+    expand one 4096-row block instead of the whole prefix."""
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bit0 = start * width
+    byte0 = bit0 >> 3
+    nbytes = (bit0 + n * width + 7) // 8 - byte0
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8)[byte0 : byte0 + nbytes])
+    off = bit0 & 7
+    bits = bits[off : off + n * width].reshape(n, width).astype(np.uint64)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    return (bits << shifts).sum(axis=1)
+
+
 def bitunpack_at(buf: bytes, width: int, idx: np.ndarray) -> np.ndarray:
     """Random-access bitunpack: extract ONLY the values at row indices ``idx``
     from a bit-packed stream -> uint64 array of len(idx).

@@ -420,6 +420,103 @@ def _late_mat_frac() -> float:
     return float(os.environ.get("PCR_LATE_MAT_FRAC", _LATE_MAT_FRAC))
 
 
+_SORTED_RANGE_FRAC = 0.5  # binary-search row range engages below this fraction
+
+
+def _clause_bounds(clauses, lead: str, t: pa.DataType):
+    """(lo, hi) comparable bound values implied by the conjuncts on ``lead``
+    (inclusive on both sides — strict ops are widened by their ties, which the
+    exact mask removes). None per side when unbounded; (None, None) when no
+    conjunct constrains ``lead`` at all."""
+    los, his = [], []
+    for col, op, val in clauses:
+        if col != lead:
+            continue
+        try:
+            if op == "==":
+                v = _pa_scalar(val, t).as_py()
+                los.append(v)
+                his.append(v)
+            elif op in (">", ">="):
+                los.append(_pa_scalar(val, t).as_py())
+            elif op in ("<", "<="):
+                his.append(_pa_scalar(val, t).as_py())
+            elif op == "between":
+                los.append(_pa_scalar(val[0], t).as_py())
+                his.append(_pa_scalar(val[1], t).as_py())
+            elif op == "in":
+                vs = [_pa_scalar(v, t).as_py() for v in val]
+                if any(v is None for v in vs):
+                    continue  # NULL literals match nothing; mask handles them
+                los.append(min(vs))
+                his.append(max(vs))
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError, TypeError):
+            return None, None  # un-coercible literal: no sound range
+    lo = max(los) if los else None
+    hi = min(his) if his else None
+    return lo, hi
+
+
+def sorted_lead_range(
+    footer: dict, blobs: dict, clauses, readers: "dict | None" = None
+) -> "tuple[int, int] | None":
+    """Matching-row superset range [lo_row, hi_row) for a container whose
+    footer records a sort key, via binary search on the LEADING sort column
+    with O(log n) single-row decodes (``make_row_reader`` un-zstds the
+    column's buffers once; each probe then decodes one row).
+
+    Sound because ``encode_one`` sorts every container by its recorded
+    ``sort_key`` ascending with nulls last: all non-null lead values are
+    ordered in [0, n - null_count) and comparison predicates never match
+    NULL. Returns None when no conjunct bounds the lead column, the lead
+    blob wasn't read, or a literal fails to coerce. The exact predicate
+    mask still runs on the range — strict/`in`/secondary conjuncts narrow
+    it further.
+
+    ``readers`` (optional dict) caches ``make_row_reader`` handles by
+    column name across the search AND the caller's subsequent range
+    decode: building a handle pays the column's transport unwrap (zstd of
+    the whole buffer), which for cheap-structural codecs IS most of a full
+    decode — paying it twice would erase the win."""
+    sk = footer.get("sort_key") or []
+    if not sk:
+        return None
+    lead = sk[0]
+    blob = blobs.get(lead)
+    if blob is None:
+        return None
+    t = str_to_type(blob.type_str)
+    lo_val, hi_val = _clause_bounds(clauses, lead, t)
+    if lo_val is None and hi_val is None:
+        return None
+    from .codecs import make_row_reader
+
+    read = readers.get(lead) if readers is not None else None
+    if read is None:
+        read = make_row_reader(blob)
+        if readers is not None:
+            readers[lead] = read
+    nn = blob.n - blob.null_count  # nulls sort to the tail
+
+    def bisect(target, right: bool) -> int:
+        lo, hi = 0, nn
+        while lo < hi:
+            mid = (lo + hi) // 2
+            v = read(np.array([mid], dtype=np.int64))[0].as_py()
+            if v < target or (right and v == target):
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    try:
+        lo_row = bisect(lo_val, right=False) if lo_val is not None else 0
+        hi_row = bisect(hi_val, right=True) if hi_val is not None else nn
+    except TypeError:  # cross-type comparison (e.g. str literal vs bytes col)
+        return None
+    return lo_row, max(hi_row, lo_row)
+
+
 class _ScanDecoder:
     """Decode surviving containers with column pruning, exact filter, and
     LATE MATERIALIZATION: the predicate columns decode first; when at most
@@ -428,7 +525,16 @@ class _ScanDecoder:
     extraction / RLE run probes / dict code gathers / FSST slab skipping).
     A selective scan over a store with heavy text columns thus never expands
     the text it is about to throw away; above the threshold the classic
-    full-decode + filter path is cheaper and is kept."""
+    full-decode + filter path is cheaper and is kept.
+
+    SORTED-SCAN PUSHDOWN: when a conjunct bounds the container's leading
+    sort column (``==`` / range / ``in`` extremes), a binary search with
+    O(log n) single-row decodes finds the matching row range first
+    (``sorted_lead_range``); if it covers under ``_SORTED_RANGE_FRAC`` of
+    the container, even the PREDICATE columns decode only that range — a
+    narrow range scan of a big sorted container never expands any column
+    fully. ``range_hits`` counts engagements (driver-visible only when the
+    decoder runs un-pooled)."""
 
     def __init__(self, read_cols, out_cols, clauses, verify_crc=False):
         self.read_cols = read_cols
@@ -436,6 +542,7 @@ class _ScanDecoder:
         self.clauses = clauses
         self.verify_crc = verify_crc
         self.frac = _late_mat_frac()
+        self.range_hits = 0
 
     def _one(self, data: bytes) -> pa.Table:
         from .codecs import decode_array, decode_array_rows
@@ -447,13 +554,42 @@ class _ScanDecoder:
             t = pa.table({nm: decode_array(blobs[nm]) for nm in names})
             return t.select(self.out_cols) if self.out_cols is not None else t
         pred_cols = list(dict.fromkeys(c for c, _, _ in self.clauses))
+        n = blobs[pred_cols[0]].n  # rows in container
+        out_names = self.out_cols if self.out_cols is not None else names
+        readers: dict = {}
+        rng = sorted_lead_range(footer, blobs, self.clauses, readers)
+        if rng is not None and (rng[1] - rng[0]) <= _SORTED_RANGE_FRAC * n:
+            from .codecs import make_row_reader
+
+            self.range_hits += 1
+            lo, hi = rng
+            types = {c["name"]: str_to_type(c["type"]) for c in footer["columns"]}
+            if hi <= lo:
+                return pa.table({nm: pa.array([], type=types[nm]) for nm in out_names})
+
+            def rd(nm):  # one transport unwrap per column, shared with the search
+                r = readers.get(nm)
+                if r is None:
+                    r = readers[nm] = make_row_reader(blobs[nm])
+                return r
+
+            rsel = np.arange(lo, hi, dtype=np.int64)
+            pred = {nm: rd(nm)(rsel) for nm in pred_cols}
+            mask = predicate_mask(pa.table(pred), self.clauses)
+            if isinstance(mask, pa.ChunkedArray):
+                mask = mask.combine_chunks()
+            local = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
+            loc_arr = pa.array(local)
+            cols = {
+                nm: (pc.take(pred[nm], loc_arr) if nm in pred else rd(nm)(lo + local))
+                for nm in out_names
+            }
+            return pa.table(cols)
         pred = {nm: decode_array(blobs[nm]) for nm in pred_cols}
         mask = predicate_mask(pa.table(pred), self.clauses)
         if isinstance(mask, pa.ChunkedArray):
             mask = mask.combine_chunks()
-        n = blobs[pred_cols[0]].n  # rows in container
         k = int(pc.sum(mask).as_py() or 0)
-        out_names = self.out_cols if self.out_cols is not None else names
         if k <= self.frac * n:
             sel = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
             sel_arr = pa.array(sel)
