@@ -454,6 +454,13 @@ def encode_dataset(
             raise ValueError(
                 f"cluster_by column(s) {missing_cluster} not in schema {schema_names}"
             )
+        # a range-clustered partition sorts by its cluster column(s) FIRST
+        # (caller keys stay as tie-breakers): per-container zone-map bounds
+        # tighten from partition-wide to row-range, and scan_store's
+        # sorted-lead binary search engages on range predicates instead of
+        # full-decoding every candidate container. Recorded in _run.json as
+        # the effective sort key, so append/delete rewrites replay it.
+        sort_key = list(cluster_by) + [c for c in sort_key if c not in cluster_by]
 
     range_cuts: list | None = None
     cluster_norm: dict | None = None

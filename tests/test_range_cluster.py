@@ -412,3 +412,42 @@ def test_mixed_zorder_string_numeric(ray_session, stores, tmp_path):
         assert z.equals(h), pred
         assert z.num_rows > 0
         assert z_plan["pruned_stats"] > 0, (pred, z_plan)
+
+
+def test_cluster_by_leads_sort_key_and_engages_sorted_scan(stores):
+    """Range clustering prepends the cluster column to the intra-partition
+    sort key: container footers record it as the LEAD, and a range predicate
+    on it engages the sorted-scan binary search (not just zone-map pruning)."""
+    import json
+    import os
+
+    from parquet_converter_ray.container import read_footer_file, unpack_container
+    from parquet_converter_ray.zonemap import _ScanDecoder, apply_predicate
+    from parquet_converter_ray.container import decode_table
+
+    with open(os.path.join(stores["range"], "_run.json")) as f:
+        run = json.load(f)
+    assert run["sort_key"][0] == "l_shipdate"
+
+    paths = sorted(
+        os.path.join(stores["range"], p)
+        for p in os.listdir(stores["range"])
+        if p.endswith(".pcc")
+    )
+    footer = read_footer_file(paths[0])
+    assert footer["sort_key"][0] == "l_shipdate"
+
+    # pick a narrow window inside ONE container's own bounds so the range
+    # path is applicable and engages
+    st = footer["stats"]["l_shipdate"]
+    lo = st["min"]
+    hi = lo + (st["max"] - st["min"]) // 10
+    clauses = [("l_shipdate", "between", (lo, hi))]
+    with open(paths[0], "rb") as f:
+        data = f.read()
+    dec = _ScanDecoder(None, None, clauses)
+    got = dec._one(data)
+    exp = apply_predicate(decode_table(data), clauses)
+    key = [(c, "ascending") for c in sorted(exp.column_names)]
+    assert got.sort_by(key).equals(exp.sort_by(key).combine_chunks())
+    assert dec.range_hits == 1
