@@ -132,10 +132,14 @@ class EncodePartition:
         stats = column_stats(
             table, {name: blob.codec for name, blob in blobs.items()}, bound_cols=self.bound_cols
         )
+        from .zonemap import page_stats
+
+        pages = page_stats(table)
         payload = pack_container(
             blobs,
             extra={"part_id": part_id, "rows": table.num_rows, "sort_key": sort_cols,
-                   "generation": self.generation, "stats": stats},
+                   "generation": self.generation, "stats": stats,
+                   **({"pages": pages} if pages else {})},
         )
         gsuf = f"-g{self.generation:04d}" if self.generation else ""
         path = os.path.join(self.out_dir, f"part-{part_id:05d}{gsuf}.pcc")

@@ -132,6 +132,114 @@ def column_stats(
     return out
 
 
+PAGE_ROWS = 65_536  # page-stat granularity inside one container
+
+
+def page_stats(table: pa.Table, rows_per_page: int = PAGE_ROWS) -> dict | None:
+    """Per-PAGE min/max for numeric / temporal / bool columns of one sorted
+    partition table — the container-footer analogue of Parquet's page index
+    (public format spec). ``scan_store`` uses them to prune ROW RANGES inside
+    a candidate container on predicates over NON-lead columns, where the
+    sorted-lead binary search can't help.
+
+    Values live in the same physical domain the partition zone maps use
+    (ints for int/bool/timestamp/date via ``_int_physical``, float64 for
+    floats) so the same ``_coerce`` applies. Columns with nulls are skipped
+    (a page's nulls would poison its bounds; skipping only costs pruning);
+    all-NaN float pages record None (= may match anything). Strings/binary
+    are skipped — per-page ``min_max`` over the heaviest payload at encode
+    time is the wrong trade. Returns None when the table fits in one page."""
+    n = table.num_rows
+    if n <= rows_per_page:
+        return None
+    starts = np.arange(0, n, rows_per_page, dtype=np.int64)
+    cols: dict[str, dict] = {}
+    for name in table.column_names:
+        col = table.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            continue
+        t = col.type
+        it = _int_physical(t)
+        if it is not None:
+            v = col.cast(it).to_numpy(zero_copy_only=False)
+            mins = np.minimum.reduceat(v, starts)
+            maxs = np.maximum.reduceat(v, starts)
+            cols[name] = {
+                "t": type_to_str(t),
+                "min": [int(x) for x in mins],
+                "max": [int(x) for x in maxs],
+            }
+        elif pa.types.is_floating(t):
+            v = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            with np.errstate(invalid="ignore"):
+                mins = np.minimum.reduceat(v, starts)
+                maxs = np.maximum.reduceat(v, starts)
+                # NaN sorts into pages arbitrarily and poisons reduceat; a
+                # page containing any NaN degrades to "no info"
+                bad = np.isnan(mins) | np.isnan(maxs)
+            cols[name] = {
+                "t": type_to_str(t),
+                "min": [None if b else float(x) for b, x in zip(bad, mins)],
+                "max": [None if b else float(x) for b, x in zip(bad, maxs)],
+            }
+    if not cols:
+        return None
+    return {"rows_per_page": int(rows_per_page), "cols": cols}
+
+
+def page_candidate_mask(pages: dict, n: int, clauses) -> "np.ndarray | None":
+    """Boolean may-match mask over a container's pages for the conjunction —
+    False ONLY for pages provably free of matches. None when no clause column
+    has page stats (nothing to prune on)."""
+    info = pages.get("cols") or {}
+    B = int(pages["rows_per_page"])
+    npages = (n + B - 1) // B
+    mask = np.ones(npages, dtype=bool)
+    used = False
+    for col, op, val in clauses:
+        st = info.get(col)
+        if st is None or len(st["min"]) != npages:
+            continue
+        isf = "float" in st["t"] or "double" in st["t"] or "halffloat" in st["t"]
+        lo_fill, hi_fill = (-np.inf, np.inf) if isf else (-(2**63), 2**63 - 1)
+        mins = np.array([lo_fill if m is None else m for m in st["min"]],
+                        dtype=np.float64 if isf else np.int64)
+        maxs = np.array([hi_fill if m is None else m for m in st["max"]],
+                        dtype=np.float64 if isf else np.int64)
+        try:
+            if op == "in":
+                vs = [_coerce(v, st["t"]) for v in val]
+            elif op == "between":
+                vs = [_coerce(val[0], st["t"]), _coerce(val[1], st["t"])]
+            else:
+                vs = [_coerce(val, st["t"])]
+        except (TypeError, ValueError, pa.ArrowInvalid, pa.ArrowTypeError):
+            continue
+        if op == "==":
+            m = (mins <= vs[0]) & (maxs >= vs[0])
+        elif op == "<":
+            m = mins < vs[0]
+        elif op == "<=":
+            m = mins <= vs[0]
+        elif op == ">":
+            m = maxs > vs[0]
+        elif op == ">=":
+            m = maxs >= vs[0]
+        elif op == "between":
+            m = (mins <= vs[1]) & (maxs >= vs[0])
+        elif op == "in":
+            m = np.zeros(npages, dtype=bool)
+            for v in vs:
+                m |= (mins <= v) & (maxs >= v)
+        else:  # "!=" can't prune a page
+            continue
+        mask &= m
+        used = True
+    return mask if used else None
+
+
 # --- predicates ---------------------------------------------------------------
 
 
@@ -533,8 +641,11 @@ class _ScanDecoder:
     (``sorted_lead_range``); if it covers under ``_SORTED_RANGE_FRAC`` of
     the container, even the PREDICATE columns decode only that range — a
     narrow range scan of a big sorted container never expands any column
-    fully. ``range_hits`` counts engagements (driver-visible only when the
-    decoder runs un-pooled)."""
+    fully. PAGE PRUNING: footer page stats (``page_stats``) additionally
+    drop 64k-row pages that provably contain no match — the lever for
+    predicates on NON-lead columns — and intersect with the sorted-lead
+    range. ``range_hits`` / ``page_hits`` count engagements (driver-visible
+    only when the decoder runs un-pooled)."""
 
     def __init__(self, read_cols, out_cols, clauses, verify_crc=False):
         self.read_cols = read_cols
@@ -543,6 +654,7 @@ class _ScanDecoder:
         self.verify_crc = verify_crc
         self.frac = _late_mat_frac()
         self.range_hits = 0
+        self.page_hits = 0
 
     def _one(self, data: bytes) -> pa.Table:
         from .codecs import decode_array, decode_array_rows
@@ -558,33 +670,52 @@ class _ScanDecoder:
         out_names = self.out_cols if self.out_cols is not None else names
         readers: dict = {}
         rng = sorted_lead_range(footer, blobs, self.clauses, readers)
-        if rng is not None and (rng[1] - rng[0]) <= _SORTED_RANGE_FRAC * n:
-            from .codecs import make_row_reader
+        pages = footer.get("pages")
+        pm = page_candidate_mask(pages, n, self.clauses) if pages else None
+        if rng is not None or pm is not None:
+            lo, hi = rng if rng is not None else (0, n)
+            ranges: list[tuple[int, int]] = []
+            if pm is not None:
+                B = int(pages["rows_per_page"])
+                for p in np.nonzero(pm)[0]:
+                    s, e = max(int(p) * B, lo), min((int(p) + 1) * B, hi)
+                    if e > s:
+                        if ranges and ranges[-1][1] == s:  # merge adjacent pages
+                            ranges[-1] = (ranges[-1][0], e)
+                        else:
+                            ranges.append((s, e))
+            elif hi > lo:
+                ranges.append((lo, hi))
+            total = sum(e - s for s, e in ranges)
+            if total <= _SORTED_RANGE_FRAC * n:
+                from .codecs import make_row_reader
 
-            self.range_hits += 1
-            lo, hi = rng
-            types = {c["name"]: str_to_type(c["type"]) for c in footer["columns"]}
-            if hi <= lo:
-                return pa.table({nm: pa.array([], type=types[nm]) for nm in out_names})
+                if rng is not None:
+                    self.range_hits += 1
+                if pm is not None:
+                    self.page_hits += 1
+                types = {c["name"]: str_to_type(c["type"]) for c in footer["columns"]}
+                if not ranges:
+                    return pa.table({nm: pa.array([], type=types[nm]) for nm in out_names})
 
-            def rd(nm):  # one transport unwrap per column, shared with the search
-                r = readers.get(nm)
-                if r is None:
-                    r = readers[nm] = make_row_reader(blobs[nm])
-                return r
+                def rd(nm):  # one transport unwrap per column, shared with the search
+                    r = readers.get(nm)
+                    if r is None:
+                        r = readers[nm] = make_row_reader(blobs[nm])
+                    return r
 
-            rsel = np.arange(lo, hi, dtype=np.int64)
-            pred = {nm: rd(nm)(rsel) for nm in pred_cols}
-            mask = predicate_mask(pa.table(pred), self.clauses)
-            if isinstance(mask, pa.ChunkedArray):
-                mask = mask.combine_chunks()
-            local = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
-            loc_arr = pa.array(local)
-            cols = {
-                nm: (pc.take(pred[nm], loc_arr) if nm in pred else rd(nm)(lo + local))
-                for nm in out_names
-            }
-            return pa.table(cols)
+                rsel = np.concatenate([np.arange(s, e, dtype=np.int64) for s, e in ranges])
+                pred = {nm: rd(nm)(rsel) for nm in pred_cols}
+                mask = predicate_mask(pa.table(pred), self.clauses)
+                if isinstance(mask, pa.ChunkedArray):
+                    mask = mask.combine_chunks()
+                local = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
+                loc_arr = pa.array(local)
+                cols = {
+                    nm: (pc.take(pred[nm], loc_arr) if nm in pred else rd(nm)(rsel[local]))
+                    for nm in out_names
+                }
+                return pa.table(cols)
         pred = {nm: decode_array(blobs[nm]) for nm in pred_cols}
         mask = predicate_mask(pa.table(pred), self.clauses)
         if isinstance(mask, pa.ChunkedArray):

@@ -18,13 +18,18 @@ from parquet_converter_ray.zonemap import (
 
 def _container(table: pa.Table, sort_key=("v",), codec="auto") -> bytes:
     """Pack a container the way encode_one does: sorted by sort_key asc,
-    footer records the applied sort_key."""
+    footer records the applied sort_key + page stats."""
+    from parquet_converter_ray.zonemap import page_stats
+
     cols = [c for c in sort_key if c in table.column_names]
     if cols:
         table = table.sort_by([(c, "ascending") for c in cols])
     blobs = encode_table(table, codec=codec)
+    pages = page_stats(table)
     return pack_container(
-        blobs, extra={"part_id": 0, "rows": table.num_rows, "sort_key": cols}
+        blobs,
+        extra={"part_id": 0, "rows": table.num_rows, "sort_key": cols,
+               **({"pages": pages} if pages else {})},
     )
 
 
@@ -178,3 +183,152 @@ def test_scan_decoder_timestamp_lead():
     assert got.equals(exp)
     assert got.num_rows == 61
     assert dec.range_hits == 1
+
+
+# --- page-level zone maps ---------------------------------------------------------
+
+
+def _pages_container(n=300_000, seed=9):
+    """Container sorted by ts (lead) with a secondary numeric column whose
+    values are page-clustered (each 64k page covers a narrow band) plus a
+    float column with NaNs and a nullable int column (both page-stat edge
+    cases). Rows are built ALREADY in ts order so the band structure holds
+    in the packed container."""
+    rng = np.random.default_rng(seed)
+    ts = np.cumsum(rng.integers(1, 100, n)).astype(np.int64)  # strictly increasing
+    band = (np.arange(n) // 65_536) * 1000  # page p holds values [1000p, 1000p+100)
+    sec = band + rng.integers(0, 100, n)
+    f = rng.standard_normal(n)
+    # NaNs confined to page 0: that page degrades to "no info" while the
+    # others keep real bounds (a spread of NaNs would poison every page)
+    f[rng.choice(65_536, 50, replace=False)] = np.nan
+    nullable = pa.array(
+        [None if i % 97 == 0 else int(i) for i in range(n)], pa.int64()
+    )
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.int64()),
+            "sec": pa.array(sec, pa.int64()),
+            "f": pa.array(f),
+            "nullable": nullable,
+            "text": pa.array([f"doc-{i % 1000}" for i in range(n)]),
+        }
+    )
+    return _container(t, sort_key=("ts",)), t
+
+
+def _nan_safe(t: pa.Table) -> pa.Table:
+    """NaN -> sentinel so Table.equals (NaN != NaN) can compare results."""
+    cols = {}
+    for c in t.column_names:
+        col = t[c]
+        if pa.types.is_floating(col.type):
+            col = pc.if_else(pc.is_nan(col), pa.scalar(-1.25e300), col)
+        cols[c] = col
+    return pa.table(cols)
+
+
+@pytest.fixture(scope="module")
+def pages_container():
+    return _pages_container()
+
+
+def test_page_stats_shape_and_nulls():
+    from parquet_converter_ray.zonemap import PAGE_ROWS, page_stats
+
+    data, t = _pages_container(n=140_000)
+    ps = page_stats(t.sort_by([("ts", "ascending")]))
+    assert ps is not None and ps["rows_per_page"] == PAGE_ROWS
+    npages = (t.num_rows + PAGE_ROWS - 1) // PAGE_ROWS
+    assert len(ps["cols"]["ts"]["min"]) == npages
+    assert "nullable" not in ps["cols"], "nullable columns skip page stats"
+    assert "text" not in ps["cols"], "string columns skip page stats"
+    # NaN-poisoned float pages degrade to None, clean pages keep bounds
+    fmin = ps["cols"]["f"]["min"]
+    assert any(m is None for m in fmin) or all(m is not None for m in fmin)
+    # small tables record no page stats
+    assert page_stats(t.slice(0, 1000)) is None
+
+
+def test_page_candidate_mask_exact():
+    from parquet_converter_ray.zonemap import page_candidate_mask
+
+    pages = {
+        "rows_per_page": 10,
+        "cols": {"x": {"t": "int64", "min": [0, 100, 200], "max": [9, 109, 209]}},
+    }
+    for clauses, exp in [
+        ([("x", "==", 105)], [False, True, False]),
+        ([("x", "between", (5, 101))], [True, True, False]),
+        ([("x", ">", 109)], [False, False, True]),
+        ([("x", "<=", 0)], [True, False, False]),
+        ([("x", "in", [3, 205])], [True, False, True]),
+        ([("x", "!=", 5)], None),  # != can't prune
+        ([("y", "==", 1)], None),  # no stats on clause column
+    ]:
+        m = page_candidate_mask(pages, 25, clauses)
+        if exp is None:
+            assert m is None, clauses
+        else:
+            assert m is not None and m.tolist() == exp, clauses
+
+
+@pytest.mark.parametrize(
+    "clauses",
+    [
+        [("sec", "between", (2000, 2080))],  # secondary col: page pruning only
+        [("sec", "==", 3042)],
+        [("sec", "between", (900, 1010))],  # straddles a page boundary
+        [("sec", "==", 550)],  # provably empty (gap between bands)
+        [("f", ">", 5.5)],  # float col, near-empty result
+    ],
+)
+def test_page_pruned_scan_bit_exact(pages_container, clauses):
+    data, t = pages_container
+    dec = _ScanDecoder(None, None, clauses)
+    got = dec._one(data)
+    exp = apply_predicate(decode_table(data), clauses)
+    key = [(c, "ascending") for c in t.column_names]
+    assert _nan_safe(got).sort_by(key).equals(
+        _nan_safe(exp).sort_by(key).combine_chunks()
+    )
+    assert dec.page_hits == 1, "page stats must engage"
+
+
+def test_page_pruning_intersects_sorted_lead(pages_container):
+    """A lead-column range AND a secondary-column page predicate intersect:
+    both mechanisms engage and the result stays exact."""
+    data, t = pages_container
+    ts_cut = int(t["ts"][200_000].as_py())  # inside page 3
+    clauses = [("ts", ">=", ts_cut), ("sec", "<", 3100)]  # pages 0-3 by sec
+    dec = _ScanDecoder(None, None, clauses)
+    got = dec._one(data)
+    exp = apply_predicate(decode_table(data), clauses)
+    key = [(c, "ascending") for c in t.column_names]
+    assert _nan_safe(got).sort_by(key).equals(
+        _nan_safe(exp).sort_by(key).combine_chunks()
+    )
+    assert exp.num_rows > 0
+    assert dec.range_hits == 1 and dec.page_hits == 1
+
+
+def test_page_pruning_decodes_fewer_rows(pages_container):
+    """The page path must touch only candidate pages: a one-band secondary
+    predicate over a 300k-row/5-page container selects ~1 page."""
+    from parquet_converter_ray import zonemap as zm
+
+    data, t = pages_container
+    counted = {"rows": 0}
+    orig = zm.predicate_mask
+
+    def spy(table, clauses):
+        counted["rows"] += table.num_rows
+        return orig(table, clauses)
+
+    zm.predicate_mask, token = spy, None
+    try:
+        dec = _ScanDecoder(None, None, [("sec", "between", (2000, 2080))])
+        dec._one(data)
+    finally:
+        zm.predicate_mask = orig
+    assert counted["rows"] <= 66_000, counted  # ~1 page, not 300k
