@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_unique_users_approx": windows.events_window_unique_users_approx,
         "lineitem_range_scan": transcripts.lineitem_range_scan,
         "documents_source_scan": transcripts.documents_source_scan,
+        "store_agg_pushdown": transcripts.store_agg_pushdown,
+        "store_agg_metadata_only": transcripts.store_agg_metadata_only,
         "tfidf_top_terms": text.tfidf_top_terms,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_exact": dedup.dedup_exact,
@@ -389,6 +391,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
             FROM documents WHERE source IN ('src3', 'src7')
             GROUP BY lang ORDER BY lang
+        """,
+        "store_agg_pushdown": """
+            SELECT count(*)::BIGINT AS cnt,
+                   count(l_quantity)::BIGINT AS nn_qty,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty,
+                   sum(l_quantity)::DOUBLE AS sum_qty,
+                   min(l_shipdate) AS min_ship,
+                   max(l_shipdate) AS max_ship
+            FROM lineitem
+            WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+        """,
+        "store_agg_metadata_only": """
+            SELECT count(*)::BIGINT AS cnt,
+                   min(l_orderkey)::BIGINT AS min_ok,
+                   max(l_orderkey)::BIGINT AS max_ok,
+                   sum(l_orderkey)::BIGINT AS sum_ok,
+                   sum(l_quantity)::DOUBLE AS sum_qty,
+                   min(l_shipdate) AS min_ship,
+                   max(l_shipdate) AS max_ship
+            FROM lineitem
         """,
         "events_window_unique_users": """
             WITH offs(j) AS (VALUES (0), (1), (2), (3)),

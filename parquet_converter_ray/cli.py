@@ -164,6 +164,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("encoded_dir")
 
+    p = sub.add_parser(
+        "agg",
+        help="metadata-first aggregates over an encoded store: zone maps answer "
+             "fully-matching containers without opening them; only boundary "
+             "containers decode (pruned, late-materialized)",
+    )
+    p.add_argument("encoded_dir")
+    p.add_argument(
+        "--agg", action="append", required=True, metavar="FN[:COL]",
+        help="count | nn:col (non-null count) | min:col | max:col | sum:col (repeatable)",
+    )
+    p.add_argument(
+        "--where", action="append", default=[], metavar="CLAUSE",
+        help="conjunct like 'ts between 1000,2000' (repeatable, ANDed; optional)",
+    )
+
     p = sub.add_parser("fsck", help="check store integrity (manifest <-> containers <-> bytes)")
     p.add_argument("encoded_dir")
     p.add_argument("--deep", action="store_true",
@@ -326,6 +342,14 @@ def main(argv: list[str] | None = None) -> int:
             from .zonemap import store_profile
 
             print(json.dumps(store_profile(args.encoded_dir), default=str))
+        elif args.cmd == "agg":
+            from .storeagg import store_agg
+
+            clauses = [_parse_where(w) for w in args.where]
+            result, plan = store_agg(
+                args.encoded_dir, args.agg, clauses or None, return_plan=True
+            )
+            print(json.dumps({"plan": plan, "result": result}, default=str))
         elif args.cmd == "fsck":
             from .fsck import fsck_store
 

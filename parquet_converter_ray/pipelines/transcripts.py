@@ -438,6 +438,77 @@ def lineitem_range_scan(sf_dir: str) -> pa.Table:
     )
 
 
+def store_agg_pushdown(sf_dir: str) -> pa.Table:
+    """Aggregate pushdown over the RANGE-CLUSTERED lineitem store: for the
+    1996-1998 ship-date band, interior containers are PROVEN fully matching
+    by their zone maps and contribute rows/min/max/exact-sums from manifest
+    metadata without being opened; only the two boundary containers decode
+    (predicate + aggregated columns, late-materialized). Oracle: plain SQL
+    aggregates over the raw table."""
+    from ..storeagg import store_agg
+
+    res = store_agg(
+        _lineitem_range_store(sf_dir),
+        [
+            "count",
+            "nn:l_quantity",
+            "min:l_quantity",
+            "max:l_quantity",
+            "sum:l_quantity",
+            "min:l_shipdate",
+            "max:l_shipdate",
+        ],
+        [("l_shipdate", "between", ("1996-01-01", "1998-12-31"))],
+    )
+    return pa.table(
+        {
+            "cnt": pa.array([res["count"]], pa.int64()),
+            "nn_qty": pa.array([res["nn_l_quantity"]], pa.int64()),
+            "min_qty": pa.array([res["min_l_quantity"]], pa.float64()),
+            "max_qty": pa.array([res["max_l_quantity"]], pa.float64()),
+            "sum_qty": pa.array([res["sum_l_quantity"]], pa.float64()),
+            "min_ship": pa.array([res["min_l_shipdate"]], pa.timestamp("us")),
+            "max_ship": pa.array([res["max_l_shipdate"]], pa.timestamp("us")),
+        }
+    )
+
+
+def store_agg_metadata_only(sf_dir: str) -> pa.Table:
+    """Whole-store aggregates answered WITHOUT OPENING A SINGLE CONTAINER —
+    rows, null counts, exact min/max and the exact per-container sums are
+    all in the manifest's zone maps (kilobytes of JSON at any store size;
+    the 100 TB answer to "sum this column"). Raises if any container had to
+    be scanned. Oracle: plain SQL aggregates over the raw table."""
+    from ..storeagg import store_agg
+
+    res, plan = store_agg(
+        _lineitem_range_store(sf_dir),
+        [
+            "count",
+            "min:l_orderkey",
+            "max:l_orderkey",
+            "sum:l_orderkey",
+            "sum:l_quantity",
+            "min:l_shipdate",
+            "max:l_shipdate",
+        ],
+        return_plan=True,
+    )
+    if plan["scanned"]:
+        raise AssertionError(f"metadata-only aggregate opened containers: {plan}")
+    return pa.table(
+        {
+            "cnt": pa.array([res["count"]], pa.int64()),
+            "min_ok": pa.array([res["min_l_orderkey"]], pa.int64()),
+            "max_ok": pa.array([res["max_l_orderkey"]], pa.int64()),
+            "sum_ok": pa.array([res["sum_l_orderkey"]], pa.int64()),
+            "sum_qty": pa.array([res["sum_l_quantity"]], pa.float64()),
+            "min_ship": pa.array([res["min_l_shipdate"]], pa.timestamp("us")),
+            "max_ship": pa.array([res["max_l_shipdate"]], pa.timestamp("us")),
+        }
+    )
+
+
 def _documents_source_store(sf_dir: str) -> str:
     """Documents store range-clustered on the STRING column ``source`` (the
     sampled common prefix 'src' is skipped, recorded in cluster_norm; zone

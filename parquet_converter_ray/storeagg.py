@@ -1,0 +1,334 @@
+"""Metadata-first aggregate pushdown over an encoded store.
+
+``store_agg`` answers ``count / count(col) / min / max / sum`` — optionally
+under a predicate — by splitting the store's containers into three classes
+from manifest zone maps alone (JSON already on hand, no file opens):
+
+* **pruned** — ``record_may_match`` proves no row matches: skipped.
+* **metadata-answered** — ``record_all_match`` proves EVERY row matches
+  every conjunct, and the lineage record's stats carry what the aggregate
+  needs (rows, per-column null counts, exact min/max, the exact per-column
+  SUM captured at encode time): the container contributes to the answer
+  without being opened.
+* **scanned** — everything else streams through the normal pruned decode
+  (``zonemap._ScanDecoder``: sorted-lead ranges, page pruning, late
+  materialization) and folds per-batch partials; only the predicate and
+  aggregated columns are ever decoded.
+
+On a range-clustered store a band aggregate thus opens ONLY the (at most
+two) boundary containers — interior containers are proven fully matching
+and answered from their recorded stats; a whole-store aggregate opens
+nothing at all. This is Parquet's row-group-statistics aggregate pushdown
+(public format spec; same idea DuckDB/DataFusion apply to ``count/min/max``
+over Parquet metadata), extended with exact encoded sums.
+
+Soundness notes:
+
+* ``record_all_match`` demands ``nulls == 0`` on every clause column (NULL
+  matches nothing) and refuses ``==`` / ``in`` proofs on approximate
+  (truncated) string bounds; range/containment proofs remain sound under
+  widened bounds because widened ⊆ predicate ⇒ true ⊆ predicate.
+* Float columns record a ``nan`` count at encode: NaN is a value, fails
+  every comparison, poisons sums, and (in SQL engines) participates in
+  min/max inconsistently — any container with NaNs (or written before the
+  count existed) degrades to the scan path for that column.
+* Integer sums are exact at any scale (``zonemap.exact_int_sum``); float
+  sums combine in container order, which — like any parallel SQL engine —
+  may differ from a serial sum in the last ulp.
+
+The reference engine has no analogue: it re-reads whole tables for every
+aggregate question (reference analyzer.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .codecs import str_to_type
+from .zonemap import (
+    _coerce,
+    _int_physical,
+    _normalize,
+    _ScanDecoder,
+    _store_schema,
+    exact_int_sum,
+    record_may_match,
+)
+
+AGG_FNS = ("count", "nn", "min", "max", "sum")
+
+
+def _normalize_aggs(aggs) -> list[tuple[str, str | None]]:
+    """Aggs = iterable of ``"count"`` / ``(fn, col)`` / ``"fn:col"`` strings.
+    ``nn`` is COUNT(col) (non-null count)."""
+    out: list[tuple[str, str | None]] = []
+    for a in aggs:
+        if isinstance(a, str):
+            fn, _, col = a.partition(":")
+            a = (fn, col or None)
+        fn, col = a
+        fn = fn.lower()
+        if fn not in AGG_FNS:
+            raise ValueError(f"unsupported aggregate {fn!r}; one of {AGG_FNS}")
+        if fn == "count":
+            col = None
+        elif col is None:
+            raise ValueError(f"aggregate {fn!r} needs a column")
+        out.append((fn, col))
+    if not out:
+        raise ValueError("no aggregates requested")
+    return out
+
+
+def record_all_match(stats: dict, rows: int, clauses) -> bool:
+    """True ONLY when the zone map PROVES every row satisfies every conjunct
+    (the dual of ``record_may_match``'s "no row can"). Conservative: any
+    missing stat, null, NaN, un-coercible literal, or unprovable bound
+    returns False — the container then simply scans."""
+    if rows <= 0:
+        return False
+    for col, op, val in clauses:
+        st = stats.get(col)
+        if st is None or int(st.get("nulls", 0)) != 0:
+            return False
+        if st.get("nan"):  # NaN rows fail every comparison
+            return False
+        t = st.get("t", "")
+        if ("float" in t or "double" in t) and "nan" not in st:
+            return False  # pre-NaN-count container: presence unknowable
+        mn, mx = st.get("min"), st.get("max")
+        try:
+            if op == "in":
+                vs = [_coerce(v, st["t"]) for v in val]
+            elif op == "between":
+                vs = [_coerce(val[0], st["t"]), _coerce(val[1], st["t"])]
+            else:
+                vs = [_coerce(val, st["t"])]
+        except (TypeError, ValueError, pa.ArrowInvalid, pa.ArrowTypeError):
+            return False
+        if op == "==":
+            # approximate (truncated) bounds are OUTER bounds — widened
+            # equality doesn't prove true equality
+            if st.get("approx") or mn is None or mx is None or not (mn == vs[0] == mx):
+                return False
+        elif op == "!=":
+            if not ((mx is not None and mx < vs[0]) or (mn is not None and mn > vs[0])):
+                return False
+        elif op == "<":
+            if mx is None or not mx < vs[0]:
+                return False
+        elif op == "<=":
+            if mx is None or not mx <= vs[0]:
+                return False
+        elif op == ">":
+            if mn is None or not mn > vs[0]:
+                return False
+        elif op == ">=":
+            if mn is None or not mn >= vs[0]:
+                return False
+        elif op == "between":
+            if mn is None or mx is None or not (vs[0] <= mn and mx <= vs[1]):
+                return False
+        elif op == "in":
+            if st.get("approx") or mn is None or not (mn == mx and mn in vs):
+                return False
+    return True
+
+
+def _meta_answer(rec: dict, aggs, acc: dict) -> bool:
+    """Fold one fully-matching record's stats into ``acc``. Returns False
+    (fold nothing) when any requested aggregate isn't answerable from the
+    record's metadata — the caller then scans the container instead."""
+    st = rec.get("stats") or {}
+    rows = int(rec.get("rows", 0))
+    upd: dict = {}
+    for fn, col in aggs:
+        key = fn if col is None else f"{fn}_{col}"
+        if fn == "count":
+            upd[key] = acc.get(key, 0) + rows
+            continue
+        ent = st.get(col)
+        if ent is None:
+            return False
+        if fn == "nn":
+            upd[key] = acc.get(key, 0) + rows - int(ent.get("nulls", 0))
+            continue
+        t = ent.get("t", "")
+        if ("float" in t or "double" in t) and "nan" not in ent:
+            return False  # pre-NaN-count container: presence unknowable
+        if ent.get("nan"):
+            return False  # NaN participates in min/max/sum engine-dependently
+        if fn in ("min", "max"):
+            v = ent.get(fn)
+            if ent.get("approx"):
+                return False  # truncated bound is not an actual value
+            if v is None:
+                if int(ent.get("nulls", 0)) != rows:
+                    return False  # non-null rows exist but no bound recorded
+                continue  # all-null: contributes nothing (SQL semantics)
+            cur = acc.get(key)
+            upd[key] = v if cur is None else (min(cur, v) if fn == "min" else max(cur, v))
+        elif fn == "sum":
+            if "sum" not in ent:
+                return False  # pre-sum container (or non-finite float sum)
+            if int(ent.get("nulls", 0)) == rows:
+                continue  # all-null: SUM over no rows adds nothing
+            upd[key] = acc.get(key, 0) + ent["sum"]
+    acc.update(upd)
+    return True
+
+
+class _AggPartial:
+    """Per-batch aggregate partials over the decoder's filtered output —
+    one tiny row per batch; min/max live in the zone maps' physical domain
+    (ints for timestamp/date/bool) so they combine with metadata answers."""
+
+    def __init__(self, aggs, types: dict[str, pa.DataType]):
+        self.aggs = aggs
+        self.types = types
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # every column explicitly typed so partial blocks from different
+        # containers always share a schema (a [None] cell must not infer
+        # null-type); integer sums travel as decimal strings — exact past
+        # int64 — and parse back with int() on the driver
+        row: dict[str, pa.Array] = {"_rows": pa.array([batch.num_rows], pa.int64())}
+        for fn, col in self.aggs:
+            if fn == "count":
+                continue
+            key = f"{fn}_{col}"
+            arr = batch[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if fn == "nn":
+                row[key] = pa.array([len(arr) - arr.null_count], pa.int64())
+                continue
+            t = self.types[col]
+            it = _int_physical(t)
+            if fn in ("min", "max"):
+                pt = pa.int64() if it is not None else (
+                    pa.float64() if pa.types.is_floating(t) else pa.string()
+                )
+                if len(arr) == arr.null_count:
+                    row[key] = pa.array([None], pt)
+                else:
+                    mm = pc.min_max(arr.cast(it) if it is not None else arr)
+                    row[key] = pa.array([mm[fn].as_py()], pt)
+            elif fn == "sum":
+                nn = arr.drop_null()
+                if pa.types.is_integer(t):
+                    v = str(exact_int_sum(nn.cast(pa.int64()))) if len(nn) else None
+                    row[key] = pa.array([v], pa.string())
+                else:
+                    s = (
+                        float(np.sum(nn.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)))
+                        if len(nn)
+                        else None
+                    )
+                    row[key] = pa.array([s], pa.float64())
+        return pa.table(row)
+
+
+def store_agg(
+    out_dir: str,
+    aggs,
+    predicate=None,
+    *,
+    verify_crc: bool = False,
+    return_plan: bool = False,
+):
+    """Aggregate an encoded store, answering from metadata wherever the zone
+    maps prove it sound and scanning (pruned, late-materialized) only the
+    containers they can't decide. Returns ``{agg_name: value}`` with min/max
+    in the column's logical type; ``return_plan=True`` also returns
+    ``{parts_total, pruned, meta_answered, scanned}``."""
+    import ray.data
+
+    from . import manifest as mf
+    from .decode import container_files, resolve_container_path
+
+    aggs = _normalize_aggs(aggs)
+    clauses = _normalize(predicate) if predicate else []
+    recs = mf.load_records(out_dir)
+    if not recs:
+        raise FileNotFoundError(f"no manifest records under {out_dir}")
+    container_files(out_dir)  # stray-container guard (same as scan_store)
+    schema = dict(_store_schema(out_dir, recs))
+    for _, col in aggs:
+        if col is not None and col not in schema:
+            raise ValueError(f"aggregate column {col!r} not in store schema {sorted(schema)}")
+    for col, _, _ in clauses:
+        if col not in schema:
+            raise ValueError(f"predicate column {col!r} not in store schema {sorted(schema)}")
+    for fn, col in aggs:
+        if fn == "sum" and not (
+            pa.types.is_integer(schema[col]) or pa.types.is_floating(schema[col])
+        ):
+            raise ValueError(f"sum over non-numeric column {col!r} ({schema[col]})")
+
+    acc: dict = {}
+    plan = {"parts_total": len(recs), "pruned": 0, "meta_answered": 0, "scanned": 0}
+    scan_paths: list[str] = []
+    for r in recs:
+        st = r.get("stats") or {}
+        rows = int(r.get("rows", 0))
+        if clauses and st and not record_may_match(st, rows, clauses):
+            plan["pruned"] += 1
+            continue
+        full = (not clauses) or (st and record_all_match(st, rows, clauses))
+        if full and _meta_answer(r, aggs, acc):
+            plan["meta_answered"] += 1
+        else:
+            scan_paths.append(resolve_container_path(out_dir, r))
+    plan["scanned"] = len(scan_paths)
+
+    if scan_paths:
+        agg_cols = list(dict.fromkeys(c for _, c in aggs if c is not None))
+        pred_cols = [c for c, _, _ in clauses]
+        out_cols = agg_cols or pred_cols[:1] or [next(iter(schema))]
+        read_cols = list(dict.fromkeys(out_cols + pred_cols))
+        ds = ray.data.read_binary_files(scan_paths)
+        ds = ds.map_batches(
+            _ScanDecoder(read_cols, out_cols, clauses, verify_crc),
+            batch_format="pyarrow",
+            batch_size=1,
+        )
+        partials = ds.map_batches(
+            _AggPartial(aggs, schema), batch_format="pyarrow", batch_size=None
+        ).take_all()
+        for p in partials:
+            for fn, col in aggs:
+                if fn == "count":
+                    acc["count"] = acc.get("count", 0) + int(p["_rows"])
+                    continue
+                key = f"{fn}_{col}"
+                v = p.get(key)
+                if v is None:
+                    continue
+                if fn == "sum" and isinstance(v, str):
+                    v = int(v)  # exact integer sum shipped as decimal string
+                cur = acc.get(key)
+                if fn == "min":
+                    acc[key] = v if cur is None else min(cur, v)
+                elif fn == "max":
+                    acc[key] = v if cur is None else max(cur, v)
+                else:  # nn / sum
+                    acc[key] = (cur or 0) + v
+
+    # finalize: counts default to 0; min/max leave the physical int domain
+    result: dict = {}
+    for fn, col in aggs:
+        key = fn if col is None else f"{fn}_{col}"
+        v = acc.get(key)
+        if fn in ("count", "nn"):
+            v = int(v or 0)
+        elif v is not None and fn in ("min", "max"):
+            t = schema[col]
+            if _int_physical(t) is not None and not pa.types.is_integer(t):
+                v = pa.scalar(v, type=_int_physical(t)).cast(t).as_py()
+        elif v is not None and fn == "sum" and pa.types.is_floating(schema[col]):
+            v = float(v)
+        result[key] = v
+    return (result, plan) if return_plan else result

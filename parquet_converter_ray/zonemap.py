@@ -84,6 +84,27 @@ def _int_physical(t: pa.DataType) -> pa.DataType | None:
     return None
 
 
+def exact_int_sum(col: "pa.Array | pa.ChunkedArray") -> int:
+    """Exact (arbitrary-precision) sum of a null-free int64 array.
+
+    ``pc.sum``/``np.sum`` wrap silently past int64; splitting each value into
+    its high/low 32-bit halves (two's-complement identity
+    ``v == (v >> 32) << 32 | (v & 0xFFFFFFFF)``) keeps every partial sum
+    within int64 for up to 2^31 rows per slice, and slicing bounds it for
+    any length. Python ints carry the recombination exactly."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    v = col.to_numpy(zero_copy_only=False)
+    total = 0
+    step = 1 << 30
+    for i in range(0, v.size, step):
+        s = v[i : i + step]
+        hi = int((s >> 32).sum(dtype=np.int64))
+        lo = int((s & 0xFFFFFFFF).sum(dtype=np.int64))
+        total += (hi << 32) + lo
+    return total
+
+
 def column_stats(
     table: pa.Table,
     codecs: dict[str, str] | None = None,
@@ -115,12 +136,26 @@ def column_stats(
             if it is not None:
                 mm = pc.min_max(col.cast(it))
                 mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                if pa.types.is_integer(t):
+                    # exact container SUM (hi/lo-split accumulation, never
+                    # overflows): metadata-only sum aggregates (storeagg.py)
+                    ent["sum"] = exact_int_sum(col.drop_null().cast(pa.int64()))
             elif pa.types.is_floating(t):
+                # nulls surface as NaN in the numpy view, so real NaNs are
+                # the isnan excess over null_count. NaN is a VALUE, not a
+                # null: it fails every comparison predicate and poisons sums
+                # — record its presence so the metadata layer (storeagg.py)
+                # knows when bounds don't cover all rows
                 v = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+                ent["nan"] = int(np.isnan(v).sum()) - int(col.null_count)
                 with np.errstate(invalid="ignore"):
                     lo, hi = np.nanmin(v), np.nanmax(v)
                 if not np.isnan(lo):
                     mn, mx = float(lo), float(hi)
+                if ent["nan"] == 0:
+                    s = float(np.nansum(v))  # nansum skips nulls-as-NaN
+                    if np.isfinite(s):
+                        ent["sum"] = s
             elif _is_strlike(t) and (codecs is None or codecs.get(name) == "dict" or name in bound_cols):
                 mm = pc.min_max(col)
                 mn, lo_approx = _trunc_min(mm["min"].as_py())

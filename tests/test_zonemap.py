@@ -80,8 +80,9 @@ def test_column_stats_types_and_nulls():
         }
     )
     st = column_stats(tbl, {"s": "dict", "payload": "plain"})
-    assert st["i"] == {"nulls": 1, "t": "int64", "min": -2, "max": 7}
+    assert st["i"] == {"nulls": 1, "t": "int64", "min": -2, "max": 7, "sum": 8}
     assert st["f"]["min"] == -0.5 and st["f"]["max"] == 1.5  # NaN ignored
+    assert st["f"]["nan"] == 1 and "sum" not in st["f"]  # NaN poisons the sum
     assert st["b"]["min"] == 0 and st["b"]["max"] == 1
     assert st["ts"]["min"] == 1_000 and st["ts"]["max"] == 2_000
     assert st["s"]["min"] == "a" and st["s"]["max"] == "c"
