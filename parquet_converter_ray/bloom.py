@@ -1,0 +1,156 @@
+"""Per-container Bloom filters for point-lookup pruning on HIGH-cardinality
+columns.
+
+Zone maps prune range predicates and the dictionary probe prunes ``==`` /
+``in`` on LOW-cardinality (dict-encoded) columns — but an equality lookup on
+a high-cardinality key (conversation id, document id, order key) over a
+store not hash-routed on that key (range-clustered layouts, secondary keys)
+has nothing to prune with: the value's bounds span every container. The
+classic columnar answer (Parquet's split-block Bloom filters, public format
+spec; ORC bloom streams) is a per-container Bloom filter: ~10 bits per
+distinct value buys a ~1% false-positive rate, so a point lookup opens ~1%
+of containers instead of all of them.
+
+Layout: filter bytes are written as an extra section between the column
+buffers and the footer; the footer's ``blooms`` map records per column
+``{offset, len, crc32, m, k, nd, algo}``. Readers that predate blooms
+ignore both (column offsets are explicit), and stores that predate blooms
+simply have no ``blooms`` entry — the probe passes everything through.
+
+Hashing MUST match across encode and probe: values go through the same
+version-pinned hashes the partitioner uses (``partition.stable_hash_ints``
+/ ``stable_hash_strings`` — pure numpy over Arrow buffers, no interpreter
+salt), then k indices derive by double hashing (Kirsch–Mitzenmacher):
+``idx_i = (h + i * ((h >> 33) | 1)) mod m`` with m a power of two.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .partition import stable_hash_ints, stable_hash_strings
+
+BLOOM_BITS_PER_VALUE = 10  # ~0.8% fpr at the optimal k=7
+BLOOM_MIN_BITS = 1 << 9  # 64 B floor: tiny containers still round-trip
+BLOOM_MAX_BITS = 1 << 24  # 2 MiB cap per column per container
+BLOOM_ALGO = "km-poly64-v1"  # bump if hashing or indexing ever changes
+
+
+def _is_strlike(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    )
+
+
+def bloom_supported(t: pa.DataType) -> bool:
+    """Equality-lookup types: integers and string/binary. Floats and
+    timestamps are range-query material — zone maps already serve them."""
+    return pa.types.is_integer(t) or _is_strlike(t)
+
+
+def _column_hashes(col: "pa.Array | pa.ChunkedArray") -> np.ndarray | None:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = col.drop_null()  # NULL never equals anything; keep it out
+    if len(col) == 0:
+        return None
+    t = col.type
+    if pa.types.is_integer(t):
+        return stable_hash_ints(col.cast(pa.int64()))
+    if _is_strlike(t):
+        return stable_hash_strings(col)
+    return None
+
+
+def value_hashes(vals: list) -> np.ndarray | None:
+    """Hash probe LITERALS exactly as ``_column_hashes`` hashed the column
+    (per-type dispatch — ``str(b'x')`` would hash the repr and miss).
+    None = not uniformly hashable; callers must not prune."""
+    from .partition import hash_conv_values
+
+    return hash_conv_values([v for v in vals if v is not None]) if vals else None
+
+
+def _indices(h: np.ndarray, k: int, m: int) -> np.ndarray:
+    """(len(h), k) bit indices by double hashing; m must be a power of two."""
+    h = h.astype(np.uint64, copy=False)
+    step = (h >> np.uint64(33)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return (h[:, None] + i[None, :] * step[:, None]) & np.uint64(m - 1)
+
+
+def build_bloom(col: "pa.Array | pa.ChunkedArray") -> "tuple[bytes, dict] | None":
+    """Bloom bytes + footer meta for one column of one (sorted) partition
+    table. None when the type is unsupported or the column is all-null."""
+    h = _column_hashes(col)
+    if h is None:
+        return None
+    hu = np.unique(h)  # size by DISTINCT values; dedups the insert loop too
+    nd = int(hu.size)
+    m = BLOOM_MIN_BITS
+    while m < nd * BLOOM_BITS_PER_VALUE and m < BLOOM_MAX_BITS:
+        m <<= 1
+    k = max(1, min(8, round(m / nd * 0.693))) if nd else 1
+    idx = _indices(hu, k, m).ravel()
+    bits = np.zeros(m >> 3, dtype=np.uint8)
+    np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                     (np.uint64(1) << (idx & np.uint64(7))).astype(np.uint8))
+    return bits.tobytes(), {"m": int(m), "k": int(k), "nd": nd, "algo": BLOOM_ALGO}
+
+
+def bloom_may_contain(bits: bytes, meta: dict, h: np.ndarray) -> np.ndarray:
+    """Per-value may-contain mask (no false negatives). Unknown ``algo``
+    versions answer all-True — never unsound, only unpruned."""
+    if meta.get("algo") != BLOOM_ALGO:
+        return np.ones(len(h), dtype=bool)
+    m, k = int(meta["m"]), int(meta["k"])
+    arr = np.frombuffer(bits, dtype=np.uint8)
+    idx = _indices(h, k, m)
+    probes = (arr[(idx >> np.uint64(3)).astype(np.int64)]
+              >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+    return probes.all(axis=1)
+
+
+def build_blooms(table: pa.Table, bloom_cols) -> "dict[str, tuple[bytes, dict]]":
+    out: dict[str, tuple[bytes, dict]] = {}
+    for name in bloom_cols:
+        if name not in table.column_names:
+            continue
+        built = build_bloom(table.column(name))
+        if built is not None:
+            out[name] = built
+    return out
+
+
+def bloom_probe_footer(path: str, footer: dict, clauses, verify_crc: bool = False) -> bool:
+    """True when the container may hold matches: for every ``==`` / ``in``
+    conjunct whose column has a Bloom filter here, at least one wanted value
+    must pass the filter. Filter bytes are RANGED-read (KB on any container
+    size); columns without filters or un-hashable literals never prune."""
+    blooms = footer.get("blooms") or {}
+    if not blooms:
+        return True
+    eq = [(c, op, v) for c, op, v in clauses if op in ("==", "in") and c in blooms]
+    if not eq:
+        return True
+    with open(path, "rb") as f:
+        for col, op, val in eq:
+            ent = blooms[col]
+            wanted = [val] if op == "==" else list(val)
+            h = value_hashes(wanted)
+            if h is None or len(h) == 0:
+                continue  # un-hashable literals: the exact filter decides
+            f.seek(int(ent["offset"]))
+            bits = f.read(int(ent["len"]))
+            if verify_crc and (zlib.crc32(bits) & 0xFFFFFFFF) != ent.get("crc32"):
+                raise ValueError(f"bloom crc mismatch for column {col!r} in {path}")
+            if not bool(bloom_may_contain(bits, ent, h).any()):
+                return False
+    return True

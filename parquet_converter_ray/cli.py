@@ -91,6 +91,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="range-cluster partitions on numeric/temporal column(s) "
                         "— several columns use a Z-order key so zone maps prune "
                         "predicates on ANY of them; conv-key lookup degrades to scan")
+    p.add_argument("--bloom-cols", nargs="+", default=None, metavar="COL",
+                   help="write a per-container Bloom filter for these int/string "
+                        "columns so ==/in point lookups prune containers the "
+                        "zone maps can't (high-cardinality keys)")
 
     p = sub.add_parser("decode", help="decode containers back to parquet")
     p.add_argument("input")
@@ -241,6 +245,7 @@ def main(argv: list[str] | None = None) -> int:
                 salt_rows=args.salt_rows,
                 resume=args.resume,
                 cluster_by=args.cluster_by,
+                bloom_cols=args.bloom_cols,
             )
             print(json.dumps(summary))
         elif args.cmd == "decode":

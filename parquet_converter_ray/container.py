@@ -27,7 +27,11 @@ MAGIC = b"PCRC1\0"
 FOOTER_VERSION = 1
 
 
-def pack_container(blobs: dict[str, ColumnBlob], extra: dict | None = None) -> bytes:
+def pack_container(
+    blobs: dict[str, ColumnBlob],
+    extra: dict | None = None,
+    blooms: "dict[str, tuple[bytes, dict]] | None" = None,
+) -> bytes:
     parts: list[bytes] = [MAGIC]
     offset = len(MAGIC)
     cols = []
@@ -51,7 +55,24 @@ def pack_container(blobs: dict[str, ColumnBlob], extra: dict | None = None) -> b
         )
         parts.extend(bufs)
         offset += sum(buf_lens)
-    footer = {"version": FOOTER_VERSION, "columns": cols, **(extra or {})}
+    bloom_entries: dict[str, dict] = {}
+    for name, (bits, meta) in (blooms or {}).items():
+        # bloom sections sit between the column buffers and the footer —
+        # column offsets are explicit, so pre-bloom readers skip them free
+        bloom_entries[name] = {
+            **meta,
+            "offset": offset,
+            "len": len(bits),
+            "crc32": zlib.crc32(bits) & 0xFFFFFFFF,
+        }
+        parts.append(bits)
+        offset += len(bits)
+    footer = {
+        "version": FOOTER_VERSION,
+        "columns": cols,
+        **({"blooms": bloom_entries} if bloom_entries else {}),
+        **(extra or {}),
+    }
     fb = json.dumps(footer).encode()
     parts.append(fb)
     parts.append(len(fb).to_bytes(8, "little"))

@@ -97,6 +97,7 @@ class EncodePartition:
         fault_hook: Callable[[int], None] | None = None,
         generation: int = 0,
         bound_cols: "frozenset[str]" = frozenset(),
+        bloom_cols: "frozenset[str]" = frozenset(),
     ):
         self.out_dir = out_dir
         self.codec = codec
@@ -104,6 +105,7 @@ class EncodePartition:
         self.fault_hook = fault_hook
         self.generation = int(generation)
         self.bound_cols = frozenset(bound_cols)  # force zone-map bounds (range-cluster string cols)
+        self.bloom_cols = frozenset(bloom_cols)  # per-container Bloom filters (point-lookup pruning)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         pin_arrow_threads(1)
@@ -135,11 +137,17 @@ class EncodePartition:
         from .zonemap import page_stats
 
         pages = page_stats(table)
+        blooms = None
+        if self.bloom_cols:
+            from .bloom import build_blooms
+
+            blooms = build_blooms(table, self.bloom_cols)
         payload = pack_container(
             blobs,
             extra={"part_id": part_id, "rows": table.num_rows, "sort_key": sort_cols,
                    "generation": self.generation, "stats": stats,
                    **({"pages": pages} if pages else {})},
+            blooms=blooms,
         )
         gsuf = f"-g{self.generation:04d}" if self.generation else ""
         path = os.path.join(self.out_dir, f"part-{part_id:05d}{gsuf}.pcc")
@@ -370,6 +378,7 @@ def encode_dataset(
     page_shuffle: bool = False,
     shuffle_strategy: str | None = None,
     cluster_by: str | None = None,
+    bloom_cols: "Sequence[str] | None" = None,
     fault_hook: Callable[[int], None] | None = None,
 ) -> dict:
     """Run the encode pipeline; returns the consolidated manifest summary.
@@ -478,6 +487,20 @@ def encode_dataset(
         else:
             range_cuts, cluster_norm = _range_cuts(ds, cluster_by, n_parts)
 
+    if bloom_cols:
+        bloom_cols = [bloom_cols] if isinstance(bloom_cols, str) else list(bloom_cols)
+        missing_bloom = [c for c in bloom_cols if c not in schema_names]
+        if missing_bloom:
+            raise ValueError(f"bloom_cols {missing_bloom} not in schema {schema_names}")
+        from .bloom import bloom_supported
+
+        base = ds.schema().base_schema
+        bad = [c for c in bloom_cols if not bloom_supported(base.field(c).type)]
+        if bad:
+            raise ValueError(
+                f"bloom_cols {bad} are not integer/string/binary — Bloom filters "
+                "serve equality lookups; range predicates already prune via zone maps"
+            )
     run_params = {
         "n_parts": int(n_parts),
         "salt_rows": int(salt_rows),
@@ -489,6 +512,11 @@ def encode_dataset(
         "cluster_by": cluster_by,
         "range_cuts": range_cuts,
         "cluster_norm": cluster_norm,
+        # not a partitioning parameter (not in RUN_PARAM_KEYS): a resume or
+        # append under different bloom_cols yields mixed containers, which
+        # the probe handles (absent filter = no pruning) — recorded so
+        # append reuses it by default
+        "bloom_cols": list(bloom_cols or []),
     }
     if resume and prior is not None:
         # stores written before range clustering existed have no
@@ -555,9 +583,10 @@ def encode_dataset(
             ds = ds.map_batches(_skip_done, batch_format="pyarrow")
 
     cls = EncodePages if page_shuffle else EncodePartition
+    enc_kw = {} if page_shuffle else {"bloom_cols": frozenset(bloom_cols or ())}
     encoder = cls(
         out_dir, codec=codec, sort_key=sort_key, fault_hook=fault_hook,
-        bound_cols=frozenset(cluster_by or ()),
+        bound_cols=frozenset(cluster_by or ()), **enc_kw,
     )
 
     def encode_partition(group: pa.Table) -> pa.Table:
@@ -657,6 +686,11 @@ def compact_dataset(
         # (cuts are resampled for the new n_parts); pass cluster_by=None to
         # convert back to the hash layout
         cluster_by=kw.pop("cluster_by", prior.get("cluster_by")),
+        # Bloom columns likewise carry through (minus any dropped columns)
+        bloom_cols=kw.pop(
+            "bloom_cols",
+            [c for c in (prior.get("bloom_cols") or []) if c not in set(drop_columns or ())],
+        ),
         **kw,
     )
 
@@ -833,6 +867,7 @@ def append_dataset(
     encoder = EncodePartition(
         out_dir, codec=codec, sort_key=sort_key, generation=gen,
         bound_cols=frozenset(prior.get("cluster_by") or ()),
+        bloom_cols=frozenset(prior.get("bloom_cols") or ()),
     )
 
     def _encode_group(g: pa.Table) -> pa.Table:

@@ -512,7 +512,7 @@ def container_dict_values(path: str, col_entry: dict):
         return np.frombuffer(unwrap_buf(f.read(ln)), dtype=np.dtype(meta["dtype"]))
 
 
-def dict_probe_path(path: str, clauses) -> bool:
+def dict_probe_path(path: str, clauses, footer: dict | None = None) -> bool:
     """True when the container at ``path`` may contain matches: for every
     ==/in conjunct whose column is dict-encoded in this container, at least
     one wanted value must appear in the dictionary."""
@@ -521,7 +521,8 @@ def dict_probe_path(path: str, clauses) -> bool:
     eq = [(c, op, v) for c, op, v in clauses if op in ("==", "in")]
     if not eq:
         return True
-    footer = read_footer_file(path)
+    if footer is None:
+        footer = read_footer_file(path)
     cols = {c["name"]: c for c in footer["columns"]}
     for col, op, val in eq:
         ent = cols.get(col)
@@ -815,7 +816,8 @@ def scan_store(
 
     clauses = _normalize(predicate)
     recs = mf.load_records(out_dir)
-    plan = {"parts_total": 0, "pruned_stats": 0, "pruned_hash": 0, "pruned_dict": 0, "scanned": 0}
+    plan = {"parts_total": 0, "pruned_stats": 0, "pruned_hash": 0, "pruned_dict": 0,
+            "pruned_bloom": 0, "scanned": 0}
     if recs:
         container_files(out_dir)  # stray-container guard
         hash_pids = _hash_route_parts(out_dir, recs, clauses)
@@ -854,16 +856,35 @@ def scan_store(
         read_cols = list(dict.fromkeys(list(columns) + [c for c, _, _ in clauses]))
 
     if paths and dict_probe and any(op in ("==", "in") for _, op, _ in clauses):
-        # distributed probe: tiny ranged reads per path, never on the driver
+        # distributed probe: tiny ranged reads per path, never on the driver.
+        # One footer read serves both checks: the dictionary probe (low-card
+        # dict-encoded columns) and the Bloom probe (high-card int/string
+        # columns encoded with bloom_cols)
+        from .bloom import bloom_probe_footer
+        from .container import read_footer_file
+
         pds = ray.data.from_items([{"path": p} for p in paths])
 
         def _probe(batch: pa.Table) -> pa.Table:
-            keep = [p for p in batch["path"].to_pylist() if dict_probe_path(p, clauses)]
-            return pa.table({"path": pa.array(keep, type=pa.string())})
+            out_p, out_v = [], []
+            for p in batch["path"].to_pylist():
+                footer = read_footer_file(p)
+                if not dict_probe_path(p, clauses, footer):
+                    v = "dict"
+                elif not bloom_probe_footer(p, footer, clauses):
+                    v = "bloom"
+                else:
+                    v = "keep"
+                out_p.append(p)
+                out_v.append(v)
+            return pa.table({"path": pa.array(out_p, type=pa.string()),
+                             "verdict": pa.array(out_v, type=pa.string())})
 
-        kept = [r["path"] for r in pds.map_batches(_probe, batch_format="pyarrow").take_all()]
-        plan["pruned_dict"] = len(paths) - len(kept)
-        paths = [p for p in paths if p in set(kept)]  # preserve order
+        verdicts = {r["path"]: r["verdict"]
+                    for r in pds.map_batches(_probe, batch_format="pyarrow").take_all()}
+        plan["pruned_dict"] = sum(1 for v in verdicts.values() if v == "dict")
+        plan["pruned_bloom"] = sum(1 for v in verdicts.values() if v == "bloom")
+        paths = [p for p in paths if verdicts.get(p) == "keep"]  # preserve order
 
     plan["scanned"] = len(paths)
     if not paths:
