@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_unique_users": windows.events_window_unique_users,
         "events_window_unique_users_approx": windows.events_window_unique_users_approx,
         "lineitem_range_scan": transcripts.lineitem_range_scan,
+        "lineitem_bloom_scan": transcripts.lineitem_bloom_scan,
         "documents_source_scan": transcripts.documents_source_scan,
         "store_agg_pushdown": transcripts.store_agg_pushdown,
         "store_agg_metadata_only": transcripts.store_agg_metadata_only,
@@ -386,6 +387,17 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem
             WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        """,
+        "lineitem_bloom_scan": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE l_orderkey = (
+                SELECT min(l_orderkey) FROM lineitem
+                WHERE l_orderkey >= (
+                    SELECT (min(l_orderkey) + max(l_orderkey)) // 2 FROM lineitem
+                )
+            )
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
         """,
         "documents_source_scan": """
             SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars

@@ -385,9 +385,11 @@ def lineitem_scan_pushdown(sf_dir: str) -> pa.Table:
 def _lineitem_range_store(sf_dir: str) -> str:
     """Range-clustered lineitem store (cluster_by=l_shipdate), cached per sf.
     Unlike ``_lineitem_store``'s hash layout, each container covers a
-    disjoint ship-date range so zone maps prune date-band scans."""
+    disjoint ship-date range so zone maps prune date-band scans. Carries a
+    Bloom filter on l_orderkey — the key this layout can NOT hash-route, so
+    an orderkey point lookup has only the filter to prune with."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(_CACHE, f"encoded-lineitem-range-{tag}")
+    out = os.path.join(_CACHE, f"encoded-lineitem-range2-{tag}")
     if not os.path.exists(os.path.join(out, "manifest.jsonl")):
         import shutil
 
@@ -400,6 +402,7 @@ def _lineitem_range_store(sf_dir: str) -> str:
             sort_key=("l_orderkey", "l_linenumber"),
             salt_rows=0,
             cluster_by="l_shipdate",
+            bloom_cols=["l_orderkey"],
         )
     return out
 
@@ -436,6 +439,39 @@ def lineitem_range_scan(sf_dir: str) -> pa.Table:
             "revenue": pa.array([float(sql_round(np.array([rev]), 2)[0])], pa.float64()),
         }
     )
+
+
+def lineitem_bloom_scan(sf_dir: str) -> pa.Table:
+    """Point lookup on a HIGH-cardinality key over a range-clustered store:
+    the store is clustered by l_shipdate, so l_orderkey is not hash-routable
+    and every container spans nearly the full orderkey domain — zone maps
+    cannot prune an equality on it. The per-container Bloom filter written
+    at encode (``bloom_cols=["l_orderkey"]``) is the only pruning lever, and
+    drops the containers the key's ~1-2 ship-date-adjacent lines don't touch.
+
+    The probed key is derived deterministically from the store itself: the
+    smallest orderkey >= the domain midpoint, with the midpoint computed
+    from manifest zone-map metadata alone (``store_agg`` opens no files for
+    an unpredicated min/max). Oracle: the same two-step selection in SQL."""
+    from ..storeagg import store_agg
+    from ..zonemap import scan_store
+
+    store = _lineitem_range_store(sf_dir)
+    bounds = store_agg(store, ["min:l_orderkey", "max:l_orderkey"])
+    mid = (int(bounds["min_l_orderkey"]) + int(bounds["max_l_orderkey"])) // 2
+    key = int(store_agg(store, ["min:l_orderkey"], [("l_orderkey", ">=", mid)])["min_l_orderkey"])
+
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    ds = scan_store(store, [("l_orderkey", "==", key)], columns=cols)
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if batches:
+        tbl = pa.concat_tables(batches)
+    else:
+        s = ds.schema()
+        tbl = pa.table({n: pa.array([], type=t) for n, t in zip(s.names, s.types)})
+    # (l_orderkey, l_linenumber) is NOT unique in the synth lineitem — sort
+    # by every output column so tied rows cannot shuffle payload values
+    return tbl.sort_by([(c, "ascending") for c in cols])
 
 
 def store_agg_pushdown(sf_dir: str) -> pa.Table:

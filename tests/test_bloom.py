@@ -170,6 +170,31 @@ def test_pre_bloom_store_unaffected(ray_session, transcripts, tmp_path):
     assert plan["pruned_bloom"] == 0  # nothing to prune with, nothing breaks
 
 
+def test_lineitem_bloom_scan_query_prunes(ray_session):
+    """The driver-gated query's store: ts-clustered lineitem where l_orderkey
+    spans every container — only the Bloom filter can prune the point lookup."""
+    from parquet_converter_ray.pipelines.transcripts import (
+        _lineitem_range_store,
+        lineitem_bloom_scan,
+    )
+    from parquet_converter_ray.storeagg import store_agg
+
+    sf = "/root/testdata/sf0.001"
+    tbl = lineitem_bloom_scan(sf)
+    assert tbl.num_rows >= 1
+    assert len(set(tbl["l_orderkey"].to_pylist())) == 1
+    store = _lineitem_range_store(sf)
+    key = int(tbl["l_orderkey"][0].as_py())
+    _, plan = scan_store(store, [("l_orderkey", "==", key)],
+                         columns=["l_orderkey"], return_plan=True)
+    # mid-domain key: zone-map stats can't prune (full-domain spans); bloom must
+    assert plan["pruned_bloom"] >= 1
+    assert plan["scanned"] < plan["parts_total"]
+    # and the key-pick aggregates answer from metadata without opening files
+    _, aplan = store_agg(store, ["min:l_orderkey", "max:l_orderkey"], return_plan=True)
+    assert aplan["scanned"] == 0
+
+
 def test_bloom_cols_validation(ray_session, transcripts, tmp_path):
     with pytest.raises(ValueError, match="not in schema"):
         encode_dataset(ray.data.from_arrow(transcripts), str(tmp_path / "a"),
