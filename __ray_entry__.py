@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_unique_users_approx": windows.events_window_unique_users_approx,
         "lineitem_range_scan": transcripts.lineitem_range_scan,
         "lineitem_bloom_scan": transcripts.lineitem_bloom_scan,
+        "lineitem_band_union_revenue": transcripts.lineitem_band_union_revenue,
         "documents_source_scan": transcripts.documents_source_scan,
         "store_agg_pushdown": transcripts.store_agg_pushdown,
         "store_agg_metadata_only": transcripts.store_agg_metadata_only,
@@ -387,6 +388,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem
             WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        """,
+        "lineitem_band_union_revenue": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate BETWEEN TIMESTAMP '1993-01-01' AND TIMESTAMP '1993-12-31'
+               OR l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
         """,
         "lineitem_bloom_scan": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -154,9 +154,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("encoded_dir")
     p.add_argument(
-        "--where", action="append", required=True, metavar="CLAUSE",
+        "--where", action="append", metavar="CLAUSE",
         help="conjunct like 'turn_idx>=100', 'role==user', 'tool in search,browser', "
              "'ts between 1000,2000' (repeatable, ANDed)",
+    )
+    p.add_argument(
+        "--where-any", action="append", metavar="BRANCH",
+        help="OR-branch of '&'-separated conjuncts, e.g. "
+             "--where-any 'ts between 1000,2000 & role==user' --where-any 'turn_idx==0'; "
+             "branches are ORed (and ANDed with any --where conjuncts); a container "
+             "is pruned only when every branch proves no-match",
     )
     p.add_argument("--columns", nargs="*", default=None)
     p.add_argument("--output", default=None, help="write matches as parquet instead of counting")
@@ -327,9 +334,18 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "scan":
             from .zonemap import scan_store
 
-            clauses = [_parse_where(w) for w in args.where]
+            if not args.where and not args.where_any:
+                raise ValueError("scan needs --where and/or --where-any")
+            common = [_parse_where(w) for w in (args.where or [])]
+            if args.where_any:
+                predicate = ("or", [
+                    common + [_parse_where(c) for c in b.split("&")]
+                    for b in args.where_any
+                ])
+            else:
+                predicate = common
             ds, plan = scan_store(
-                args.encoded_dir, clauses, columns=args.columns, return_plan=True
+                args.encoded_dir, predicate, columns=args.columns, return_plan=True
             )
             if args.output:
                 ds.write_parquet(args.output, compression=cfg.compression)

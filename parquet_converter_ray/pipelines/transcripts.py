@@ -441,6 +441,43 @@ def lineitem_range_scan(sf_dir: str) -> pa.Table:
     )
 
 
+def lineitem_band_union_revenue(sf_dir: str) -> pa.Table:
+    """Disjunctive pushdown over the range-clustered store: revenue in the
+    union of two disjoint ship-date bands. Each pruning level keeps a
+    container only when SOME branch may match, so the middle years between
+    the bands never decode; the exact filter is the OR of the branch masks.
+    Oracle: the same OR in SQL over the raw table."""
+    from ..zonemap import scan_store
+
+    ds = scan_store(
+        _lineitem_range_store(sf_dir),
+        ("or", [
+            [("l_shipdate", "between", ("1993-01-01", "1993-12-31"))],
+            [("l_shipdate", "between", ("1997-01-01", "1997-12-31"))],
+        ]),
+        columns=["l_extendedprice", "l_discount"],
+    )
+    n = 0
+    rev = 0.0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        n += b.num_rows
+        if b.num_rows:
+            rev += float(
+                np.sum(
+                    b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+                )
+            )
+    from ._util import sql_round
+
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "revenue": pa.array([float(sql_round(np.array([rev]), 2)[0])], pa.float64()),
+        }
+    )
+
+
 def lineitem_bloom_scan(sf_dir: str) -> pa.Table:
     """Point lookup on a HIGH-cardinality key over a range-clustered store:
     the store is clustered by l_shipdate, so l_orderkey is not hash-routable

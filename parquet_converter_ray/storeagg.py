@@ -50,7 +50,7 @@ from .codecs import str_to_type
 from .zonemap import (
     _coerce,
     _int_physical,
-    _normalize,
+    _normalize_dnf,
     _ScanDecoder,
     _store_schema,
     exact_int_sum,
@@ -250,7 +250,8 @@ def store_agg(
     from .decode import container_files, resolve_container_path
 
     aggs = _normalize_aggs(aggs)
-    clauses = _normalize(predicate) if predicate else []
+    dnf = _normalize_dnf(predicate) if predicate else []
+    clauses = [cl for br in dnf for cl in br]  # flat view: column collection
     recs = mf.load_records(out_dir)
     if not recs:
         raise FileNotFoundError(f"no manifest records under {out_dir}")
@@ -274,10 +275,15 @@ def store_agg(
     for r in recs:
         st = r.get("stats") or {}
         rows = int(r.get("rows", 0))
-        if clauses and st and not record_may_match(st, rows, clauses):
+        # disjunction semantics: prune when NO branch may match; a container
+        # is fully matching when SOME branch provably matches every row
+        # (every row matching branch A matches the OR)
+        if dnf and st and not any(record_may_match(st, rows, br) for br in dnf):
             plan["pruned"] += 1
             continue
-        full = (not clauses) or (st and record_all_match(st, rows, clauses))
+        full = (not dnf) or (
+            st and any(record_all_match(st, rows, br) for br in dnf)
+        )
         if full and _meta_answer(r, aggs, acc):
             plan["meta_answered"] += 1
         else:
@@ -291,7 +297,7 @@ def store_agg(
         read_cols = list(dict.fromkeys(out_cols + pred_cols))
         ds = ray.data.read_binary_files(scan_paths)
         ds = ds.map_batches(
-            _ScanDecoder(read_cols, out_cols, clauses, verify_crc),
+            _ScanDecoder(read_cols, out_cols, dnf, verify_crc),
             batch_format="pyarrow",
             batch_size=1,
         )

@@ -333,11 +333,55 @@ def _hash_route_parts(out_dir: str, recs: list[dict], clauses) -> "set[int] | No
     }
 
 
+def _normalize_dnf(predicate) -> list[list[tuple[str, str, object]]]:
+    """Normalize a predicate into DNF: a list of OR-branches, each branch a
+    conjunct list. Accepted forms: a plain conjunct list (one branch — the
+    classic AND form every caller uses), or ``("or", [branch, ...])`` /
+    ``{"or": [branch, ...]}`` where each branch is a conjunct list. A
+    disjunction prunes a container only when EVERY branch proves no-match —
+    exactly how Parquet/Iceberg expression pruning treats OR."""
+    branches = None
+    if isinstance(predicate, dict) and set(predicate) == {"or"}:
+        branches = predicate["or"]
+    elif (
+        isinstance(predicate, tuple)
+        and len(predicate) == 2
+        and predicate[0] == "or"
+    ):
+        branches = predicate[1]
+    if branches is None:
+        return [_normalize(predicate)]
+    out = [_normalize(b) for b in branches]
+    if not out or any(not b for b in out):
+        raise ValueError("'or' predicate needs at least one non-empty branch")
+    return out
+
+
+def _as_dnf(clauses) -> list[list[tuple[str, str, object]]]:
+    """Internal: clause input that may already be normalized — either a flat
+    conjunct list or a DNF list-of-branches — to the DNF form."""
+    if not clauses:
+        return []
+    return clauses if isinstance(clauses[0], list) else [clauses]
+
+
+def dnf_mask(table: pa.Table, dnf):
+    """Boolean match mask for a DNF clause set (OR of AND-branches)."""
+    mask = None
+    for branch in _as_dnf(dnf):
+        m = predicate_mask(table, branch)
+        if m is None:  # a branch with no conjuncts matches everything
+            return None
+        mask = m if mask is None else pc.or_(mask, m)
+    return mask
+
+
 def _normalize(predicate) -> list[tuple[str, str, object]]:
     """Predicate = iterable of (column, op, value) conjuncts.
 
     ``in`` takes a list/tuple/set of values, ``between`` an inclusive
-    (lo, hi) pair; everything is ANDed (disjunctions don't prune anyway).
+    (lo, hi) pair; everything is ANDed. Disjunctions go through
+    ``_normalize_dnf``.
     """
     clauses = []
     for cl in predicate:
@@ -687,6 +731,7 @@ class _ScanDecoder:
         self.read_cols = read_cols
         self.out_cols = out_cols
         self.clauses = clauses
+        self.dnf = _as_dnf(clauses)  # OR-branches; the common AND case is one branch
         self.verify_crc = verify_crc
         self.frac = _late_mat_frac()
         self.range_hits = 0
@@ -698,16 +743,37 @@ class _ScanDecoder:
 
         footer, blobs = unpack_container(data, columns=self.read_cols, verify_crc=self.verify_crc)
         names = [c["name"] for c in footer["columns"] if self.read_cols is None or c["name"] in self.read_cols]
-        if not self.clauses:
+        if not self.dnf:
             t = pa.table({nm: decode_array(blobs[nm]) for nm in names})
             return t.select(self.out_cols) if self.out_cols is not None else t
-        pred_cols = list(dict.fromkeys(c for c, _, _ in self.clauses))
+        pred_cols = list(dict.fromkeys(c for br in self.dnf for c, _, _ in br))
         n = blobs[pred_cols[0]].n  # rows in container
         out_names = self.out_cols if self.out_cols is not None else names
         readers: dict = {}
-        rng = sorted_lead_range(footer, blobs, self.clauses, readers)
+        # per-branch pushdown, OR-combined: the sorted-lead range is the
+        # bounding hull of branch ranges (None if any branch is unbounded on
+        # the lead column); the page mask is the union of branch masks (None
+        # if any branch has no page-stats column)
+        rngs: "list[tuple[int, int]] | None" = []
+        for br in self.dnf:
+            r = sorted_lead_range(footer, blobs, br, readers)
+            if r is None:
+                rngs = None
+                break
+            rngs.append(r)
+        rng = (min(r[0] for r in rngs), max(r[1] for r in rngs)) if rngs else None
         pages = footer.get("pages")
-        pm = page_candidate_mask(pages, n, self.clauses) if pages else None
+        pm = None
+        if pages:
+            pms: "list[np.ndarray] | None" = []
+            for br in self.dnf:
+                m = page_candidate_mask(pages, n, br)
+                if m is None:
+                    pms = None
+                    break
+                pms.append(m)
+            if pms:
+                pm = np.logical_or.reduce(pms)
         if rng is not None or pm is not None:
             lo, hi = rng if rng is not None else (0, n)
             ranges: list[tuple[int, int]] = []
@@ -742,7 +808,7 @@ class _ScanDecoder:
 
                 rsel = np.concatenate([np.arange(s, e, dtype=np.int64) for s, e in ranges])
                 pred = {nm: rd(nm)(rsel) for nm in pred_cols}
-                mask = predicate_mask(pa.table(pred), self.clauses)
+                mask = dnf_mask(pa.table(pred), self.dnf)
                 if isinstance(mask, pa.ChunkedArray):
                     mask = mask.combine_chunks()
                 local = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
@@ -753,7 +819,7 @@ class _ScanDecoder:
                 }
                 return pa.table(cols)
         pred = {nm: decode_array(blobs[nm]) for nm in pred_cols}
-        mask = predicate_mask(pa.table(pred), self.clauses)
+        mask = dnf_mask(pa.table(pred), self.dnf)
         if isinstance(mask, pa.ChunkedArray):
             mask = mask.combine_chunks()
         k = int(pc.sum(mask).as_py() or 0)
@@ -808,19 +874,34 @@ def scan_store(
     Containers written before zone maps existed have no ``stats`` and are
     conservatively scanned. ``return_plan=True`` also returns
     ``{parts_total, pruned_stats, pruned_dict, scanned}``.
+
+    ``predicate`` is a conjunct list (AND), or a disjunction of
+    conjunctions — ``("or", [branch, ...])`` / ``{"or": [branch, ...]}`` —
+    in which case every pruning level keeps a container when ANY branch may
+    match it (Parquet/Iceberg OR-expression pruning semantics) and the
+    exact filter is the OR of branch masks.
     """
     import ray.data
 
     from . import manifest as mf
     from .decode import container_files, resolve_container_path
 
-    clauses = _normalize(predicate)
+    dnf = _normalize_dnf(predicate)
+    clauses = [cl for br in dnf for cl in br]  # flat view: column collection
     recs = mf.load_records(out_dir)
     plan = {"parts_total": 0, "pruned_stats": 0, "pruned_hash": 0, "pruned_dict": 0,
             "pruned_bloom": 0, "scanned": 0}
     if recs:
         container_files(out_dir)  # stray-container guard
-        hash_pids = _hash_route_parts(out_dir, recs, clauses)
+        # hash routing over a disjunction: a container is reachable if ANY
+        # branch routes to it; one unroutable branch forfeits the level
+        hash_pids: "set[int] | None" = set()
+        for br in dnf:
+            pids = _hash_route_parts(out_dir, recs, br)
+            if pids is None:
+                hash_pids = None
+                break
+            hash_pids |= pids
         paths = []
         for r in recs:
             plan["parts_total"] += 1
@@ -828,7 +909,9 @@ def scan_store(
                 plan["pruned_hash"] += 1
                 continue
             st = r.get("stats") or {}
-            if st and not record_may_match(st, int(r.get("rows", 0)), clauses):
+            if st and not any(
+                record_may_match(st, int(r.get("rows", 0)), br) for br in dnf
+            ):
                 plan["pruned_stats"] += 1
                 continue
             paths.append(resolve_container_path(out_dir, r))
@@ -855,7 +938,9 @@ def scan_store(
         out_cols = list(columns)
         read_cols = list(dict.fromkeys(list(columns) + [c for c, _, _ in clauses]))
 
-    if paths and dict_probe and any(op in ("==", "in") for _, op, _ in clauses):
+    if paths and dict_probe and all(
+        any(op in ("==", "in") for _, op, _ in br) for br in dnf
+    ):
         # distributed probe: tiny ranged reads per path, never on the driver.
         # One footer read serves both checks: the dictionary probe (low-card
         # dict-encoded columns) and the Bloom probe (high-card int/string
@@ -869,12 +954,17 @@ def scan_store(
             out_p, out_v = [], []
             for p in batch["path"].to_pylist():
                 footer = read_footer_file(p)
-                if not dict_probe_path(p, clauses, footer):
-                    v = "dict"
-                elif not bloom_probe_footer(p, footer, clauses):
-                    v = "bloom"
-                else:
+                # a container survives if ANY branch passes both probes;
+                # pruned counts attribute to the deepest level any branch hit
+                v = "dict"
+                for br in dnf:
+                    if not dict_probe_path(p, br, footer):
+                        continue
+                    if not bloom_probe_footer(p, footer, br):
+                        v = "bloom"
+                        continue
                     v = "keep"
+                    break
                 out_p.append(p)
                 out_v.append(v)
             return pa.table({"path": pa.array(out_p, type=pa.string()),
@@ -903,13 +993,13 @@ def scan_store(
             fn_constructor_kwargs={
                 "read_cols": read_cols,
                 "out_cols": out_cols,
-                "clauses": clauses,
+                "clauses": dnf,
                 "verify_crc": verify_crc,
             },
             **kwargs,
         )
     else:
-        dec = _ScanDecoder(read_cols, out_cols, clauses, verify_crc)
+        dec = _ScanDecoder(read_cols, out_cols, dnf, verify_crc)
         ds = ds.map_batches(dec, **kwargs)
     return (ds, plan) if return_plan else ds
 
