@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_range_scan": transcripts.lineitem_range_scan,
         "lineitem_bloom_scan": transcripts.lineitem_bloom_scan,
         "lineitem_band_union_revenue": transcripts.lineitem_band_union_revenue,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "documents_source_scan": transcripts.documents_source_scan,
         "store_agg_pushdown": transcripts.store_agg_pushdown,
         "store_agg_metadata_only": transcripts.store_agg_metadata_only,
@@ -388,6 +389,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem
             WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "lineitem_band_union_revenue": """
             SELECT count(*)::BIGINT AS n_rows,

@@ -872,6 +872,70 @@ def q14_promo_revenue(sf_dir: str, year: int = 1996) -> pa.Table:
     return pa.table({"promo_revenue_pct": pa.array(pct, pa.float64())})
 
 
+_Q19_BRANCHES = (
+    # (brand, max size, qty lo, qty hi) — TPC-H Q19's shape (the classic
+    # OR-of-conjunctions benchmark query) over the synth columns; size bands
+    # widened so the smallest sf still selects rows
+    ("Brand#12", 15, 1.0, 11.0),
+    ("Brand#23", 20, 10.0, 20.0),
+    ("Brand#34", 25, 20.0, 30.0),
+)
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape: revenue under an OR of three (brand, size-band,
+    quantity-band) conjunctions spanning BOTH join sides. The part dimension
+    broadcasts once via ``ray.put`` (brand id + size per partkey); each
+    lineitem batch maps partkeys with one vectorized ``index_in``, evaluates
+    the three branch masks in numpy and ORs them — zero shuffles, one scan,
+    revenue partials merged on the driver."""
+    parts = _t(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    brands = [b for b, _, _, _ in _Q19_BRANCHES]
+    bid = np.full(len(parts), -1, dtype=np.int8)
+    pb = parts["p_brand"].to_numpy()
+    for i, b in enumerate(brands):
+        bid[pb == b] = i
+    ref = ray.put(
+        (pa.array(parts["p_partkey"].to_numpy()), bid, parts["p_size"].to_numpy().astype(np.int32))
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        keys, branch_id, size = ray.get(ref)
+        idx = pc.fill_null(pc.index_in(batch["l_partkey"], value_set=keys), -1).to_numpy(
+            zero_copy_only=False
+        )
+        hit = idx >= 0
+        j = np.maximum(idx, 0)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        m = np.zeros(len(idx), dtype=bool)
+        for i, (_, size_hi, qlo, qhi) in enumerate(_Q19_BRANCHES):
+            m |= (
+                hit
+                & (branch_id[j] == i)
+                & (size[j] >= 1)
+                & (size[j] <= size_hi)
+                & (qty >= qlo)
+                & (qty <= qhi)
+            )
+        if not m.any():
+            return pd.DataFrame({"k": [0], "revenue": [0.0]})
+        rev = (
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[m])
+        )
+        return pd.DataFrame({"k": [0], "revenue": [float(rev.sum())]})
+
+    cols = ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    tot = finish_on_driver(
+        _t(sf_dir, "lineitem", columns=cols).map_batches(partial, batch_format="pyarrow"),
+        ["k"],
+        ["revenue"],
+    )
+    return pa.table(
+        {"revenue": pa.array(sql_round(tot["revenue"].to_numpy(), 2), pa.float64())}
+    )
+
+
 def session_duration_quantiles(
     sf_dir: str, gap_minutes: int = 30, qs: tuple = (0.5, 0.9, 0.99)
 ) -> pa.Table:
