@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_bloom_scan": transcripts.lineitem_bloom_scan,
         "lineitem_band_union_revenue": transcripts.lineitem_band_union_revenue,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "store_bucket_join": transcripts.store_bucket_join,
         "documents_source_scan": transcripts.documents_source_scan,
         "store_agg_pushdown": transcripts.store_agg_pushdown,
         "store_agg_metadata_only": transcripts.store_agg_metadata_only,
@@ -389,6 +390,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem
             WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        """,
+        "store_bucket_join": """
+            SELECT o_orderpriority,
+                   count(*)::BIGINT AS n_lineitems,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "q19_disjunctive_revenue": """
             SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -190,6 +190,24 @@ def main(argv: list[str] | None = None) -> int:
         "--where", action="append", default=[], metavar="CLAUSE",
         help="conjunct like 'ts between 1000,2000' (repeatable, ANDed; optional)",
     )
+    p.add_argument(
+        "--where-any", action="append", metavar="BRANCH",
+        help="OR-branch of '&'-separated conjuncts (repeatable; ORed, each "
+             "ANDed with any --where conjuncts) — same grammar as scan",
+    )
+
+    p = sub.add_parser(
+        "join",
+        help="co-partitioned (bucketed) join of two encoded stores hash-routed "
+             "on the same key — each part_id joins locally, zero exchange",
+    )
+    p.add_argument("left_dir")
+    p.add_argument("right_dir")
+    p.add_argument("--how", choices=["inner", "left"], default="inner")
+    p.add_argument("--left-columns", nargs="*", default=None)
+    p.add_argument("--right-columns", nargs="*", default=None)
+    p.add_argument("--output", default=None, help="write joined rows as parquet instead of counting")
+    p.add_argument("--limit", type=int, default=5, help="sample rows printed when not writing")
 
     p = sub.add_parser("fsck", help="check store integrity (manifest <-> containers <-> bytes)")
     p.add_argument("encoded_dir")
@@ -366,11 +384,32 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "agg":
             from .storeagg import store_agg
 
-            clauses = [_parse_where(w) for w in args.where]
+            common = [_parse_where(w) for w in args.where]
+            if args.where_any:
+                predicate = ("or", [
+                    common + [_parse_where(c) for c in b.split("&")]
+                    for b in args.where_any
+                ])
+            else:
+                predicate = common or None
             result, plan = store_agg(
-                args.encoded_dir, args.agg, clauses or None, return_plan=True
+                args.encoded_dir, args.agg, predicate, return_plan=True
             )
             print(json.dumps({"plan": plan, "result": result}, default=str))
+        elif args.cmd == "join":
+            from .storejoin import store_join
+
+            ds = store_join(
+                args.left_dir, args.right_dir, how=args.how,
+                left_columns=args.left_columns, right_columns=args.right_columns,
+            )
+            if args.output:
+                ds.write_parquet(args.output, compression=cfg.compression)
+                rows = ray.data.read_parquet(args.output).count()
+                print(json.dumps({"rows": rows, "output": args.output}))
+            else:
+                sample = ds.take(max(args.limit, 0)) if args.limit > 0 else []
+                print(json.dumps({"rows": ds.count(), "sample": sample}, default=str))
         elif args.cmd == "fsck":
             from .fsck import fsck_store
 

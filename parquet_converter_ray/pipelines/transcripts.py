@@ -441,6 +441,91 @@ def lineitem_range_scan(sf_dir: str) -> pa.Table:
     )
 
 
+def _bucketed_pair(sf_dir: str) -> tuple[str, str]:
+    """Orders + lineitem stores hash-routed on the SAME join key with the
+    same n_parts — the co-partitioned pair ``storejoin.store_join`` proves
+    and exploits (cached per sf; encode is deterministic)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    o_dir = os.path.join(_CACHE, f"encoded-orders-bucket-{tag}")
+    l_dir = os.path.join(_CACHE, f"encoded-lineitem-bucket-{tag}")
+    if not os.path.exists(os.path.join(o_dir, "manifest.jsonl")):
+        import shutil
+
+        shutil.rmtree(o_dir, ignore_errors=True)
+        encode_dataset(
+            f"{sf_dir}/orders.parquet",
+            o_dir,
+            n_parts=16,
+            conv_col="o_orderkey",
+            order_col="o_custkey",
+            sort_key=("o_orderkey",),
+            salt_rows=0,
+        )
+    if not os.path.exists(os.path.join(l_dir, "manifest.jsonl")):
+        import shutil
+
+        shutil.rmtree(l_dir, ignore_errors=True)
+        encode_dataset(
+            f"{sf_dir}/lineitem.parquet",
+            l_dir,
+            n_parts=16,
+            conv_col="l_orderkey",
+            order_col="l_linenumber",
+            sort_key=("l_orderkey", "l_linenumber"),
+            salt_rows=0,
+        )
+    return o_dir, l_dir
+
+
+def store_bucket_join(sf_dir: str) -> pa.Table:
+    """Shuffle-free fact-to-fact join of two encoded stores hash-routed on
+    the same key at encode time (``storejoin.store_join`` — the Hive/Spark
+    bucketed join over this engine's containers): each part_id's containers
+    from both stores decode and join in ONE task, zero exchange. The joined
+    stream aggregates per order priority with per-batch partials (bounded
+    5-key space finishes on the driver). Oracle: plain SQL join + GROUP BY."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..storejoin import store_join
+    from ._util import finish_on_driver, sql_round
+
+    o_dir, l_dir = _bucketed_pair(sf_dir)
+    ds = store_join(
+        o_dir,
+        l_dir,
+        left_columns=["o_orderkey", "o_orderpriority"],
+        right_columns=["l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        if batch.num_rows == 0:
+            return pd.DataFrame({"o_orderpriority": [], "n_lineitems": [], "sum_price": []})
+        g = batch.group_by("o_orderpriority").aggregate(
+            [("l_extendedprice", "count"), ("l_extendedprice", "sum")]
+        )
+        return pd.DataFrame(
+            {
+                "o_orderpriority": g["o_orderpriority"].to_pylist(),
+                "n_lineitems": g["l_extendedprice_count"].to_numpy(zero_copy_only=False),
+                "sum_price": g["l_extendedprice_sum"].to_numpy(zero_copy_only=False),
+            }
+        )
+
+    tot = finish_on_driver(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        ["n_lineitems", "sum_price"],
+    ).sort_values("o_orderpriority")
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(tot["o_orderpriority"], pa.string()),
+            "n_lineitems": pa.array(tot["n_lineitems"].astype("int64"), pa.int64()),
+            "sum_price": pa.array(sql_round(tot["sum_price"].to_numpy(), 2), pa.float64()),
+        }
+    )
+
+
 def lineitem_band_union_revenue(sf_dir: str) -> pa.Table:
     """Disjunctive pushdown over the range-clustered store: revenue in the
     union of two disjoint ship-date bands. Each pruning level keeps a

@@ -1,0 +1,177 @@
+"""Co-partitioned (bucketed) join between two encoded stores — no shuffle.
+
+Two stores whose rows were hash-routed at ENCODE time with the same
+``(hash_version, n_parts)`` on their respective partition columns co-locate
+equal keys in equal ``part_id``s: ``part = stable_hash(key) % n_parts`` is a
+pure function of the value, independent of which table it came from. A join
+on those columns therefore needs ZERO exchange — each part_id's containers
+from both stores decode together in one task and join locally, the Hive /
+Spark bucketed-join idea (bucket metadata checked at plan time, map-side
+join per bucket) applied to this engine's container layout.
+
+Partitioning assumptions enforced (refused loudly, never silently wrong):
+
+* both stores carry a ``_run.json`` with the CURRENT hash version — the
+  part routing must be the same arithmetic on both sides;
+* both are ``partition_mode="hash"`` (a range-clustered store routes by
+  value range, not key hash — its keys don't co-locate);
+* equal ``n_parts``;
+* ``salt_rows == 0`` on both — salting splits one key's rows across salt
+  chunks by ORDER ranges, and the two tables' order domains differ, so a
+  salted layout only co-locates chunk 0;
+* the join columns ARE the stores' recorded partition columns (joining on
+  anything else has no co-location guarantee).
+
+At 100 TB this is the pattern for repeated fact-to-fact joins: pay the
+partition exchange once at ingest (both stores routed on the join key),
+then every subsequent join is map-only over matched buckets.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from . import manifest as mf
+from .decode import container_files, decode_table, resolve_container_path
+from .partition import HASH_VERSION
+
+
+def _layout(out_dir: str) -> dict:
+    params = mf.load_run_record(out_dir)
+    if not params:
+        raise ValueError(f"{out_dir}: no _run.json — cannot prove co-partitioning")
+    return params
+
+
+def _check_bucketed(left_dir: str, right_dir: str, left_on: str, right_on: str):
+    lp, rp = _layout(left_dir), _layout(right_dir)
+    for d, p in ((left_dir, lp), (right_dir, rp)):
+        if p.get("hash_version") != HASH_VERSION:
+            raise ValueError(f"{d}: hash_version {p.get('hash_version')!r} != current {HASH_VERSION!r}")
+        if (p.get("partition_mode") or "hash") != "hash":
+            raise ValueError(f"{d}: partition_mode {p.get('partition_mode')!r} — range-clustered stores don't co-locate keys")
+        if int(p.get("salt_rows") or 0) != 0:
+            raise ValueError(f"{d}: salt_rows={p.get('salt_rows')} — salted stores split keys across chunk partitions")
+    if int(lp["n_parts"]) != int(rp["n_parts"]):
+        raise ValueError(f"n_parts mismatch: {lp['n_parts']} vs {rp['n_parts']}")
+    if lp.get("conv_col") != left_on:
+        raise ValueError(f"{left_dir} is partitioned on {lp.get('conv_col')!r}, not the join column {left_on!r}")
+    if rp.get("conv_col") != right_on:
+        raise ValueError(f"{right_dir} is partitioned on {rp.get('conv_col')!r}, not the join column {right_on!r}")
+    return int(lp["n_parts"])
+
+
+def _paths_by_part(out_dir: str) -> dict[int, list[str]]:
+    recs = mf.load_records(out_dir)
+    container_files(out_dir)  # stray-container guard
+    out: dict[int, list[str]] = {}
+    for r in recs:
+        out.setdefault(int(r["part_id"]), []).append(resolve_container_path(out_dir, r))
+    return out
+
+
+class _BucketJoiner:
+    """Decode one part_id's containers from both stores and join locally.
+    Works as a plain callable in a task pool (state is a few strings)."""
+
+    def __init__(self, left_on, right_on, left_cols, right_cols, how, right_schema):
+        self.left_on = left_on
+        self.right_on = right_on
+        self.left_cols = left_cols
+        self.right_cols = right_cols
+        self.how = how
+        self.right_schema = right_schema  # [(name, type)] for empty right sides
+
+    def _side(self, paths, cols) -> pa.Table | None:
+        tables = [decode_table(open(p, "rb").read(), columns=cols) for p in paths]
+        return pa.concat_tables(tables) if tables else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .encode import pin_arrow_threads
+
+        pin_arrow_threads(1)
+        out = []
+        for row in batch.to_pylist():
+            left = self._side(row["left_paths"], self.left_cols)
+            if left is None:
+                continue
+            right = self._side(row["right_paths"], self.right_cols)
+            if right is None:
+                if self.how == "inner":
+                    continue
+                right = pa.table(
+                    {n: pa.array([], type=t) for n, t in self.right_schema if n in self.right_cols}
+                )
+            out.append(
+                left.join(
+                    right,
+                    keys=[self.left_on],
+                    right_keys=[self.right_on],
+                    join_type="inner" if self.how == "inner" else "left outer",
+                )
+            )
+        if not out:
+            return pa.table({})
+        return pa.concat_tables(out, promote_options="default")
+
+
+def store_join(
+    left_dir: str,
+    right_dir: str,
+    *,
+    left_on: str | None = None,
+    right_on: str | None = None,
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Join two co-partitioned stores on their partition columns -> streaming
+    Dataset. ``left_on``/``right_on`` default to each store's recorded
+    partition column. Output carries ``left_on`` (the right key is folded
+    into it) plus the pruned column selections; non-key column names must be
+    disjoint between the sides."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    lp, rp = _layout(left_dir), _layout(right_dir)
+    left_on = left_on or lp.get("conv_col")
+    right_on = right_on or rp.get("conv_col")
+    _check_bucketed(left_dir, right_dir, left_on, right_on)
+
+    from .zonemap import _store_schema
+
+    l_schema = _store_schema(left_dir, mf.load_records(left_dir))
+    r_schema = _store_schema(right_dir, mf.load_records(right_dir))
+    l_names = [n for n, _ in l_schema]
+    r_names = [n for n, _ in r_schema]
+    left_cols = list(dict.fromkeys([left_on] + (left_columns if left_columns is not None else l_names)))
+    right_cols = list(dict.fromkeys([right_on] + (right_columns if right_columns is not None else r_names)))
+    missing = [c for c in left_cols if c not in l_names] + [c for c in right_cols if c not in r_names]
+    if missing:
+        raise ValueError(f"columns {missing} not in store schemas")
+    overlap = (set(left_cols) - {left_on}) & (set(right_cols) - {right_on})
+    if overlap:
+        raise ValueError(f"non-key columns {sorted(overlap)} appear on both sides — prune one")
+
+    lparts, rparts = _paths_by_part(left_dir), _paths_by_part(right_dir)
+    pids = sorted(set(lparts) | (set(rparts) if how == "left" else set(rparts) & set(lparts)))
+    items = [
+        {
+            "part_id": p,
+            "left_paths": lparts.get(p, []),
+            "right_paths": rparts.get(p, []),
+        }
+        for p in pids
+        if lparts.get(p)
+    ]
+    if not items:
+        lt = dict(l_schema)
+        rt = dict(r_schema)
+        empty = pa.table(
+            {c: pa.array([], type=lt[c]) for c in left_cols}
+            | {c: pa.array([], type=rt[c]) for c in right_cols if c != right_on}
+        )
+        return ray.data.from_arrow(empty)
+    joiner = _BucketJoiner(left_on, right_on, left_cols, right_cols, how, r_schema)
+    return ray.data.from_items(items).map_batches(joiner, batch_format="pyarrow", batch_size=1)

@@ -1,0 +1,107 @@
+"""Co-partitioned (bucketed) store join: exactness vs DuckDB, the layout
+preconditions it must refuse, and left-join semantics for missing buckets."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import ray
+
+from parquet_converter_ray.encode import encode_dataset
+from parquet_converter_ray.storejoin import store_join
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _collect(ds) -> pa.Table:
+    batches = [b for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not batches:
+        s = ds.schema()
+        return pa.table({n: pa.array([], type=t) for n, t in zip(s.names, s.types)})
+    return pa.concat_tables(batches, promote_options="default")
+
+
+@pytest.fixture(scope="module")
+def stores(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("storejoin")
+    o_dir, l_dir = str(base / "orders"), str(base / "lineitem")
+    encode_dataset(f"{SF_DIR}/orders.parquet", o_dir, n_parts=8,
+                   conv_col="o_orderkey", order_col="o_custkey",
+                   sort_key=("o_orderkey",), salt_rows=0)
+    encode_dataset(f"{SF_DIR}/lineitem.parquet", l_dir, n_parts=8,
+                   conv_col="l_orderkey", order_col="l_linenumber",
+                   sort_key=("l_orderkey", "l_linenumber"), salt_rows=0)
+    return o_dir, l_dir
+
+
+def test_inner_join_matches_duckdb(stores):
+    o_dir, l_dir = stores
+    t = _collect(store_join(
+        o_dir, l_dir,
+        left_columns=["o_orderkey", "o_orderpriority"],
+        right_columns=["l_extendedprice", "l_quantity"],
+    ))
+    n, s = duckdb.sql(
+        f"""SELECT count(*), round(sum(l_extendedprice), 2)
+            FROM '{SF_DIR}/orders.parquet' JOIN '{SF_DIR}/lineitem.parquet'
+            ON o_orderkey = l_orderkey"""
+    ).fetchone()
+    assert t.num_rows == n > 0
+    assert round(float(pc.sum(t["l_extendedprice"]).as_py()), 2) == float(s)
+    assert set(t.column_names) == {"o_orderkey", "o_orderpriority",
+                                   "l_extendedprice", "l_quantity"}
+
+
+def test_left_join_keeps_unmatched(stores):
+    o_dir, l_dir = stores
+    t = _collect(store_join(
+        o_dir, l_dir, how="left",
+        left_columns=["o_orderkey"], right_columns=["l_quantity"],
+    ))
+    n = duckdb.sql(
+        f"""SELECT count(*) FROM '{SF_DIR}/orders.parquet'
+            LEFT JOIN '{SF_DIR}/lineitem.parquet' ON o_orderkey = l_orderkey"""
+    ).fetchone()[0]
+    assert t.num_rows == n
+    # orders with no lineitem must appear with null quantity
+    unmatched = duckdb.sql(
+        f"""SELECT count(*) FROM '{SF_DIR}/orders.parquet' o
+            WHERE NOT EXISTS (SELECT 1 FROM '{SF_DIR}/lineitem.parquet' l
+                              WHERE l.l_orderkey = o.o_orderkey)"""
+    ).fetchone()[0]
+    assert t["l_quantity"].null_count == unmatched
+
+
+def test_refuses_wrong_layouts(stores, tmp_path):
+    o_dir, l_dir = stores
+    # n_parts mismatch
+    other = str(tmp_path / "lineitem12")
+    encode_dataset(f"{SF_DIR}/lineitem.parquet", other, n_parts=12,
+                   conv_col="l_orderkey", order_col="l_linenumber",
+                   sort_key=("l_orderkey", "l_linenumber"), salt_rows=0)
+    with pytest.raises(ValueError, match="n_parts mismatch"):
+        store_join(o_dir, other)
+    # salted store
+    salted = str(tmp_path / "lineitem_salted")
+    encode_dataset(f"{SF_DIR}/lineitem.parquet", salted, n_parts=8,
+                   conv_col="l_orderkey", order_col="l_linenumber",
+                   sort_key=("l_orderkey", "l_linenumber"), salt_rows=500)
+    with pytest.raises(ValueError, match="salt_rows"):
+        store_join(o_dir, salted)
+    # range-clustered store
+    ranged = str(tmp_path / "lineitem_range")
+    encode_dataset(f"{SF_DIR}/lineitem.parquet", ranged, n_parts=8,
+                   conv_col="l_orderkey", order_col="l_linenumber",
+                   sort_key=("l_orderkey", "l_linenumber"), salt_rows=0,
+                   cluster_by="l_shipdate")
+    with pytest.raises(ValueError, match="range-clustered"):
+        store_join(o_dir, ranged)
+    # join column that is not the partition column
+    with pytest.raises(ValueError, match="partitioned on"):
+        store_join(o_dir, l_dir, right_on="l_partkey")
+    # overlapping non-key output columns
+    with pytest.raises(ValueError, match="not in store schemas"):
+        store_join(o_dir, l_dir, right_columns=["nope"])
