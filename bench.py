@@ -136,6 +136,8 @@ def run_bench() -> dict:
         ("event_funnel", behavior.event_funnel),
         ("asof_attribution", behavior.asof_attribution),
         ("lineitem_range_scan", transcripts.lineitem_range_scan),
+        ("lineitem_bloom_scan", transcripts.lineitem_bloom_scan),
+        ("store_bucket_join", transcripts.store_bucket_join),
     ]
     for name, fn in query_list:
         t0 = time.monotonic()
