@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_band_union_revenue": transcripts.lineitem_band_union_revenue,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "store_bucket_join": transcripts.store_bucket_join,
+        "image_dedup_phash": multimodal.image_dedup_phash,
         "documents_source_scan": transcripts.documents_source_scan,
         "store_agg_pushdown": transcripts.store_agg_pushdown,
         "store_agg_metadata_only": transcripts.store_agg_metadata_only,

@@ -327,6 +327,156 @@ def video_frame_sample(sf_dir: str | None = None, stride: int = 4) -> pa.Table:
     return tbl.combine_chunks()
 
 
+# --- perceptual-hash image near-dup ------------------------------------------
+
+
+def area_mean_resize(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Box-filter (area-mean) downscale via two reduceat passes — the
+    averaging step every perceptual hash starts with (pHash/dHash both use
+    it); nearest-neighbour sampling would make the hash alias-sensitive."""
+    h, w = img.shape
+    ri = (np.arange(th) * h) // th
+    ci = (np.arange(tw) * w) // tw
+    s = np.add.reduceat(np.add.reduceat(img.astype(np.float64), ri, axis=0), ci, axis=1)
+    # target > source duplicates boundaries; reduceat then emits the single
+    # element at that index, so a count floor of 1 keeps the mean exact
+    rc = np.maximum(np.diff(np.append(ri, h)), 1).astype(np.float64)
+    cc = np.maximum(np.diff(np.append(ci, w)), 1).astype(np.float64)
+    return s / rc[:, None] / cc[None, :]
+
+
+def dhash64(img: np.ndarray) -> np.uint64:
+    """64-bit difference hash: area-mean to 8x9, bit = left<right per adjacent
+    column pair (the classic dHash construction — gradient signs survive
+    brightness shifts and re-encoding noise that exact hashes don't)."""
+    small = area_mean_resize(img, 8, 9)
+    bits = (small[:, :-1] < small[:, 1:]).ravel()
+    return np.packbits(bits).view(">u8")[0].astype(np.uint64)
+
+
+class PHasher:
+    """Stage: decode payload -> 64-bit perceptual hash. Decoder built once
+    per worker (actor ``__init__`` / driver-constructed task-pool instance)."""
+
+    def __init__(self):
+        self.decoder = MediaDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = np.empty(batch.num_rows, dtype=np.uint64)
+        for i, payload in enumerate(batch["payload"]):
+            _, _, img = self.decoder.decode_raster(payload.as_py())
+            hashes[i] = dhash64(np.asarray(img))
+        return pa.table({"item_id": batch["item_id"], "phash": pa.array(hashes)})
+
+
+def synth_near_dup_images(
+    n: int = 512, n_dups: int = 48, seed: int = 9
+) -> "tuple[ray.data.Dataset, list[tuple[int, int]]]":
+    """The synth media table plus planted near-duplicates: every k-th base
+    image re-appears (id + 100000) with ±1 intensity noise AND re-encoded in
+    a DIFFERENT wire format (P5 -> BMP etc.), so catching it requires a
+    decode-level perceptual hash — byte/content hashing cannot. Returns the
+    dataset and the ground-truth (base_id, dup_id) pairs."""
+    rng = np.random.default_rng(seed)
+    base_rows = []
+    for i in range(n):
+        w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+        gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        if i % 4 == 1:
+            payload, mt = _encode_pgm(gray), "image/x-portable-graymap"
+        elif i % 4 == 3:
+            payload, mt = _encode_bmp24(gray), "image/bmp"
+        else:
+            payload = (
+                b"FAKE"
+                + int(w).to_bytes(2, "little")
+                + int(h).to_bytes(2, "little")
+                + gray.tobytes()
+            )
+            mt = "image/fake"
+        base_rows.append(
+            {"item_id": i, "payload": payload, "media_type": mt, "_gray": gray}
+        )
+    step = max(1, n // n_dups)
+    truth = []
+    dup_rows = []
+    for i in range(0, step * n_dups, step):
+        g = base_rows[i]["_gray"].astype(np.int16)
+        noisy = np.clip(g + rng.integers(-1, 2, g.shape), 0, 255).astype(np.uint8)
+        # alternate format relative to the base: exercises cross-format match
+        if base_rows[i]["media_type"] == "image/bmp":
+            payload, mt = _encode_pgm(noisy), "image/x-portable-graymap"
+        else:
+            payload, mt = _encode_bmp24(noisy), "image/bmp"
+        dup_rows.append(
+            {"item_id": 100_000 + i, "payload": payload, "media_type": mt}
+        )
+        truth.append((i, 100_000 + i))
+    rows = [{k: v for k, v in r.items() if k != "_gray"} for r in base_rows] + dup_rows
+    return ray.data.from_items(rows), truth
+
+
+def image_dedup_phash(sf_dir: str | None = None, max_hamming: int = 6) -> pa.Table:
+    """Image near-duplicate pairs by perceptual hash + banded LSH: decode ->
+    dHash64 (task pool) -> explode each hash into 8 one-byte bands -> bucket
+    groupby emits candidate pairs -> full 64-bit Hamming verify. Pigeonhole:
+    a pair within Hamming<8 of 64 bits MUST agree on >=1 of 8 bands, so
+    recall at ``max_hamming<=7`` is exact — the same banding argument as the
+    SimHash text path (`dedup.dedup_simhash`), applied below the decode
+    layer where byte-level dedup is blind (same picture, different wire
+    format). The exchange carries (band, key, item_id, phash) rows only."""
+    import pandas as pd
+
+    ds, _ = synth_near_dup_images()
+    hashed = ds.map_batches(PHasher(), batch_format="pyarrow", batch_size=64)
+
+    BANDS = 8
+
+    def explode(batch: pa.Table) -> pa.Table:
+        h = batch["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch["item_id"].to_numpy(zero_copy_only=False)
+        keys = (h[:, None] >> (np.uint64(8) * np.arange(BANDS, dtype=np.uint64))[None, :]) & np.uint64(0xFF)
+        band = np.tile(np.arange(BANDS, dtype=np.int32), len(h))
+        return pa.table(
+            {
+                "band": pa.array(band),
+                "key": pa.array(keys.ravel().astype(np.int64)),
+                "item_id": pa.array(np.repeat(ids, BANDS)),
+                "phash": pa.array(np.repeat(h, BANDS)),
+            }
+        )
+
+    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("item_id").head(200)
+        ids = g["item_id"].to_numpy()
+        hs = g["phash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        x = hs[:, None] ^ hs[None, :]
+        ham = np.zeros_like(x, dtype=np.int64)
+        while x.any():
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        ii, jj = np.nonzero((ham <= max_hamming) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": ids[ii].astype("int64"), "id_b": ids[jj].astype("int64"),
+             "hamming": ham[ii, jj]}
+        )
+
+    out = (
+        hashed.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(pairs_of, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    out = out.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+    out["hamming"] = out["hamming"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def synth_pcm_dataset(n: int = 256, seed: int = 17, sr: int = 16_000) -> "ray.data.Dataset":
     """Deterministic raw-PCM audio table: (item_id, payload: binary of
     little-endian int16 mono samples, sample_rate). Raw PCM is a REAL format
