@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "store_bucket_join": transcripts.store_bucket_join,
         "image_dedup_phash": multimodal.image_dedup_phash,
+        "range_search": similarity.range_search,
         "documents_source_scan": transcripts.documents_source_scan,
         "store_agg_pushdown": transcripts.store_agg_pushdown,
         "store_agg_metadata_only": transcripts.store_agg_metadata_only,
@@ -391,6 +392,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem
             WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        """,
+        "range_search": """
+            SELECT a.vec_id AS query_id, b.vec_id,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id % 97 = 0 AND b.vec_id <> a.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.30
+            ORDER BY query_id, b.vec_id
         """,
         "store_bucket_join": """
             SELECT o_orderpriority,

@@ -62,6 +62,52 @@ def knn_bruteforce(sf_dir: str, query_id: int = 0, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(parts, preserve_index=False)
 
 
+def range_search(sf_dir: str, modulus: int = 97, threshold: float = 0.30) -> pa.Table:
+    """Radius (range) search: ALL corpus vectors within cosine >= threshold
+    of EACH query vector (here the ``vec_id % modulus == 0`` subset) — the
+    third ANN query shape next to top-k (`knn_*`) and self-join near-dup
+    (`dedup_embedding*`). The query matrix is small by definition and
+    broadcasts once via ``ray.put``; each corpus batch computes its
+    (batch x queries) cosine block in one matmul and emits only matches —
+    a single streaming pass, no shuffle. For query sets too large to
+    broadcast, bucket BOTH sides with the hyperplane-LSH tables
+    (`dedup.MultiTableLsh`) and verify per bucket instead.
+    Oracle: DuckDB list_cosine_similarity theta-join."""
+    qi_parts, qm_parts = [], []
+    for b in _emb(sf_dir).iter_batches(batch_format="pandas"):
+        ids = b["vec_id"].to_numpy()
+        sel = (ids % modulus) == 0
+        if sel.any():
+            qi_parts.append(ids[sel])
+            qm_parts.append(np.stack(b["embedding"].to_numpy()[sel]).astype(np.float64))
+    qids = np.concatenate(qi_parts)
+    qm = np.concatenate(qm_parts)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(qids)
+    qids, qm = qids[order], qm[order]
+    ref = ray.put((qids, qm))
+
+    def block(batch: pd.DataFrame) -> pd.DataFrame:
+        qi, q = ray.get(ref)
+        ids = batch["vec_id"].to_numpy()
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cos = m @ q.T  # (batch, queries)
+        ii, jj = np.nonzero((cos >= threshold) & (ids[:, None] != qi[None, :]))
+        return pd.DataFrame(
+            {
+                "query_id": qi[jj].astype("int64"),
+                "vec_id": ids[ii].astype("int64"),
+                "cos": cos[ii, jj],
+            }
+        )
+
+    out = _emb(sf_dir).map_batches(block, batch_format="pandas").to_pandas()
+    out = out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    out["cos"] = sql_round(out["cos"].to_numpy(), 4)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 _CENTROID_CACHE: dict[tuple, np.ndarray] = {}
 
 
