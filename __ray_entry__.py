@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_bucket_join": transcripts.store_bucket_join,
         "image_dedup_phash": multimodal.image_dedup_phash,
         "range_search": similarity.range_search,
+        "mode_quantity_by_flag": relational.mode_quantity_by_flag,
         "documents_source_scan": transcripts.documents_source_scan,
         "store_agg_pushdown": transcripts.store_agg_pushdown,
         "store_agg_metadata_only": transcripts.store_agg_metadata_only,
@@ -392,6 +393,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem
             WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        """,
+        "mode_quantity_by_flag": """
+            SELECT l_returnflag, l_quantity AS mode_quantity, cnt FROM (
+                SELECT l_returnflag, l_quantity, count(*)::BIGINT AS cnt,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY count(*) DESC, l_quantity) AS rn
+                FROM lineitem GROUP BY l_returnflag, l_quantity
+            ) WHERE rn = 1 ORDER BY l_returnflag
         """,
         "range_search": """
             SELECT a.vec_id AS query_id, b.vec_id,

@@ -134,6 +134,43 @@ def value_counts_returnflag(sf_dir: str) -> pa.Table:
     return pa.table({"l_returnflag": out["l_returnflag"], "cnt": out["count()"].astype("int64")})
 
 
+def mode_quantity_by_flag(sf_dir: str) -> pa.Table:
+    """Exact per-group MODE (most frequent value, smallest-value tie-break):
+    per-batch (flag, quantity) count partials — bounded by flags x distinct
+    quantities, NOT by rows — merge on the driver, argmax per flag. The SQL
+    mirror pins the same tie-break with a row_number window."""
+    import pandas as pd
+
+    from ._util import finish_on_driver
+
+    ds = _t(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        g = batch.group_by(["l_returnflag", "l_quantity"]).aggregate([("l_quantity", "count")])
+        return pd.DataFrame(
+            {
+                "l_returnflag": g["l_returnflag"].to_pylist(),
+                "l_quantity": g["l_quantity"].to_numpy(zero_copy_only=False),
+                "cnt": g["l_quantity_count"].to_numpy(zero_copy_only=False),
+            }
+        )
+
+    tot = finish_on_driver(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_quantity"],
+        ["cnt"],
+    )
+    tot = tot.sort_values(["l_returnflag", "cnt", "l_quantity"], ascending=[True, False, True])
+    top = tot.groupby("l_returnflag", as_index=False).first().sort_values("l_returnflag")
+    return pa.table(
+        {
+            "l_returnflag": pa.array(top["l_returnflag"], pa.string()),
+            "mode_quantity": pa.array(top["l_quantity"].to_numpy(), pa.float64()),
+            "cnt": pa.array(top["cnt"].astype("int64"), pa.int64()),
+        }
+    )
+
+
 # --- T1/T2: ordered head/tail without a global sort --------------------------
 
 
