@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_phash": multimodal.image_dedup_phash,
         "range_search": similarity.range_search,
         "mode_quantity_by_flag": relational.mode_quantity_by_flag,
+        "export_wds": export.export_wds,
         "documents_source_scan": transcripts.documents_source_scan,
         "store_agg_pushdown": transcripts.store_agg_pushdown,
         "store_agg_metadata_only": transcripts.store_agg_metadata_only,

@@ -131,6 +131,109 @@ def mix_sources(sf_dir: str) -> pa.Table:
 # --- deterministic train/val/test split ---------------------------------------
 
 
+def export_wds(
+    sf_dir: str,
+    out_dir: str | None = None,
+    n_shards: int = 8,
+    keep_output: bool = False,
+) -> pa.Table:
+    """WebDataset-style tar shard export (public format: a tar whose members
+    group per-sample files by key — ``{key}.txt`` payload, ``{key}.json``
+    metadata — streamed by PyTorch's WebDataset loader). Shard assignment is
+    a content-stable hash of doc_id (re-runs land every sample in the same
+    shard: resumable, diffable); each shard writes in ONE ``map_groups``
+    task with members sorted by key and zeroed mtimes, so shard bytes are
+    deterministic. Returns the per-shard manifest computed from the WRITTEN
+    tars (read back via stdlib tarfile — the writer is never trusted).
+
+    At 100 TB: shard count scales with corpus size, each task holds one
+    shard's rows (bound batch/shard size accordingly), the tar write is
+    sequential I/O, and the verification read is per-shard parallel."""
+    import io
+    import json
+    import tarfile
+
+    from ..partition import stable_hash_ints
+
+    cleanup = False
+    if out_dir is None:
+        out_dir = f"/tmp/pcr_wds_{uuid.uuid4().hex[:12]}"
+        cleanup = not keep_output
+    os.makedirs(out_dir, exist_ok=True)
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = stable_hash_ints(batch["doc_id"].cast(pa.int64()))
+        return batch.append_column(
+            "shard", pa.array((h % np.uint64(n_shards)).astype(np.int32))
+        )
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        shard = int(g["shard"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+        with tarfile.open(path, "w") as tf:
+            for _, row in g.iterrows():
+                key = f"{int(row['doc_id']):09d}"
+                txt = (row["text"] or "").encode()
+                meta = json.dumps(
+                    {"lang": row["lang"], "source": row["source"]}, sort_keys=True
+                ).encode()
+                for suffix, payload in ((".txt", txt), (".json", meta)):
+                    info = tarfile.TarInfo(key + suffix)
+                    info.size = len(payload)
+                    info.mtime = 0  # deterministic bytes across runs
+                    tf.addfile(info, io.BytesIO(payload))
+        return pd.DataFrame({"shard": [shard], "path": [path]})
+
+    written = (
+        docs.map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .to_pandas()
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        shards, samples, ids, total = [], [], [], []
+        for p, s in zip(batch["path"].to_pylist(), batch["shard"].to_pylist()):
+            n = 0
+            id_sum = 0
+            nbytes = 0
+            with tarfile.open(p, "r") as tf:
+                for m in tf.getmembers():
+                    if m.name.endswith(".txt"):
+                        n += 1
+                        id_sum += int(m.name[:-4])
+                    nbytes += m.size
+            shards.append(s)
+            samples.append(n)
+            ids.append(id_sum)
+            total.append(nbytes)
+        return pa.table(
+            {
+                "shard": pa.array(shards, pa.int64()),
+                "n_samples": pa.array(samples, pa.int64()),
+                "sum_doc_id": pa.array(ids, pa.int64()),
+                "payload_bytes": pa.array(total, pa.int64()),
+            }
+        )
+
+    try:
+        man = pa.concat_tables(
+            list(
+                ray.data.from_pandas(written)
+                .map_batches(verify, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+            )
+        ).sort_by("shard")
+    finally:
+        if cleanup:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    return man
+
+
 def split_assign(sf_dir: str) -> pa.Table:
     """Content-deterministic train/val/test assignment (~80/10/10): the first
     two hex chars of ``md5(str(doc_id))`` are compared as strings against the
