@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_search": similarity.range_search,
         "mode_quantity_by_flag": relational.mode_quantity_by_flag,
         "export_wds": export.export_wds,
+        "documents_prefix_scan": transcripts.documents_prefix_scan,
         "documents_source_scan": transcripts.documents_source_scan,
         "store_agg_pushdown": transcripts.store_agg_pushdown,
         "store_agg_metadata_only": transcripts.store_agg_metadata_only,
@@ -394,6 +395,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem
             WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        """,
+        "documents_prefix_scan": """
+            SELECT source, count(*)::BIGINT AS n_docs
+            FROM documents WHERE source LIKE 'src1%'
+            GROUP BY source ORDER BY source
         """,
         "mode_quantity_by_flag": """
             SELECT l_returnflag, l_quantity AS mode_quantity, cnt FROM (

@@ -47,9 +47,11 @@ def _parse_where(clause: str) -> tuple[str, str, object]:
                 pass
         return s
 
-    m = re.match(r"^\s*(\w+)\s+(in|between)\s+(.+)$", clause, re.IGNORECASE)
+    m = re.match(r"^\s*(\w+)\s+(in|between|prefix)\s+(.+)$", clause, re.IGNORECASE)
     if m:
         col, op, rest = m.group(1), m.group(2).lower(), m.group(3)
+        if op == "prefix":
+            return (col, op, rest.strip())
         vals = [_val(v) for v in rest.split(",") if v.strip() != ""]
         if op == "between":
             if len(vals) != 2:
@@ -156,7 +158,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--where", action="append", metavar="CLAUSE",
         help="conjunct like 'turn_idx>=100', 'role==user', 'tool in search,browser', "
-             "'ts between 1000,2000' (repeatable, ANDed)",
+             "'ts between 1000,2000', 'conv_id prefix conv-0001' (repeatable, ANDed)",
     )
     p.add_argument(
         "--where-any", action="append", metavar="BRANCH",

@@ -596,6 +596,57 @@ def lineitem_bloom_scan(sf_dir: str) -> pa.Table:
     return tbl.sort_by([(c, "ascending") for c in cols])
 
 
+def _documents_source_store(sf_dir: str) -> str:
+    """Documents store range-clustered on the SOURCE string column (prefix-skip
+    string cluster keys): each container covers a disjoint source range, so
+    string zone maps prune prefix/equality scans on it. Cached per sf."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_CACHE, f"encoded-docs-source-{tag}")
+    if not os.path.exists(os.path.join(out, "manifest.jsonl")):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        encode_dataset(
+            f"{sf_dir}/documents.parquet",
+            out,
+            n_parts=8,
+            conv_col="doc_id",
+            order_col="n_chars",
+            sort_key=("doc_id",),
+            salt_rows=0,
+            cluster_by="source",
+        )
+    return out
+
+
+def documents_prefix_scan(sf_dir: str) -> pa.Table:
+    """String-prefix pushdown: ``source prefix 'src1'`` (matches src1 and
+    src10..src19) over the source-clustered documents store. The prefix
+    interval [p, p+eps) prunes via the recorded string zone-map bounds —
+    containers whose source range can't intersect it never open — and the
+    dictionary probe drops survivors whose dictionary holds no src1* value.
+    Oracle: LIKE 'src1%' (the literal has no wildcard characters)."""
+    from ..zonemap import scan_store
+
+    ds = scan_store(
+        _documents_source_store(sf_dir),
+        [("source", "prefix", "src1")],
+        columns=["source", "doc_id"],
+    )
+    batches = [b for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not batches:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64())})
+    t = pa.concat_tables(batches)
+    g = t.group_by("source").aggregate([("doc_id", "count")])
+    return pa.table(
+        {
+            "source": g["source"],
+            "n_docs": g["doc_id_count"].cast(pa.int64()),
+        }
+    ).sort_by("source")
+
+
 def store_agg_pushdown(sf_dir: str) -> pa.Table:
     """Aggregate pushdown over the RANGE-CLUSTERED lineitem store: for the
     1996-1998 ship-date band, interior containers are PROVEN fully matching

@@ -41,7 +41,7 @@ from .codecs.util import unwrap_buf
 
 STR_BOUND_LEN = 64  # string zone-map bounds are truncated to this many chars
 
-_OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "between")
+_OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "between", "prefix")
 
 
 # --- bound helpers -----------------------------------------------------------
@@ -69,6 +69,20 @@ def _trunc_max(s: str) -> tuple[str | None, bool]:
                 nc = 0xE000
             return p[:i] + chr(nc), True
     return None, True
+
+
+def _prefix_upper(p: str) -> "str | None":
+    """Exclusive upper bound of the string interval with prefix ``p``:
+    increment the last incrementable code point (skipping the surrogate
+    gap); None in the degenerate all-U+10FFFF case (unbounded above)."""
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            nc = c + 1
+            if 0xD800 <= nc <= 0xDFFF:
+                nc = 0xE000
+            return p[:i] + chr(nc)
+    return None
 
 
 def _is_strlike(t: pa.DataType) -> bool:
@@ -395,6 +409,8 @@ def _normalize(predicate) -> list[tuple[str, str, object]]:
         if op == "between":
             lo, hi = val
             val = (lo, hi)
+        if op == "prefix" and not isinstance(val, str):
+            raise ValueError(f"prefix predicate needs a str value, got {type(val)}")
         clauses.append((str(col), op, val))
     return clauses
 
@@ -462,6 +478,14 @@ def record_may_match(stats: dict, rows: int, clauses) -> bool:
             blo, bhi = vs
             if (hi is not None and blo > hi) or (lo is not None and bhi < lo):
                 return False
+        if op == "prefix" and isinstance(vs[0], str):
+            # rows with prefix p live in [p, upper); truncated bounds stay
+            # sound: recorded min <= true min and recorded max >= true max
+            up = _prefix_upper(vs[0])
+            if hi is not None and isinstance(hi, str) and hi < vs[0]:
+                return False
+            if lo is not None and isinstance(lo, str) and up is not None and lo >= up:
+                return False
     return True
 
 
@@ -487,7 +511,9 @@ def predicate_mask(table: pa.Table, clauses):
     for col, op, val in clauses:
         c = table[col]
         t = c.type if not isinstance(c, pa.ChunkedArray) else c.type
-        if op == "in":
+        if op == "prefix":
+            m = pc.starts_with(c, pattern=val)
+        elif op == "in":
             m = pc.is_in(c, value_set=pa.array([_pa_scalar(v, t).as_py() for v in val], type=t))
         elif op == "between":
             m = pc.and_kleene(
@@ -562,7 +588,7 @@ def dict_probe_path(path: str, clauses, footer: dict | None = None) -> bool:
     one wanted value must appear in the dictionary."""
     from .container import read_footer_file
 
-    eq = [(c, op, v) for c, op, v in clauses if op in ("==", "in")]
+    eq = [(c, op, v) for c, op, v in clauses if op in ("==", "in", "prefix")]
     if not eq:
         return True
     if footer is None:
@@ -572,9 +598,15 @@ def dict_probe_path(path: str, clauses, footer: dict | None = None) -> bool:
         ent = cols.get(col)
         if ent is None or ent["codec"] != "dict":
             continue
-        wanted = [val] if op == "==" else list(val)
+        wanted = [val] if op in ("==", "prefix") else list(val)
         dv = container_dict_values(path, ent)
         if dv is None:
+            continue
+        if op == "prefix":
+            if isinstance(dv, np.ndarray):
+                continue  # numeric dictionary: prefix can't prune
+            if not pc.any(pc.starts_with(dv, pattern=val)).as_py():
+                return False
             continue
         if isinstance(dv, np.ndarray):
             if len(dv) == 0:
@@ -638,6 +670,12 @@ def _clause_bounds(clauses, lead: str, t: pa.DataType):
                     continue  # NULL literals match nothing; mask handles them
                 los.append(min(vs))
                 his.append(max(vs))
+            elif op == "prefix" and _is_strlike(t):
+                los.append(val)
+                up = _prefix_upper(val)
+                if up is not None:
+                    his.append(up)  # exclusive, but the bisect treats bounds
+                    # inclusively -> superset range; the exact mask narrows
         except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError, TypeError):
             return None, None  # un-coercible literal: no sound range
     lo = max(los) if los else None
@@ -926,9 +964,12 @@ def scan_store(
         schema = [(c["name"], str_to_type(c["type"])) for c in read_footer_file(paths[0])["columns"]]
 
     names = [n for n, _ in schema]
-    for col, _, _ in clauses:
+    types = dict(schema)
+    for col, op, _ in clauses:
         if col not in names:
             raise ValueError(f"predicate column {col!r} not in store schema {names}")
+        if op == "prefix" and not _is_strlike(types[col]):
+            raise ValueError(f"prefix predicate needs a string column; {col!r} is {types[col]}")
     out_cols = None
     read_cols = None
     if columns is not None:
@@ -939,7 +980,7 @@ def scan_store(
         read_cols = list(dict.fromkeys(list(columns) + [c for c, _, _ in clauses]))
 
     if paths and dict_probe and all(
-        any(op in ("==", "in") for _, op, _ in br) for br in dnf
+        any(op in ("==", "in", "prefix") for _, op, _ in br) for br in dnf
     ):
         # distributed probe: tiny ranged reads per path, never on the driver.
         # One footer read serves both checks: the dictionary probe (low-card

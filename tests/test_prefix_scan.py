@@ -1,0 +1,74 @@
+"""String-prefix predicate: interval soundness units, pruning on a
+string-clustered store, exactness vs LIKE, CLI grammar."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from parquet_converter_ray.zonemap import (
+    _prefix_upper,
+    apply_predicate,
+    record_may_match,
+    scan_store,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_prefix_upper():
+    assert _prefix_upper("abc") == "abd"
+    assert _prefix_upper("ab￿") == "ab\U00010000"
+    assert _prefix_upper(chr(0x10FFFF)) is None
+    # surrogate gap is skipped
+    assert _prefix_upper("a퟿") == "a"
+
+
+def test_record_may_match_prefix_bounds():
+    st = {"source": {"min": "src3", "max": "src7", "nulls": 0, "t": "string"}}
+    assert record_may_match(st, 10, [("source", "prefix", "src5")])
+    assert not record_may_match(st, 10, [("source", "prefix", "src8")])
+    assert not record_may_match(st, 10, [("source", "prefix", "q")])
+    # prefix of the bounds themselves may match
+    assert record_may_match(st, 10, [("source", "prefix", "src")])
+
+
+def test_apply_predicate_prefix_exact():
+    t = pa.table({"s": ["src1", "src10", "src19", "src2", None, "xsrc1"]})
+    got = apply_predicate(t, [("s", "prefix", "src1")])
+    assert got["s"].to_pylist() == ["src1", "src10", "src19"]
+
+
+def test_prefix_scan_prunes_clustered_store(ray_session):
+    from parquet_converter_ray.pipelines.transcripts import _documents_source_store
+
+    store = _documents_source_store(SF_DIR)
+    ds, plan = scan_store(store, [("source", "prefix", "src1")],
+                          columns=["doc_id", "source"], return_plan=True)
+    rows = sum(b.num_rows for b in ds.iter_batches(batch_format="pyarrow"))
+    want = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/documents.parquet' WHERE source LIKE 'src1%'"
+    ).fetchone()[0]
+    assert rows == want > 0
+    # source-clustered layout: the src1* range lives in few containers
+    assert plan["pruned_stats"] + plan["pruned_dict"] >= 1, plan
+    assert plan["scanned"] < plan["parts_total"]
+
+
+def test_prefix_rejects_numeric_column(ray_session):
+    from parquet_converter_ray.pipelines.transcripts import _documents_source_store
+
+    with pytest.raises(ValueError, match="string column"):
+        scan_store(_documents_source_store(SF_DIR), [("doc_id", "prefix", "1")])
+    from parquet_converter_ray.zonemap import _normalize
+
+    with pytest.raises(ValueError, match="str value"):
+        _normalize([("source", "prefix", 7)])
+
+
+def test_cli_prefix_grammar():
+    from parquet_converter_ray.cli import _parse_where
+
+    assert _parse_where("source prefix src1") == ("source", "prefix", "src1")
+    assert _parse_where("conv_id prefix conv-0001") == ("conv_id", "prefix", "conv-0001")
