@@ -170,6 +170,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--columns", nargs="*", default=None)
     p.add_argument("--output", default=None, help="write matches as parquet instead of counting")
     p.add_argument("--limit", type=int, default=5, help="sample rows printed when not writing")
+    p.add_argument("--count", action="store_true",
+                   help="matching-row count only, metadata-first: containers the "
+                        "zone maps prove fully matching are never opened")
 
     p = sub.add_parser(
         "storeprofile",
@@ -364,6 +367,16 @@ def main(argv: list[str] | None = None) -> int:
                 ])
             else:
                 predicate = common
+            if args.count:
+                # metadata-first: fully-matching containers answer from their
+                # recorded row counts without opening; only boundary
+                # containers decode (storeagg's three-class plan)
+                from .storeagg import store_agg
+
+                result, aplan = store_agg(args.encoded_dir, ["count"], predicate,
+                                          return_plan=True)
+                print(json.dumps({"plan": aplan, "rows": result["count"]}))
+                return 0
             ds, plan = scan_store(
                 args.encoded_dir, predicate, columns=args.columns, return_plan=True
             )

@@ -72,3 +72,29 @@ def test_cli_prefix_grammar():
 
     assert _parse_where("source prefix src1") == ("source", "prefix", "src1")
     assert _parse_where("conv_id prefix conv-0001") == ("conv_id", "prefix", "conv-0001")
+
+
+def test_knn_ivf_persisted_matches_inprocess(ray_session):
+    """Persisted IVF index: identical results to the in-process IVF (same
+    centroids, same assignment, same rerank) with the corpus never scanned
+    at query time — only the nprobe list directories are read."""
+    import shutil
+
+    from parquet_converter_ray.pipelines.similarity import (
+        build_ivf_index,
+        knn_bruteforce,
+        knn_ivf,
+        knn_ivf_persisted,
+    )
+
+    shutil.rmtree("/tmp/pcr_cache/ivf-index-sf0.001-k16", ignore_errors=True)
+    p = knn_ivf_persisted(SF_DIR)
+    assert p.equals(knn_ivf(SF_DIR))
+    brute = set(knn_bruteforce(SF_DIR)["vec_id"].to_pylist())
+    got = set(p["vec_id"].to_pylist())
+    assert len(got & brute) >= 7  # nprobe=6/16 lists: high-but-approx recall
+    # second call hits the on-disk artifact (marker short-circuits the build)
+    import os
+
+    assert os.path.exists("/tmp/pcr_cache/ivf-index-sf0.001-k16/ivf_meta.json")
+    assert knn_ivf_persisted(SF_DIR).equals(p)
