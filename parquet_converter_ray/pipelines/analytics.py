@@ -644,7 +644,10 @@ def weighted_sample_orders(sf_dir: str, k: int = 50, seed: int = 9) -> pa.Table:
     from ..partition import stable_hash_ints
 
     ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-    seed64 = np.uint64(0x9E3779B97F4A7C15) * np.uint64(seed + 1)
+    # numpy SCALAR uint64 multiply warns on wrap; 1-element arrays wrap
+    # silently (same value) — the documented idiom for this engine's hashing
+    seed64 = (np.array([0x9E3779B97F4A7C15], dtype=np.uint64)
+              * np.uint64(seed + 1))[0]
 
     def local_topk(batch: pa.Table) -> pa.Table:
         keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
