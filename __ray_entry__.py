@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_wds": export.export_wds,
         "documents_prefix_scan": transcripts.documents_prefix_scan,
         "knn_ivf_persisted": similarity.knn_ivf_persisted,
+        "image_phash_clusters": multimodal.image_phash_clusters,
         "documents_source_scan": transcripts.documents_source_scan,
         "store_agg_pushdown": transcripts.store_agg_pushdown,
         "store_agg_metadata_only": transcripts.store_agg_metadata_only,

@@ -477,6 +477,34 @@ def image_dedup_phash(sf_dir: str | None = None, max_hamming: int = 6) -> pa.Tab
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def image_phash_clusters(sf_dir: str | None = None, max_hamming: int = 6) -> pa.Table:
+    """Image duplicate CLUSTERS: the perceptual-hash pair graph fed through
+    the same pointer-jumping min-label propagation the text dedup family
+    uses (`dedup.label_propagation`) — one row per image with its cluster's
+    canonical (minimum) id, singletons included. The composition is the
+    point: every near-dup signal in this engine (minhash / simhash /
+    embedding / phash) ends in the same components operator."""
+    from .dedup import label_propagation
+
+    pairs = image_dedup_phash(sf_dir, max_hamming=max_hamming)
+    labels = label_propagation(pairs)
+    ds, _ = synth_near_dup_images()
+    all_ids = pa.concat_tables(
+        list(ds.select_columns(["item_id"]).iter_batches(batch_format="pyarrow"))
+    )["item_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lab_ids = labels["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lab_can = labels["canonical_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    canon = dict(zip(lab_ids.tolist(), lab_can.tolist()))
+    out = np.array([canon.get(i, i) for i in all_ids], dtype=np.int64)
+    order = np.argsort(all_ids)
+    return pa.table(
+        {
+            "item_id": pa.array(all_ids[order]),
+            "cluster_id": pa.array(out[order]),
+        }
+    )
+
+
 def synth_pcm_dataset(n: int = 256, seed: int = 17, sr: int = 16_000) -> "ray.data.Dataset":
     """Deterministic raw-PCM audio table: (item_id, payload: binary of
     little-endian int16 mono samples, sample_rate). Raw PCM is a REAL format

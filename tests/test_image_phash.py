@@ -59,3 +59,18 @@ def test_image_dedup_finds_all_planted_cross_format_dups(ray_session):
     # determinism across runs (the queries() rows-only gate re-runs this)
     t2 = image_dedup_phash()
     assert t.equals(t2)
+
+
+def test_image_phash_clusters_ground_truth(ray_session):
+    from parquet_converter_ray.pipelines.multimodal import image_phash_clusters
+
+    t = image_phash_clusters()
+    _, truth = synth_near_dup_images()
+    cl = dict(zip(t["item_id"].to_pylist(), t["cluster_id"].to_pylist()))
+    for base, dup in truth:
+        assert cl[dup] == cl[base] == base  # canonical = min id = the base
+    # non-planted images stay singletons
+    planted = {i for pair in truth for i in pair}
+    for i, c in cl.items():
+        if i not in planted:
+            assert c == i
