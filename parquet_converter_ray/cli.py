@@ -214,6 +214,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", default=None, help="write joined rows as parquet instead of counting")
     p.add_argument("--limit", type=int, default=5, help="sample rows printed when not writing")
 
+    p = sub.add_parser(
+        "diff",
+        help="content-compare two encoded stores (order-insensitive distributed "
+             "fingerprints over the shared columns) — validates compact / "
+             "relocation / schema-evolution migrations",
+    )
+    p.add_argument("store_a")
+    p.add_argument("store_b")
+    p.add_argument("--columns", nargs="*", default=None)
+
     p = sub.add_parser("fsck", help="check store integrity (manifest <-> containers <-> bytes)")
     p.add_argument("encoded_dir")
     p.add_argument("--deep", action="store_true",
@@ -425,6 +435,12 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 sample = ds.take(max(args.limit, 0)) if args.limit > 0 else []
                 print(json.dumps({"rows": ds.count(), "sample": sample}, default=str))
+        elif args.cmd == "diff":
+            from .decode import store_diff
+
+            res = store_diff(args.store_a, args.store_b, columns=args.columns)
+            print(json.dumps(res))
+            return 0 if res["equal"] else 3
         elif args.cmd == "fsck":
             from .fsck import fsck_store
 

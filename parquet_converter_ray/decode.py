@@ -260,6 +260,40 @@ def dataset_fingerprint(ds: "ray.data.Dataset", columns: list[str] | None = None
     return {"rows": n, "hsum": hsum, "hxor": hxor, "columns": list(cols)}
 
 
+def store_diff(a_dir: str, b_dir: str, columns: list[str] | None = None) -> dict:
+    """Content-compare two encoded stores WITHOUT sorting or materializing
+    either: shared-column order-insensitive fingerprints (per-batch hash
+    folds, driver merges two scalars). The migration-validation tool —
+    after a compact / relocation / schema evolution, ``equal: true`` means
+    byte-equivalent content on the compared columns regardless of how rows
+    were repartitioned. Columns default to the INTERSECTION of the two
+    schemas (reported, so a dropped column is visible, not silent)."""
+    from .zonemap import _store_schema
+
+    from . import manifest as mf
+
+    sa = dict(_store_schema(a_dir, mf.load_records(a_dir)))
+    sb = dict(_store_schema(b_dir, mf.load_records(b_dir)))
+    shared = [c for c in sa if c in sb] if columns is None else list(columns)
+    missing = [c for c in shared if c not in sa or c not in sb]
+    if missing:
+        raise ValueError(f"columns {missing} not in both stores")
+    if not shared:
+        raise ValueError(
+            f"stores share no columns (a: {sorted(sa)}, b: {sorted(sb)}) — nothing to compare"
+        )
+    fa = dataset_fingerprint(decode_dataset(a_dir, columns=shared), columns=shared)
+    fb = dataset_fingerprint(decode_dataset(b_dir, columns=shared), columns=shared)
+    return {
+        "equal": fa == fb,
+        "columns": shared,
+        "only_a": sorted(set(sa) - set(sb)),
+        "only_b": sorted(set(sb) - set(sa)),
+        "a": {k: fa[k] for k in ("rows", "hsum", "hxor")},
+        "b": {k: fb[k] for k in ("rows", "hsum", "hxor")},
+    }
+
+
 def verify_distributed(source: "ray.data.Dataset | str", out_dir: str) -> tuple[bool, dict]:
     """Compare source vs decoded containers via order-insensitive
     fingerprints (streaming, fully distributed)."""

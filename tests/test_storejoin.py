@@ -105,3 +105,22 @@ def test_refuses_wrong_layouts(stores, tmp_path):
     # overlapping non-key output columns
     with pytest.raises(ValueError, match="not in store schemas"):
         store_join(o_dir, l_dir, right_columns=["nope"])
+
+
+def test_store_diff_validates_compaction(stores, tmp_path):
+    """diff: compacted store content-equal to its source; a different store
+    is unequal; disjoint schemas are refused."""
+    from parquet_converter_ray.decode import store_diff
+    from parquet_converter_ray.encode import compact_dataset
+
+    o_dir, l_dir = stores
+    out = str(tmp_path / "compacted")
+    compact_dataset(o_dir, out, target_part_bytes=8 << 20)
+    res = store_diff(o_dir, out)
+    assert res["equal"] and res["only_a"] == [] and res["only_b"] == []
+    res2 = store_diff(o_dir, o_dir, columns=["o_orderkey"])
+    assert res2["equal"]
+    with pytest.raises(ValueError, match="not in both stores"):
+        store_diff(o_dir, l_dir, columns=["o_orderkey", "l_quantity"])
+    with pytest.raises(ValueError, match="share no columns"):
+        store_diff(o_dir, l_dir)
