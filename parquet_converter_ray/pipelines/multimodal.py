@@ -494,8 +494,13 @@ def image_phash_clusters(sf_dir: str | None = None, max_hamming: int = 6) -> pa.
     )["item_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     lab_ids = labels["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     lab_can = labels["canonical_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    canon = dict(zip(lab_ids.tolist(), lab_can.tolist()))
-    out = np.array([canon.get(i, i) for i in all_ids], dtype=np.int64)
+    # vectorized canonical lookup (labels cover only pair members — small);
+    # misses keep their own id (singleton cluster)
+    import pyarrow.compute as pc
+
+    idx = pc.fill_null(pc.index_in(pa.array(all_ids), value_set=pa.array(lab_ids)), -1)
+    idx = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+    out = np.where(idx >= 0, lab_can[np.maximum(idx, 0)], all_ids)
     order = np.argsort(all_ids)
     return pa.table(
         {
