@@ -127,6 +127,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--target-mb", type=int, default=96, help="arrow bytes per partition")
+    p.add_argument("--n-parts", type=int, default=None,
+                   help="exact partition count (overrides --target-mb) — the "
+                        "REBUCKET tool: compact a store to another store's "
+                        "n_parts so the pair becomes `join`-compatible")
     p.add_argument("--drop-columns", nargs="*", default=None,
                    help="schema evolution: retire columns during the rewrite")
     p.add_argument("--add-column", action="append", default=None, metavar="NAME:TYPE[:DEFAULT]",
@@ -325,9 +329,10 @@ def main(argv: list[str] | None = None) -> int:
                         add[parts[0]] = (typ, pa.scalar(parts[2]).cast(typ).as_py())
                     else:
                         add[parts[0]] = typ
+            kw = {"n_parts": args.n_parts} if args.n_parts else {}
             print(json.dumps(compact_dataset(
                 args.input, args.output, target_part_bytes=args.target_mb << 20,
-                drop_columns=args.drop_columns, add_columns=add,
+                drop_columns=args.drop_columns, add_columns=add, **kw,
             )))
         elif args.cmd == "lookup":
             from .decode import lookup_conversation

@@ -124,3 +124,30 @@ def test_store_diff_validates_compaction(stores, tmp_path):
         store_diff(o_dir, l_dir, columns=["o_orderkey", "l_quantity"])
     with pytest.raises(ValueError, match="share no columns"):
         store_diff(o_dir, l_dir)
+
+
+def test_rebucket_restores_joinability(stores, tmp_path):
+    """compact --n-parts as the rebucket tool: a 12-part store refuses to
+    join the 8-part orders store; compacting it to 8 parts makes the pair
+    joinable with results equal to DuckDB."""
+    from parquet_converter_ray.encode import compact_dataset, encode_dataset
+
+    o_dir, _ = stores
+    twelve = str(tmp_path / "lineitem12")
+    encode_dataset(f"{SF_DIR}/lineitem.parquet", twelve, n_parts=12,
+                   conv_col="l_orderkey", order_col="l_linenumber",
+                   sort_key=("l_orderkey", "l_linenumber"), salt_rows=0)
+    with pytest.raises(ValueError, match="n_parts mismatch"):
+        store_join(o_dir, twelve)
+    rebucketed = str(tmp_path / "lineitem8")
+    compact_dataset(twelve, rebucketed, n_parts=8)
+    t = _collect(store_join(o_dir, rebucketed,
+                            left_columns=["o_orderkey"],
+                            right_columns=["l_extendedprice"]))
+    n, s = duckdb.sql(
+        f"""SELECT count(*), round(sum(l_extendedprice), 2)
+            FROM '{SF_DIR}/orders.parquet' JOIN '{SF_DIR}/lineitem.parquet'
+            ON o_orderkey = l_orderkey"""
+    ).fetchone()
+    assert t.num_rows == n
+    assert round(float(pc.sum(t["l_extendedprice"]).as_py()), 2) == float(s)
