@@ -285,8 +285,10 @@ def test_grouped_firstk_partials_merge_across_batches(ray_session):
     rng = np.random.default_rng(3)
     n = 2000
     df = pd.DataFrame({"g": rng.integers(0, 5, n), "v": rng.permutation(n)})
+    bounds = np.linspace(0, len(df), 9, dtype=int)
     tables = [
-        pa.Table.from_pandas(c, preserve_index=False) for c in np.array_split(df, 8)
+        pa.Table.from_pandas(df.iloc[a:b], preserve_index=False)
+        for a, b in zip(bounds[:-1], bounds[1:])
     ]
     ds = ray.data.from_arrow(tables)
     got = (
