@@ -99,7 +99,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_attribution": behavior.asof_attribution,
         "asof_attribution_salted": behavior.asof_attribution_salted,
         "events_window_unique_users": windows.events_window_unique_users,
-        "events_window_unique_users_approx": windows.events_window_unique_users_approx,
         "lineitem_range_scan": transcripts.lineitem_range_scan,
         "lineitem_bloom_scan": transcripts.lineitem_bloom_scan,
         "lineitem_band_union_revenue": transcripts.lineitem_band_union_revenue,
@@ -111,10 +110,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_wds": export.export_wds,
         "documents_prefix_scan": transcripts.documents_prefix_scan,
         "knn_ivf_persisted": similarity.knn_ivf_persisted,
-        "image_phash_clusters": multimodal.image_phash_clusters,
         "documents_source_scan": transcripts.documents_source_scan,
         "store_agg_pushdown": transcripts.store_agg_pushdown,
         "store_agg_metadata_only": transcripts.store_agg_metadata_only,
+        "events_window_unique_users_approx": windows.events_window_unique_users_approx,
+        "image_phash_clusters": multimodal.image_phash_clusters,
         "tfidf_top_terms": text.tfidf_top_terms,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_exact": dedup.dedup_exact,
