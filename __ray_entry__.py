@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_band_union_revenue": transcripts.lineitem_band_union_revenue,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "store_bucket_join": transcripts.store_bucket_join,
+        "salted_dim_join": transcripts.salted_dim_join,
         "image_dedup_phash": multimodal.image_dedup_phash,
         "range_search": similarity.range_search,
         "mode_quantity_by_flag": relational.mode_quantity_by_flag,
@@ -418,6 +419,13 @@ def oracle_sql() -> dict[str, str]:
               ON a.vec_id % 97 = 0 AND b.vec_id <> a.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.30
             ORDER BY query_id, b.vec_id
+        """,
+        "salted_dim_join": """
+            SELECT o_orderpriority,
+                   count(*)::BIGINT AS n_lineitems,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "store_bucket_join": """
             SELECT o_orderpriority,

@@ -526,6 +526,70 @@ def store_bucket_join(sf_dir: str) -> pa.Table:
     )
 
 
+def salted_dim_join(sf_dir: str) -> pa.Table:
+    """Dimension join against a SALTED fact store — the flagship-store
+    enrichment pattern: the fact side (hash+salt routed, the layout the
+    10^12-turn transcript store uses) never shuffles; each dim row is
+    replicated to the partitions its key's salt chunks can occupy
+    (``storejoin.store_join_dim``) and joins container-locally. The store
+    salts every 4 rows so multi-line orders genuinely span salt chunks at
+    test scale. Oracle: plain SQL join + GROUP BY."""
+    import pandas as pd
+
+    from ..storejoin import store_join_dim
+    from ._util import finish_on_driver, sql_round
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fact = os.path.join(_CACHE, f"encoded-lineitem-salted4-{tag}")
+    if not os.path.exists(os.path.join(fact, "manifest.jsonl")):
+        import shutil
+
+        shutil.rmtree(fact, ignore_errors=True)
+        encode_dataset(
+            f"{sf_dir}/lineitem.parquet",
+            fact,
+            n_parts=16,
+            conv_col="l_orderkey",
+            order_col="l_linenumber",
+            sort_key=("l_orderkey", "l_linenumber"),
+            salt_rows=4,
+        )
+    ds = store_join_dim(
+        fact,
+        f"{sf_dir}/orders.parquet",
+        dim_on="o_orderkey",
+        fact_columns=["l_orderkey", "l_extendedprice"],
+        dim_columns=["o_orderpriority"],
+    )
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        if batch.num_rows == 0:
+            return pd.DataFrame({"o_orderpriority": [], "n_lineitems": [], "sum_price": []})
+        g = batch.group_by("o_orderpriority").aggregate(
+            [("l_extendedprice", "count"), ("l_extendedprice", "sum")]
+        )
+        return pd.DataFrame(
+            {
+                "o_orderpriority": g["o_orderpriority"].to_pylist(),
+                "n_lineitems": g["l_extendedprice_count"].to_numpy(zero_copy_only=False),
+                "sum_price": g["l_extendedprice_sum"].to_numpy(zero_copy_only=False),
+            }
+        )
+
+    tot = finish_on_driver(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        ["n_lineitems", "sum_price"],
+    ).sort_values("o_orderpriority")
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(tot["o_orderpriority"], pa.string()),
+            "n_lineitems": pa.array(tot["n_lineitems"].astype("int64"), pa.int64()),
+            "sum_price": pa.array(sql_round(tot["sum_price"].to_numpy(), 2), pa.float64()),
+        }
+    )
+
+
 def lineitem_band_union_revenue(sf_dir: str) -> pa.Table:
     """Disjunctive pushdown over the range-clustered store: revenue in the
     union of two disjoint ship-date bands. Each pruning level keeps a

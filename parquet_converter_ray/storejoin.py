@@ -117,6 +117,148 @@ class _BucketJoiner:
         return pa.concat_tables(out, promote_options="default")
 
 
+def store_join_dim(
+    fact_dir: str,
+    dim,
+    *,
+    dim_on: str,
+    fact_columns: list[str] | None = None,
+    dim_columns: list[str] | None = None,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Join a hash-routed fact store — SALTED layouts included — with a
+    dimension TABLE (parquet path or Dataset), shuffling only the dim side.
+
+    The fact store's partition for a key is pure arithmetic
+    (``part = mix(hash(key), salt_chunk) % n_parts`` recorded in _run.json),
+    so each dim row is REPLICATED to the partitions its key's salt chunks
+     0..k_max can occupy (k_max bounded by the order column's zone-map max —
+    the same bound lookup/delete use) and co-grouped with that partition's
+    containers. One exchange of dim_rows x (k_max + 1) small rows; the fact
+    containers never move. This is how a salted 10^12-turn transcript store
+    joins per-conversation metadata: the transcript side is the one that
+    cannot afford a shuffle.
+
+    ``how``: "inner" or "left" (left keeps fact rows with null dim columns).
+    Output carries the fact store's key column; non-key dim column names
+    must not collide with fact columns."""
+    import numpy as np
+
+    from .partition import GOLDEN, stable_hash_ints, stable_hash_strings
+    from .zonemap import _store_schema
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    fp = _layout(fact_dir)
+    if fp.get("hash_version") != HASH_VERSION:
+        raise ValueError(f"{fact_dir}: hash_version {fp.get('hash_version')!r} != current {HASH_VERSION!r}")
+    if (fp.get("partition_mode") or "hash") != "hash":
+        raise ValueError(f"{fact_dir}: partition_mode {fp.get('partition_mode')!r} — range-clustered stores don't hash-route keys")
+    n_parts = int(fp["n_parts"])
+    fact_on = fp["conv_col"]
+    salt_rows = int(fp.get("salt_rows") or 0)
+    recs = mf.load_records(fact_dir)
+    container_files(fact_dir)  # stray-container guard
+    if salt_rows:
+        k_max = mf.order_chunk_bound(recs, fp.get("order_col"), salt_rows)
+        if k_max is None:
+            raise ValueError(
+                f"{fact_dir}: salted store predates zone maps — salt-chunk bound unknowable"
+            )
+    else:
+        k_max = 0
+
+    f_schema = _store_schema(fact_dir, recs)
+    f_names = [n for n, _ in f_schema]
+    fact_cols = list(dict.fromkeys([fact_on] + (fact_columns if fact_columns is not None else f_names)))
+    missing = [c for c in fact_cols if c not in f_names]
+    if missing:
+        raise ValueError(f"columns {missing} not in fact store schema")
+
+    if isinstance(dim, str):
+        dim_ds = ray.data.read_parquet(dim, columns=None if dim_columns is None else list(dict.fromkeys([dim_on] + dim_columns)))
+    else:
+        dim_ds = dim
+    d_schema_pa = dim_ds.schema()
+    d_names = list(d_schema_pa.names)
+    if dim_on not in d_names:
+        raise ValueError(f"dim_on {dim_on!r} not in dimension columns {d_names}")
+    dim_cols = list(dict.fromkeys([dim_on] + (dim_columns if dim_columns is not None else d_names)))
+    overlap = (set(fact_cols) - {fact_on}) & (set(dim_cols) - {dim_on})
+    if overlap:
+        raise ValueError(f"non-key columns {sorted(overlap)} on both sides — prune one")
+    d_types = {n: t for n, t in zip(d_schema_pa.names, d_schema_pa.types)}
+    dim_fields = [(c, d_types[c]) for c in dim_cols]
+
+    def route(batch: pa.Table) -> pa.Table:
+        """Replicate each dim row to its key's k_max+1 possible partitions."""
+        # strip pandas metadata: it makes hash(schema) fail inside Ray's
+        # schema-dedup fast path (same reason as _util.read_parquet_clean)
+        batch = batch.select(dim_cols).replace_schema_metadata(None)
+        key = batch[dim_on]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        t = key.type
+        if pa.types.is_integer(t):
+            h = stable_hash_ints(key.cast(pa.int64()))
+        else:
+            h = stable_hash_strings(key)
+        ks = np.arange(k_max + 1, dtype=np.uint64)
+        mixed = (h[:, None] ^ (ks[None, :] * GOLDEN)) + ks[None, :]
+        parts = (mixed % np.uint64(n_parts)).astype(np.int32)
+        idx = np.repeat(np.arange(len(h), dtype=np.int64), k_max + 1)
+        out = batch.take(pa.array(idx))
+        out = out.append_column("part_id", pa.array(parts.ravel()))
+        # distinct (row, part): two chunks of one key may share a partition
+        if k_max:
+            mask = np.ones(len(idx), dtype=bool)
+            flat = parts.reshape(len(h), k_max + 1)
+            for j in range(1, k_max + 1):
+                dup = (flat[:, j][:, None] == flat[:, :j]).any(axis=1)
+                mask[j::(k_max + 1)] = ~dup
+            out = out.filter(pa.array(mask))
+        return out.append_column("side", pa.array(["dim"] * out.num_rows, pa.string()))
+
+    dim_routed = dim_ds.map_batches(route, batch_format="pyarrow")
+
+    file_rows = pa.table(
+        {
+            "part_id": pa.array([int(r["part_id"]) for r in recs], pa.int32()),
+            "path": pa.array([resolve_container_path(fact_dir, r) for r in recs], pa.string()),
+            "side": pa.array(["file"] * len(recs), pa.string()),
+        }
+    )
+
+    def _join_group(g: pa.Table) -> pa.Table:
+            from .encode import pin_arrow_threads
+
+            pin_arrow_threads(1)
+            side = g["side"].to_pylist()
+            paths = [p for p, s in zip(g.column("path").to_pylist() if "path" in g.column_names else [None] * len(side), side) if s == "file" and p]
+            if not paths:
+                return pa.table({})
+            keep = pa.array([s == "dim" for s in side])
+            dim_t = g.filter(keep)
+            dim_t = pa.table({c: dim_t[c] for c, _ in dim_fields}) if dim_t.num_rows else pa.table(
+                {c: pa.array([], type=t) for c, t in dim_fields}
+            )
+            fact = pa.concat_tables(
+                [decode_table(open(p, "rb").read(), columns=fact_cols) for p in paths]
+            )
+            if dim_t.num_rows == 0 and how == "inner":
+                return pa.table({})
+            return fact.join(
+                dim_t,
+                keys=[fact_on],
+                right_keys=[dim_on],
+                join_type="inner" if how == "inner" else "left outer",
+            )
+
+    # union co-groups the two sides; missing columns null-fill across schemas
+    unioned = ray.data.from_arrow(file_rows).union(dim_routed)
+    return unioned.groupby("part_id").map_groups(_join_group, batch_format="pyarrow")
+
+
 def store_join(
     left_dir: str,
     right_dir: str,

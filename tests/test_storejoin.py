@@ -151,3 +151,56 @@ def test_rebucket_restores_joinability(stores, tmp_path):
     ).fetchone()
     assert t.num_rows == n
     assert round(float(pc.sum(t["l_extendedprice"]).as_py()), 2) == float(s)
+
+
+def test_store_join_dim_salted_fact(ray_session, tmp_path):
+    """Dimension join against a SALTED fact store: dim rows replicate to all
+    salt-chunk partitions, fact containers never move; inner and left match
+    DuckDB; range-clustered facts are refused."""
+    from parquet_converter_ray.storejoin import store_join_dim
+
+    fact = str(tmp_path / "fact")
+    # salt_rows=4: multi-line orders genuinely span salt chunks
+    encode_dataset(f"{SF_DIR}/lineitem.parquet", fact, n_parts=8,
+                   conv_col="l_orderkey", order_col="l_linenumber",
+                   sort_key=("l_orderkey", "l_linenumber"), salt_rows=4)
+    t = _collect(store_join_dim(
+        fact, f"{SF_DIR}/orders.parquet", dim_on="o_orderkey",
+        fact_columns=["l_orderkey", "l_extendedprice"],
+        dim_columns=["o_orderpriority"],
+    ))
+    n, s = duckdb.sql(
+        f"""SELECT count(*), round(sum(l_extendedprice), 2)
+            FROM '{SF_DIR}/lineitem.parquet' JOIN '{SF_DIR}/orders.parquet'
+            ON o_orderkey = l_orderkey"""
+    ).fetchone()
+    assert t.num_rows == n > 0
+    assert round(float(pc.sum(t["l_extendedprice"]).as_py()), 2) == float(s)
+
+    # left join: every fact row survives; synth lineitem always has its
+    # order, so restrict the dim to half the orders to create misses
+    import pyarrow.parquet as pq
+
+    half = str(tmp_path / "orders_half.parquet")
+    ot = pq.read_table(f"{SF_DIR}/orders.parquet",
+                       columns=["o_orderkey", "o_orderpriority"])
+    ot = ot.filter(pc.equal(pc.bit_wise_and(ot["o_orderkey"], 1), 0))
+    pq.write_table(ot, half)
+    lt = _collect(store_join_dim(
+        fact, half, dim_on="o_orderkey", how="left",
+        fact_columns=["l_orderkey"], dim_columns=["o_orderpriority"],
+    ))
+    total = duckdb.sql(f"SELECT count(*) FROM '{SF_DIR}/lineitem.parquet'").fetchone()[0]
+    odd = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/lineitem.parquet' WHERE l_orderkey % 2 = 1"
+    ).fetchone()[0]
+    assert lt.num_rows == total
+    assert lt["o_orderpriority"].null_count == odd
+
+    ranged = str(tmp_path / "fact_range")
+    encode_dataset(f"{SF_DIR}/lineitem.parquet", ranged, n_parts=4,
+                   conv_col="l_orderkey", order_col="l_linenumber",
+                   sort_key=("l_orderkey", "l_linenumber"), salt_rows=0,
+                   cluster_by="l_shipdate")
+    with pytest.raises(ValueError, match="hash-route"):
+        store_join_dim(ranged, half, dim_on="o_orderkey")
