@@ -110,10 +110,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_quantity_by_flag": relational.mode_quantity_by_flag,
         "export_wds": export.export_wds,
         "documents_prefix_scan": transcripts.documents_prefix_scan,
-        "knn_ivf_persisted": similarity.knn_ivf_persisted,
         "documents_source_scan": transcripts.documents_source_scan,
         "store_agg_pushdown": transcripts.store_agg_pushdown,
         "store_agg_metadata_only": transcripts.store_agg_metadata_only,
+        "knn_ivf_persisted": similarity.knn_ivf_persisted,
         "events_window_unique_users_approx": windows.events_window_unique_users_approx,
         "image_phash_clusters": multimodal.image_phash_clusters,
         "tfidf_top_terms": text.tfidf_top_terms,
