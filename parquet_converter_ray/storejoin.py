@@ -119,11 +119,12 @@ class _BucketJoiner:
 
 def store_join_dim(
     fact_dir: str,
-    dim,
+    dim=None,
     *,
-    dim_on: str,
+    dim_on: str | None = None,
     fact_columns: list[str] | None = None,
     dim_columns: list[str] | None = None,
+    dims: "list[tuple] | None" = None,
     how: str = "inner",
 ) -> "ray.data.Dataset":
     """Join a hash-routed fact store — SALTED layouts included — with a
@@ -141,7 +142,10 @@ def store_join_dim(
 
     ``how``: "inner" or "left" (left keeps fact rows with null dim columns).
     Output carries the fact store's key column; non-key dim column names
-    must not collide with fact columns."""
+    must not collide with fact columns. ``dims=[(source, on, columns), ...]``
+    joins SEVERAL dimensions against the same fact key in ONE co-grouped
+    pass (the star-schema shape) — each dim is routed independently, the
+    group joins them in order."""
     import numpy as np
 
     from .partition import GOLDEN, stable_hash_ints, stable_hash_strings
@@ -175,51 +179,71 @@ def store_join_dim(
     if missing:
         raise ValueError(f"columns {missing} not in fact store schema")
 
-    if isinstance(dim, str):
-        dim_ds = ray.data.read_parquet(dim, columns=None if dim_columns is None else list(dict.fromkeys([dim_on] + dim_columns)))
-    else:
-        dim_ds = dim
-    d_schema_pa = dim_ds.schema()
-    d_names = list(d_schema_pa.names)
-    if dim_on not in d_names:
-        raise ValueError(f"dim_on {dim_on!r} not in dimension columns {d_names}")
-    dim_cols = list(dict.fromkeys([dim_on] + (dim_columns if dim_columns is not None else d_names)))
-    overlap = (set(fact_cols) - {fact_on}) & (set(dim_cols) - {dim_on})
-    if overlap:
-        raise ValueError(f"non-key columns {sorted(overlap)} on both sides — prune one")
-    d_types = {n: t for n, t in zip(d_schema_pa.names, d_schema_pa.types)}
-    dim_fields = [(c, d_types[c]) for c in dim_cols]
+    if dims is None:
+        if dim is None or dim_on is None:
+            raise ValueError("pass dim + dim_on, or dims=[(source, on, columns), ...]")
+        dims = [(dim, dim_on, dim_columns)]
+    elif dim is not None:
+        raise ValueError("pass either dim or dims, not both")
 
-    def route(batch: pa.Table) -> pa.Table:
-        """Replicate each dim row to its key's k_max+1 possible partitions."""
-        # strip pandas metadata: it makes hash(schema) fail inside Ray's
-        # schema-dedup fast path (same reason as _util.read_parquet_clean)
-        batch = batch.select(dim_cols).replace_schema_metadata(None)
-        key = batch[dim_on]
-        if isinstance(key, pa.ChunkedArray):
-            key = key.combine_chunks()
-        t = key.type
-        if pa.types.is_integer(t):
-            h = stable_hash_ints(key.cast(pa.int64()))
+    dim_specs = []  # (tag, on, cols, fields)
+    taken = set(fact_cols) - {fact_on}
+    for i, (src_i, on_i, cols_i) in enumerate(dims):
+        if isinstance(src_i, str):
+            ds_i = ray.data.read_parquet(
+                src_i,
+                columns=None if cols_i is None else list(dict.fromkeys([on_i] + list(cols_i))),
+            )
         else:
-            h = stable_hash_strings(key)
-        ks = np.arange(k_max + 1, dtype=np.uint64)
-        mixed = (h[:, None] ^ (ks[None, :] * GOLDEN)) + ks[None, :]
-        parts = (mixed % np.uint64(n_parts)).astype(np.int32)
-        idx = np.repeat(np.arange(len(h), dtype=np.int64), k_max + 1)
-        out = batch.take(pa.array(idx))
-        out = out.append_column("part_id", pa.array(parts.ravel()))
-        # distinct (row, part): two chunks of one key may share a partition
-        if k_max:
-            mask = np.ones(len(idx), dtype=bool)
-            flat = parts.reshape(len(h), k_max + 1)
-            for j in range(1, k_max + 1):
-                dup = (flat[:, j][:, None] == flat[:, :j]).any(axis=1)
-                mask[j::(k_max + 1)] = ~dup
-            out = out.filter(pa.array(mask))
-        return out.append_column("side", pa.array(["dim"] * out.num_rows, pa.string()))
+            ds_i = src_i
+        sch = ds_i.schema()
+        names_i = list(sch.names)
+        if on_i not in names_i:
+            raise ValueError(f"dim_on {on_i!r} not in dimension columns {names_i}")
+        cols_full = list(dict.fromkeys([on_i] + (list(cols_i) if cols_i is not None else names_i)))
+        overlap = taken & (set(cols_full) - {on_i})
+        if overlap:
+            raise ValueError(f"non-key columns {sorted(overlap)} appear on multiple sides — prune one")
+        taken |= set(cols_full) - {on_i}
+        types_i = {n: t for n, t in zip(sch.names, sch.types)}
+        dim_specs.append((f"dim{i}", on_i, cols_full, [(c, types_i[c]) for c in cols_full], ds_i))
 
-    dim_routed = dim_ds.map_batches(route, batch_format="pyarrow")
+    def _route_for(tag: str, on_col: str, cols_full: list):
+        def route(batch: pa.Table) -> pa.Table:
+            """Replicate each dim row to its key's k_max+1 possible partitions."""
+            # strip pandas metadata: it makes hash(schema) fail inside Ray's
+            # schema-dedup fast path (same reason as _util.read_parquet_clean)
+            batch = batch.select(cols_full).replace_schema_metadata(None)
+            key = batch[on_col]
+            if isinstance(key, pa.ChunkedArray):
+                key = key.combine_chunks()
+            t = key.type
+            if pa.types.is_integer(t):
+                h = stable_hash_ints(key.cast(pa.int64()))
+            else:
+                h = stable_hash_strings(key)
+            ks = np.arange(k_max + 1, dtype=np.uint64)
+            mixed = (h[:, None] ^ (ks[None, :] * GOLDEN)) + ks[None, :]
+            parts = (mixed % np.uint64(n_parts)).astype(np.int32)
+            idx = np.repeat(np.arange(len(h), dtype=np.int64), k_max + 1)
+            out = batch.take(pa.array(idx))
+            out = out.append_column("part_id", pa.array(parts.ravel()))
+            # distinct (row, part): two chunks of one key may share a partition
+            if k_max:
+                mask = np.ones(len(idx), dtype=bool)
+                flat = parts.reshape(len(h), k_max + 1)
+                for j in range(1, k_max + 1):
+                    dup = (flat[:, j][:, None] == flat[:, :j]).any(axis=1)
+                    mask[j::(k_max + 1)] = ~dup
+                out = out.filter(pa.array(mask))
+            return out.append_column("side", pa.array([tag] * out.num_rows, pa.string()))
+
+        return route
+
+    routed = [
+        ds_i.map_batches(_route_for(tag, on_i, cols_full), batch_format="pyarrow")
+        for tag, on_i, cols_full, _, ds_i in dim_specs
+    ]
 
     file_rows = pa.table(
         {
@@ -229,33 +253,48 @@ def store_join_dim(
         }
     )
 
-    def _join_group(g: pa.Table) -> pa.Table:
-            from .encode import pin_arrow_threads
+    specs_for_join = [(tag, on_i, fields) for tag, on_i, _, fields, _ in dim_specs]
 
-            pin_arrow_threads(1)
-            side = g["side"].to_pylist()
-            paths = [p for p, s in zip(g.column("path").to_pylist() if "path" in g.column_names else [None] * len(side), side) if s == "file" and p]
-            if not paths:
-                return pa.table({})
-            keep = pa.array([s == "dim" for s in side])
-            dim_t = g.filter(keep)
-            dim_t = pa.table({c: dim_t[c] for c, _ in dim_fields}) if dim_t.num_rows else pa.table(
-                {c: pa.array([], type=t) for c, t in dim_fields}
+    def _join_group(g: pa.Table) -> pa.Table:
+        from .encode import pin_arrow_threads
+
+        pin_arrow_threads(1)
+        side = g["side"].to_pylist()
+        paths = [
+            p
+            for p, s in zip(
+                g.column("path").to_pylist() if "path" in g.column_names else [None] * len(side),
+                side,
             )
-            fact = pa.concat_tables(
-                [decode_table(open(p, "rb").read(), columns=fact_cols) for p in paths]
+            if s == "file" and p
+        ]
+        if not paths:
+            return pa.table({})
+        out = pa.concat_tables(
+            [decode_table(open(p, "rb").read(), columns=fact_cols) for p in paths]
+        )
+        for tag, on_i, fields in specs_for_join:
+            keep = pa.array([s == tag for s in side])
+            dim_t = g.filter(keep)
+            dim_t = (
+                pa.table({c: dim_t[c] for c, _ in fields})
+                if dim_t.num_rows
+                else pa.table({c: pa.array([], type=t) for c, t in fields})
             )
             if dim_t.num_rows == 0 and how == "inner":
                 return pa.table({})
-            return fact.join(
+            out = out.join(
                 dim_t,
                 keys=[fact_on],
-                right_keys=[dim_on],
+                right_keys=[on_i],
                 join_type="inner" if how == "inner" else "left outer",
             )
+        return out
 
-    # union co-groups the two sides; missing columns null-fill across schemas
-    unioned = ray.data.from_arrow(file_rows).union(dim_routed)
+    # union co-groups every side; missing columns null-fill across schemas
+    unioned = ray.data.from_arrow(file_rows)
+    for r in routed:
+        unioned = unioned.union(r)
     return unioned.groupby("part_id").map_groups(_join_group, batch_format="pyarrow")
 
 

@@ -204,3 +204,45 @@ def test_store_join_dim_salted_fact(ray_session, tmp_path):
                    cluster_by="l_shipdate")
     with pytest.raises(ValueError, match="hash-route"):
         store_join_dim(ranged, half, dim_on="o_orderkey")
+
+
+def test_store_join_multi_dim_star(ray_session, tmp_path):
+    """Star-schema single pass: two dimensions joined against the same
+    salted fact key in one co-grouped exchange; results match a two-join
+    SQL; colliding dim column names are refused."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray.storejoin import store_join_dim
+
+    fact = str(tmp_path / "fact")
+    encode_dataset(f"{SF_DIR}/lineitem.parquet", fact, n_parts=8,
+                   conv_col="l_orderkey", order_col="l_linenumber",
+                   sort_key=("l_orderkey", "l_linenumber"), salt_rows=4)
+    ot = pq.read_table(f"{SF_DIR}/orders.parquet", columns=["o_orderkey"])
+    k = ot["o_orderkey"].to_numpy()
+    dim2 = str(tmp_path / "dim2.parquet")
+    pq.write_table(
+        pa.table({"key2": k, "parity": pa.array((k % 2).astype("int64"))}), dim2
+    )
+    t = _collect(store_join_dim(
+        fact,
+        dims=[(f"{SF_DIR}/orders.parquet", "o_orderkey", ["o_orderpriority"]),
+              (dim2, "key2", ["parity"])],
+        fact_columns=["l_orderkey", "l_extendedprice"],
+    ))
+    n, even = duckdb.sql(
+        f"""SELECT count(*), sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+            FROM '{SF_DIR}/lineitem.parquet' JOIN '{SF_DIR}/orders.parquet'
+            ON o_orderkey = l_orderkey"""
+    ).fetchone()
+    assert t.num_rows == n
+    assert int(pc.sum(pc.equal(t["parity"], 0)).as_py()) == int(even)
+    with pytest.raises(ValueError, match="multiple sides"):
+        store_join_dim(fact, dims=[
+            (f"{SF_DIR}/orders.parquet", "o_orderkey", ["o_orderpriority"]),
+            (f"{SF_DIR}/orders.parquet", "o_orderkey", ["o_orderpriority"]),
+        ])
+    with pytest.raises(ValueError, match="not both"):
+        store_join_dim(fact, f"{SF_DIR}/orders.parquet", dim_on="o_orderkey",
+                       dims=[(dim2, "key2", None)])
