@@ -138,6 +138,7 @@ def run_bench() -> dict:
         ("lineitem_range_scan", transcripts.lineitem_range_scan),
         ("lineitem_bloom_scan", transcripts.lineitem_bloom_scan),
         ("store_bucket_join", transcripts.store_bucket_join),
+        ("salted_dim_join", transcripts.salted_dim_join),
     ]
     for name, fn in query_list:
         t0 = time.monotonic()
