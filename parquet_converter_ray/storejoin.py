@@ -25,6 +25,12 @@ Partitioning assumptions enforced (refused loudly, never silently wrong):
 At 100 TB this is the pattern for repeated fact-to-fact joins: pay the
 partition exchange once at ingest (both stores routed on the join key),
 then every subsequent join is map-only over matched buckets.
+
+``store_join_dim`` covers the OTHER join shape — fact-to-dimension over a
+SALTED fact store (the flagship transcript layout): dimension rows are
+replicated to their key's reachable salt-chunk partitions and co-grouped
+with the containers, so only the small side moves; ``dims=[...]`` chains
+several dimensions through one exchange (star schema).
 """
 
 from __future__ import annotations
