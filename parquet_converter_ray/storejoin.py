@@ -206,6 +206,18 @@ def store_join_dim(
         names_i = list(sch.names)
         if on_i not in names_i:
             raise ValueError(f"dim_on {on_i!r} not in dimension columns {names_i}")
+        # the dim key must hash EXACTLY like the fact's partition column —
+        # a type-family mismatch would route rows to the wrong partitions
+        # and silently drop matches, so refuse it loudly
+        fact_t = dict(f_schema)[fact_on]
+        dim_t = dict(zip(sch.names, sch.types))[on_i]
+        fam = lambda t: "int" if pa.types.is_integer(t) else "str"
+        if fam(fact_t) != fam(dim_t):
+            raise ValueError(
+                f"dim key {on_i!r} ({dim_t}) and fact partition column "
+                f"{fact_on!r} ({fact_t}) are different type families — "
+                "their hashes cannot co-route"
+            )
         cols_full = list(dict.fromkeys([on_i] + (list(cols_i) if cols_i is not None else names_i)))
         overlap = taken & (set(cols_full) - {on_i})
         if overlap:

@@ -246,3 +246,20 @@ def test_store_join_multi_dim_star(ray_session, tmp_path):
     with pytest.raises(ValueError, match="not both"):
         store_join_dim(fact, f"{SF_DIR}/orders.parquet", dim_on="o_orderkey",
                        dims=[(dim2, "key2", None)])
+
+
+def test_store_join_dim_refuses_key_type_mismatch(ray_session, tmp_path):
+    """A dim key of a different type family than the fact partition column
+    would hash-route wrongly and silently drop matches — must refuse."""
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray.storejoin import store_join_dim
+
+    fact = str(tmp_path / "fact")
+    encode_dataset(f"{SF_DIR}/lineitem.parquet", fact, n_parts=4,
+                   conv_col="l_orderkey", order_col="l_linenumber",
+                   sort_key=("l_orderkey", "l_linenumber"), salt_rows=0)
+    bad = str(tmp_path / "bad.parquet")
+    pq.write_table(pa.table({"k": pa.array(["1", "2"]), "v": [1, 2]}), bad)
+    with pytest.raises(ValueError, match="type families"):
+        store_join_dim(fact, bad, dim_on="k")
