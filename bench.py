@@ -86,7 +86,9 @@ def run_bench() -> dict:
     )
 
     # warm page cache (measure compute+shuffle, not first disk read)
-    ray.data.read_parquet(inp).count()
+    from parquet_converter_ray.pipelines._util import read_parquet_clean
+
+    read_parquet_clean(inp).count()
 
     out_dir = os.path.join(CACHE, f"bench-encoded-{NUM_CPUS}")
     shutil.rmtree(out_dir, ignore_errors=True)

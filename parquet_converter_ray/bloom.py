@@ -78,6 +78,51 @@ def value_hashes(vals: list) -> np.ndarray | None:
     return hash_conv_values([v for v in vals if v is not None]) if vals else None
 
 
+def typed_value_hashes(vals: list, type_str: str) -> np.ndarray | None:
+    """Hash probe literals in the COLUMN's hashing domain (the footer records
+    each bloom column's type): ``_column_hashes`` hashed an int column via
+    ``stable_hash_ints`` and a string/binary column via ``stable_hash_strings``
+    regardless of what Python type the probe literal arrives as. Dispatching
+    on the literal's Python type instead (``value_hashes``) would hash an int
+    literal probing a string column into the wrong domain and falsely prune.
+    Returns None when a literal can't be soundly coerced to the column's
+    family — the caller must then skip bloom pruning for that clause."""
+    from .codecs import str_to_type
+
+    vals = [v for v in vals if v is not None]
+    if not vals:
+        return np.empty(0, dtype=np.uint64)
+    try:
+        t = str_to_type(type_str)
+    except Exception:
+        return None
+    if pa.types.is_integer(t):
+        ints: list[int] = []
+        for v in vals:
+            if isinstance(v, bool):
+                return None
+            if isinstance(v, (int, np.integer)):
+                ints.append(int(v))
+                continue
+            try:  # the exact filter coerces "5"/5.0 -> 5; mirror it
+                iv = pa.scalar(v).cast(pa.int64()).as_py()
+            except (pa.ArrowInvalid, pa.ArrowTypeError,
+                    pa.ArrowNotImplementedError, OverflowError, ValueError):
+                return None
+            if iv is None:
+                return None
+            ints.append(int(iv))
+        return stable_hash_ints(pa.array(ints, pa.int64()))
+    if _is_strlike(t):
+        # str and bytes literals hash identically (same payload buffer);
+        # any other family differs from the column — refuse to prune
+        if not all(isinstance(v, (str, bytes, bytearray)) for v in vals):
+            return None
+        enc = [v.encode() if isinstance(v, str) else bytes(v) for v in vals]
+        return stable_hash_strings(pa.array(enc, pa.binary()))
+    return None
+
+
 def _indices(h: np.ndarray, k: int, m: int) -> np.ndarray:
     """(len(h), k) bit indices by double hashing; m must be a power of two."""
     h = h.astype(np.uint64, copy=False)
@@ -140,13 +185,18 @@ def bloom_probe_footer(path: str, footer: dict, clauses, verify_crc: bool = Fals
     eq = [(c, op, v) for c, op, v in clauses if op in ("==", "in") and c in blooms]
     if not eq:
         return True
+    col_types = {c["name"]: c["type"] for c in footer.get("columns", [])}
     with open(path, "rb") as f:
         for col, op, val in eq:
             ent = blooms[col]
             wanted = [val] if op == "==" else list(val)
-            h = value_hashes(wanted)
+            # hash in the COLUMN's domain (footer type), never the literal's
+            # Python type: the exact filter coerces literals to the column
+            # type, so an int probing a string bloom must coerce or skip —
+            # dispatching on the literal would falsely prune matching rows
+            h = typed_value_hashes(wanted, col_types.get(col, ""))
             if h is None or len(h) == 0:
-                continue  # un-hashable literals: the exact filter decides
+                continue  # un-coercible literals: the exact filter decides
             f.seek(int(ent["offset"]))
             bits = f.read(int(ent["len"]))
             if verify_crc and (zlib.crc32(bits) & 0xFFFFFFFF) != ent.get("crc32"):

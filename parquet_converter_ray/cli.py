@@ -51,7 +51,12 @@ def _parse_where(clause: str) -> tuple[str, str, object]:
     if m:
         col, op, rest = m.group(1), m.group(2).lower(), m.group(3)
         if op == "prefix":
-            return (col, op, rest.strip())
+            # unquote like every other op's _val, but stay a string:
+            # --where "conv_id prefix 'conv-0'" must match conv-0*, not 'conv-0*
+            p = rest.strip()
+            if len(p) >= 2 and p[0] == p[-1] and p[0] in ("'", '"'):
+                p = p[1:-1]
+            return (col, op, p)
         vals = [_val(v) for v in rest.split(",") if v.strip() != ""]
         if op == "between":
             if len(vals) != 2:

@@ -16,14 +16,35 @@ def read_parquet_clean(path: str | list[str], columns: list[str] | None = None, 
 
     import ray.data
 
+    import os
+
     first = path[0] if isinstance(path, list) else path
+    if os.path.isdir(first):  # schema from the first file inside (sorted —
+        # deterministic; all files in a dir share one schema or Ray errors)
+        cand = sorted(
+            f for f in os.listdir(first)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if cand:
+            first = os.path.join(first, cand[0])
     try:
         sch = pq.read_schema(first)
         names = list(columns) if columns is not None else list(sch.names)
         clean = pa.schema([sch.field(c).remove_metadata() for c in names])
-    except (OSError, pa.ArrowInvalid):  # directories / non-local: let Ray infer
+    except (OSError, pa.ArrowInvalid, KeyError):  # non-local / mixed: let Ray infer
         return ray.data.read_parquet(path, columns=columns, **kwargs)
     return ray.data.read_parquet(path, columns=columns, schema=clean, **kwargs)
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element bit count of a uint64 array (any shape), via a 256-entry
+    byte LUT — numpy<2 has no ``bitwise_count``. ~8 gathers + 1 sum per
+    element; used for Hamming distance in the SimHash/pHash verify steps."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return _POP8[x.view(np.uint8).reshape(x.shape + (8,))].sum(axis=-1, dtype=np.int64)
 
 
 def sql_round(x, d: int = 4):

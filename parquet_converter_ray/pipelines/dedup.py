@@ -52,7 +52,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ._util import join_num_partitions, read_parquet_clean, sql_round
+from ._util import join_num_partitions, popcount64, read_parquet_clean, sql_round
 from .text import (
     batch_char_ngrams,
     batch_token_shingles,
@@ -624,16 +624,34 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     )
 
     def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id").head(50)
-        ids = g["doc_id"].tolist()
+        # FULL bucket, chunked: hot buckets (many near-identical docs — the
+        # dedup-relevant case) must not drop candidates, so instead of a row
+        # cap the pairwise XOR runs in CH-row strips (CH x n uint64 working
+        # set, bounded memory at any bucket size). Vectorized LUT popcount.
+        g = group.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
+        n = len(ids)
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
+        )
+        if n < 2:
+            return empty
+        CH = 1024
         a, b, d = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ham = bin(int(hs[i] ^ hs[j])).count("1")
-                if ham <= max_hamming:
-                    a.append(ids[i]); b.append(ids[j]); d.append(ham)
-        return pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
+        for s in range(0, n, CH):
+            e = min(s + CH, n)
+            ham = popcount64(hs[s:e, None] ^ hs[None, s:])
+            ii, jj = np.nonzero((ham <= max_hamming) & (ids[s:e, None] < ids[None, s:]))
+            a.append(ids[s:e][ii]); b.append(ids[s:][jj]); d.append(ham[ii, jj])
+        a = np.concatenate(a)
+        if len(a) == 0:
+            return empty
+        return pd.DataFrame(
+            {"id_a": a.astype("int64"), "id_b": np.concatenate(b).astype("int64"),
+             "hamming": np.concatenate(d).astype("int64")}
+        )
 
     out = (
         ds.groupby(["band", "key"])

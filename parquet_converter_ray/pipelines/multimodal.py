@@ -22,6 +22,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ._util import popcount64
+
 
 def _encode_pgm(gray: np.ndarray) -> bytes:
     """Minimal P5 writer (used by the synth table and the resize output for
@@ -447,20 +449,31 @@ def image_dedup_phash(sf_dir: str | None = None, max_hamming: int = 6) -> pa.Tab
         )
 
     def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("item_id").head(200)
+        # FULL bucket, chunked strips (CH x n working set) — no row cap, so
+        # the pigeonhole exactness claim above holds at any bucket size.
+        g = group.sort_values("item_id")
         ids = g["item_id"].to_numpy()
         hs = g["phash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        x = hs[:, None] ^ hs[None, :]
-        ham = np.zeros_like(x, dtype=np.int64)
-        while x.any():
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x = x >> np.uint64(1)
-        ii, jj = np.nonzero((ham <= max_hamming) & (ids[:, None] < ids[None, :]))
+        n = len(ids)
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
+        )
+        if n < 2:
+            return empty
+        CH = 1024
+        a, b, d = [], [], []
+        for s in range(0, n, CH):
+            e = min(s + CH, n)
+            ham = popcount64(hs[s:e, None] ^ hs[None, s:])
+            ii, jj = np.nonzero((ham <= max_hamming) & (ids[s:e, None] < ids[None, s:]))
+            a.append(ids[s:e][ii]); b.append(ids[s:][jj]); d.append(ham[ii, jj])
+        a = np.concatenate(a)
+        if len(a) == 0:
+            return empty
         return pd.DataFrame(
-            {"id_a": ids[ii].astype("int64"), "id_b": ids[jj].astype("int64"),
-             "hamming": ham[ii, jj]}
+            {"id_a": a.astype("int64"), "id_b": np.concatenate(b).astype("int64"),
+             "hamming": np.concatenate(d).astype("int64")}
         )
 
     out = (

@@ -51,6 +51,7 @@ from .zonemap import (
     _coerce,
     _int_physical,
     _normalize_dnf,
+    _prefix_upper,
     _ScanDecoder,
     _store_schema,
     exact_int_sum,
@@ -134,6 +135,18 @@ def record_all_match(stats: dict, rows: int, clauses) -> bool:
         elif op == "in":
             if st.get("approx") or mn is None or not (mn == mx and mn in vs):
                 return False
+        elif op == "prefix":
+            # rows with prefix p live exactly in [p, _prefix_upper(p));
+            # containment proofs stay sound under widened (truncated)
+            # bounds: widened ⊆ [p, up) ⇒ true ⊆ [p, up)
+            if not isinstance(vs[0], str) or mn is None or mx is None:
+                return False
+            up = _prefix_upper(vs[0])
+            if not (mn >= vs[0] and (up is None or mx < up)):
+                return False
+        else:
+            # unknown op: never vacuously prove — force the scan path
+            return False
     return True
 
 

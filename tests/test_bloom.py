@@ -202,3 +202,67 @@ def test_bloom_cols_validation(ray_session, transcripts, tmp_path):
     with pytest.raises(ValueError, match="not integer/string"):
         encode_dataset(ray.data.from_arrow(transcripts), str(tmp_path / "b"),
                        n_parts=2, salt_rows=0, bloom_cols=["ts"])
+
+
+# --- typed probe: literal coerced to the COLUMN's hashing domain -------------------
+
+
+def test_typed_value_hashes_coercion():
+    """ADVICE r4 (medium): probe literals must hash in the column's domain,
+    not the literal's Python type — a mismatch silently pruned live rows."""
+    from parquet_converter_ray.bloom import typed_value_hashes
+    from parquet_converter_ray.partition import stable_hash_ints, stable_hash_strings
+
+    # int column: "5" / 5.0 / np.int32(5) all coerce to the int-hash of 5
+    want = stable_hash_ints(pa.array([5], pa.int64()))
+    for lit in ["5", 5.0, np.int32(5)]:
+        got = typed_value_hashes([lit], "int64")
+        assert got is not None and (got == want).all(), lit
+    # non-integral / bool / junk literals refuse (None -> probe skips, no prune)
+    assert typed_value_hashes([5.5], "int64") is None
+    assert typed_value_hashes([True], "int64") is None
+    assert typed_value_hashes(["abc"], "int64") is None
+    # string column: str and bytes hash identically; int literal refuses
+    ws = stable_hash_strings(pa.array([b"conv-1"], pa.binary()))
+    assert (typed_value_hashes(["conv-1"], "string") == ws).all()
+    assert (typed_value_hashes([b"conv-1"], "large_string") == ws).all()
+    assert typed_value_hashes([12345], "string") is None
+    # unknown/unsupported column types never hash
+    assert typed_value_hashes([1], "double") is None
+    assert typed_value_hashes([1], "not-a-type") is None
+
+
+def test_cross_type_probe_never_prunes_string_column(bloom_store):
+    """An int literal on a string bloom column must pass through (the exact
+    filter decides), never falsely prune the container."""
+    for path in sorted(glob.glob(os.path.join(bloom_store, "part-*.pcc"))):
+        footer = read_footer_file(path)
+        assert bloom_probe_footer(path, footer, [("conv_id", "==", 12345)])
+        assert bloom_probe_footer(path, footer, [("conv_id", "in", [1, 2])])
+
+
+def test_numeric_string_probe_matches_int_column(ray_session, tmp_path):
+    """A numeric-string literal on an int bloom column coerces (mirroring the
+    exact filter) instead of hashing in the string domain and pruning."""
+    tbl = pa.table({
+        "k": pa.array(np.arange(4_000, dtype=np.int64)),
+        "conv_id": pa.array(np.arange(4_000, dtype=np.int64) % 50),
+        "turn_idx": pa.array(np.arange(4_000, dtype=np.int64)),
+        "ts": pa.array(np.arange(4_000).astype("datetime64[us]")),
+    })
+    out = str(tmp_path / "intbloom")
+    encode_dataset(ray.data.from_arrow(tbl), out, n_parts=3, salt_rows=0,
+                   cluster_by="ts", bloom_cols=["k"])
+    present, absent_hits = 0, 0
+    for path in sorted(glob.glob(os.path.join(out, "part-*.pcc"))):
+        footer = read_footer_file(path)
+        # every container holds SOME k; probe one of its own values as a string
+        from parquet_converter_ray.container import decode_table
+
+        with open(path, "rb") as f:
+            ks = decode_table(f.read(), columns=["k"])["k"].to_pylist()
+        assert bloom_probe_footer(path, footer, [("k", "==", str(ks[0]))])
+        present += 1
+        absent_hits += int(bloom_probe_footer(path, footer, [("k", "==", "999999")]))
+    assert present >= 2
+    assert absent_hits <= 1  # absent key still prunes (fpr slack)

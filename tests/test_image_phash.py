@@ -74,3 +74,16 @@ def test_image_phash_clusters_ground_truth(ray_session):
     for i, c in cl.items():
         if i not in planted:
             assert c == i
+
+
+def test_popcount64_matches_python_bitcount():
+    from parquet_converter_ray.pipelines._util import popcount64
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 2**63, size=(37, 5), dtype=np.int64).astype(np.uint64)
+    x[0, 0] = 0
+    x[0, 1] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    got = popcount64(x)
+    want = np.vectorize(lambda v: bin(int(v)).count("1"))(x)
+    assert got.shape == x.shape
+    assert (got == want).all()

@@ -269,3 +269,37 @@ def test_cli_agg(store):
     out = json.loads(cp.stdout.strip().splitlines()[-1])
     assert out["result"]["count"] > 0
     assert set(out["plan"]) == {"parts_total", "pruned", "meta_answered", "scanned"}
+
+
+def test_record_all_match_prefix_and_unknown_op():
+    """ADVICE r4 (high): 'prefix' used to fall through the op chain and be
+    vacuously proven, inflating counts. Also: unknown ops must never prove."""
+    st = {"name": {"t": "string", "nulls": 0, "min": "aa", "max": "zz"}}
+    assert not record_all_match(st, 100, [("name", "prefix", "b")])  # advisory repro
+    # provable: bounds strictly inside [p, prefix_upper(p)) = ["b", "c")
+    ok = {"name": {"t": "string", "nulls": 0, "min": "ba", "max": "bz"}}
+    assert record_all_match(ok, 100, [("name", "prefix", "b")])
+    # boundary: max == "c" is outside the half-open interval
+    edge = {"name": {"t": "string", "nulls": 0, "min": "b", "max": "c"}}
+    assert not record_all_match(edge, 100, [("name", "prefix", "b")])
+    # widened (truncated) bounds: containment proofs stay sound
+    ap = {"name": {"t": "string", "nulls": 0, "approx": True, "min": "ba", "max": "bz"}}
+    assert record_all_match(ap, 100, [("name", "prefix", "b")])
+    # approx with unbounded max -> no proof
+    nomax = {"name": {"t": "string", "nulls": 0, "approx": True, "min": "ba", "max": None}}
+    assert not record_all_match(nomax, 100, [("name", "prefix", "b")])
+    # non-string literal -> coercion refuses -> no proof
+    assert not record_all_match(st, 100, [("name", "prefix", 5)])
+    # UNKNOWN op must force the scan path, never vacuously prove
+    assert not record_all_match(st, 100, [("name", "someop", "b")])
+
+
+def test_store_agg_prefix_predicate(store, table):
+    """End-to-end: count with a prefix predicate matches the exact answer
+    (mixed-flag containers scan; the proof branch never over-counts)."""
+    res, plan = store_agg(store, ["count", "sum:k"], [("flag", "prefix", "A")],
+                          return_plan=True)
+    mask = pc.equal(table["flag"], "A")
+    assert res["count"] == pc.sum(pc.cast(mask, pa.int64())).as_py()
+    assert res["sum_k"] == pc.sum(pc.if_else(mask, table["k"], pa.scalar(0, pa.int64()))).as_py()
+    assert plan["parts_total"] == plan["pruned"] + plan["meta_answered"] + plan["scanned"]
