@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_source_scan": transcripts.documents_source_scan,
         "store_agg_pushdown": transcripts.store_agg_pushdown,
         "store_agg_metadata_only": transcripts.store_agg_metadata_only,
+        "store_three_way_join": transcripts.store_three_way_join,
         "knn_ivf_persisted": similarity.knn_ivf_persisted,
         "events_window_unique_users_approx": windows.events_window_unique_users_approx,
         "image_phash_clusters": multimodal.image_phash_clusters,
@@ -477,6 +478,14 @@ def oracle_sql() -> dict[str, str]:
                    max(l_shipdate) AS max_ship
             FROM lineitem
             WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+        """,
+        "store_three_way_join": """
+            SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+                   round(sum(value), 2) AS sum_value,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM events JOIN orders ON user_id = o_custkey
+                        JOIN customer ON c_custkey = user_id
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "store_agg_metadata_only": """
             SELECT count(*)::BIGINT AS cnt,

@@ -865,3 +865,85 @@ def lineitem_store_profile(sf_dir: str) -> pa.Table:
             "nulls": pa.array(rows["nulls"], type=pa.int64()),
         }
     )
+
+
+def _customer_key_stores(sf_dir: str) -> tuple[str, str, str]:
+    """Events + orders + customer stores hash-routed on the SHARED customer
+    key with the same n_parts — the N-way co-partitioned set
+    ``storejoin.store_join_multi`` proves and exploits (cached per sf)."""
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    specs = [
+        ("events", "user_id", "event_id", ("user_id", "event_id")),
+        ("orders", "o_custkey", "o_orderkey", ("o_custkey", "o_orderkey")),
+        ("customer", "c_custkey", "c_nationkey", ("c_custkey",)),
+    ]
+    dirs = []
+    for name, conv, order, sort in specs:
+        d = os.path.join(_CACHE, f"encoded-{name}-custkey-{tag}")
+        if not os.path.exists(os.path.join(d, "manifest.jsonl")):
+            shutil.rmtree(d, ignore_errors=True)
+            encode_dataset(
+                f"{sf_dir}/{name}.parquet",
+                d,
+                n_parts=16,
+                conv_col=conv,
+                order_col=order,
+                sort_key=sort,
+                salt_rows=0,
+            )
+        dirs.append(d)
+    return tuple(dirs)
+
+
+def store_three_way_join(sf_dir: str) -> pa.Table:
+    """THREE co-bucketed stores joined over one shared entity key with zero
+    exchange (``storejoin.store_join_multi``): events, orders and customer
+    are each hash-routed on the customer key at encode time, so every
+    part_id decodes all three stores' containers in ONE task and chains the
+    joins locally — the N-way star over a shared key (user/customer/
+    conversation id) that pays its partition exchange once at ingest. The
+    joined stream aggregates per market segment with per-batch partials
+    (bounded 5-key space finishes on the driver). Oracle: SQL triple join +
+    GROUP BY."""
+    import pandas as pd
+    import pyarrow.compute as pc  # noqa: F401
+
+    from ..storejoin import store_join_multi
+    from ._util import finish_on_driver, sql_round
+
+    e_dir, o_dir, c_dir = _customer_key_stores(sf_dir)
+    ds = store_join_multi(
+        [e_dir, o_dir, c_dir],
+        columns=[["value"], ["o_totalprice"], ["c_mktsegment"]],
+    )
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        if batch.num_rows == 0:
+            return pd.DataFrame({"c_mktsegment": [], "n_rows": [], "sum_value": [], "sum_price": []})
+        g = batch.group_by("c_mktsegment").aggregate(
+            [([], "count_all"), ("value", "sum"), ("o_totalprice", "sum")]
+        )
+        return pd.DataFrame(
+            {
+                "c_mktsegment": g["c_mktsegment"].to_pylist(),
+                "n_rows": g["count_all"].to_numpy(zero_copy_only=False),
+                "sum_value": g["value_sum"].to_numpy(zero_copy_only=False),
+                "sum_price": g["o_totalprice_sum"].to_numpy(zero_copy_only=False),
+            }
+        )
+
+    tot = finish_on_driver(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        ["n_rows", "sum_value", "sum_price"],
+    ).sort_values("c_mktsegment")
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(tot["c_mktsegment"], pa.string()),
+            "n_rows": pa.array(tot["n_rows"].astype("int64"), pa.int64()),
+            "sum_value": pa.array(sql_round(tot["sum_value"].to_numpy(), 2), pa.float64()),
+            "sum_price": pa.array(sql_round(tot["sum_price"].to_numpy(), 2), pa.float64()),
+        }
+    )

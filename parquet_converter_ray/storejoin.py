@@ -316,6 +316,128 @@ def store_join_dim(
     return unioned.groupby("part_id").map_groups(_join_group, batch_format="pyarrow")
 
 
+class _MultiBucketJoiner:
+    """Decode one part_id's containers from ALL stores and chain local joins.
+    Plain callable in a task pool; state is column lists + schemas only."""
+
+    def __init__(self, ons, col_lists, how, schemas):
+        self.ons = ons            # join column per store
+        self.col_lists = col_lists  # pruned columns per store
+        self.how = how
+        self.schemas = schemas    # [(name, type)] per store, for empty sides
+
+    def _side(self, paths, cols) -> pa.Table | None:
+        tables = [decode_table(open(p, "rb").read(), columns=cols) for p in paths]
+        return pa.concat_tables(tables) if tables else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .encode import pin_arrow_threads
+
+        pin_arrow_threads(1)
+        out = []
+        for row in batch.to_pylist():
+            acc = self._side(row["paths"][0], self.col_lists[0])
+            if acc is None:
+                continue
+            for i in range(1, len(self.ons)):
+                side = self._side(row["paths"][i], self.col_lists[i])
+                if side is None:
+                    if self.how == "inner":
+                        acc = None
+                        break
+                    side = pa.table(
+                        {n: pa.array([], type=t) for n, t in self.schemas[i]
+                         if n in self.col_lists[i]}
+                    )
+                acc = acc.join(
+                    side,
+                    keys=[self.ons[0]],
+                    right_keys=[self.ons[i]],
+                    join_type="inner" if self.how == "inner" else "left outer",
+                )
+                if self.how == "inner" and acc.num_rows == 0:
+                    acc = None
+                    break
+            if acc is not None:
+                out.append(acc)
+        if not out:
+            return pa.table({})
+        return pa.concat_tables(out, promote_options="default")
+
+
+def store_join_multi(
+    dirs: list[str],
+    *,
+    ons: list[str] | None = None,
+    columns: list[list[str] | None] | None = None,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """N-way co-bucketed join over ONE shared key — zero exchange.
+
+    Every store was hash-routed at encode time on its join column with the
+    same ``(hash_version, n_parts)``, so equal keys across ALL N stores live
+    in equal ``part_id``s; each part_id's containers from every store decode
+    together in ONE task and join locally in chain order (store 0 is the
+    left/probe side). The star shape where N fact/dim tables share one
+    entity key (user/customer/conversation) pays the partition exchange once
+    at ingest, then every N-way join is map-only over matched buckets.
+
+    Same layout preconditions as ``store_join`` (hash mode, current hash
+    version, equal n_parts, unsalted, join columns ARE the partition
+    columns), checked pairwise against store 0 and refused loudly.
+    ``how``: "inner", or "left" (left-outer chain anchored on store 0).
+    Non-key output columns must be disjoint across stores."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if len(dirs) < 2:
+        raise ValueError("store_join_multi needs at least 2 stores")
+    layouts = [_layout(d) for d in dirs]
+    ons = list(ons) if ons is not None else [p.get("conv_col") for p in layouts]
+    if len(ons) != len(dirs):
+        raise ValueError(f"{len(dirs)} stores but {len(ons)} join columns")
+    for i in range(1, len(dirs)):
+        _check_bucketed(dirs[0], dirs[i], ons[0], ons[i])
+
+    from .zonemap import _store_schema
+
+    schemas = [_store_schema(d, mf.load_records(d)) for d in dirs]
+    col_lists: list[list[str]] = []
+    taken: set[str] = set()
+    for i, d in enumerate(dirs):
+        names = [n for n, _ in schemas[i]]
+        want = columns[i] if columns is not None and columns[i] is not None else names
+        cols = list(dict.fromkeys([ons[i]] + list(want)))
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise ValueError(f"columns {missing} not in {d} schema")
+        overlap = taken & (set(cols) - {ons[i]})
+        if overlap:
+            raise ValueError(f"non-key columns {sorted(overlap)} appear on multiple sides — prune one")
+        taken |= set(cols) - {ons[i]}
+        col_lists.append(cols)
+
+    by_part = [_paths_by_part(d) for d in dirs]
+    pids = set(by_part[0])
+    if how == "inner":
+        for m in by_part[1:]:
+            pids &= set(m)
+    items = [
+        {"part_id": p, "paths": [m.get(p, []) for m in by_part]}
+        for p in sorted(pids)
+        if by_part[0].get(p)
+    ]
+    if not items:
+        empty_cols: dict[str, pa.Array] = {}
+        for i, sch in enumerate(schemas):
+            t = dict(sch)
+            for c in col_lists[i]:
+                if i == 0 or c != ons[i]:
+                    empty_cols[c] = pa.array([], type=t[c])
+        return ray.data.from_arrow(pa.table(empty_cols))
+    joiner = _MultiBucketJoiner(ons, col_lists, how, schemas)
+    return ray.data.from_items(items).map_batches(joiner, batch_format="pyarrow", batch_size=1)
+
+
 def store_join(
     left_dir: str,
     right_dir: str,

@@ -263,3 +263,83 @@ def test_store_join_dim_refuses_key_type_mismatch(ray_session, tmp_path):
     pq.write_table(pa.table({"k": pa.array(["1", "2"]), "v": [1, 2]}), bad)
     with pytest.raises(ValueError, match="type families"):
         store_join_dim(fact, bad, dim_on="k")
+
+
+@pytest.fixture(scope="module")
+def tri_stores(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("storejoin3")
+    dirs = []
+    for name, conv, order, sort in [
+        ("events", "user_id", "event_id", ("user_id", "event_id")),
+        ("orders", "o_custkey", "o_orderkey", ("o_custkey", "o_orderkey")),
+        ("customer", "c_custkey", "c_nationkey", ("c_custkey",)),
+    ]:
+        d = str(base / name)
+        encode_dataset(f"{SF_DIR}/{name}.parquet", d, n_parts=8,
+                       conv_col=conv, order_col=order, sort_key=sort, salt_rows=0)
+        dirs.append(d)
+    return dirs
+
+
+def test_three_way_join_matches_duckdb_zero_exchange(tri_stores):
+    from parquet_converter_ray.storejoin import store_join_multi
+
+    ds = store_join_multi(
+        tri_stores,
+        columns=[["value"], ["o_totalprice"], ["c_mktsegment"]],
+    )
+    t = _collect(ds)
+    n, sv, sp = duckdb.sql(
+        f"""SELECT count(*), round(sum(value), 2), round(sum(o_totalprice), 2)
+            FROM '{SF_DIR}/events.parquet'
+            JOIN '{SF_DIR}/orders.parquet' ON user_id = o_custkey
+            JOIN '{SF_DIR}/customer.parquet' ON c_custkey = user_id"""
+    ).fetchone()
+    assert t.num_rows == n > 0
+    assert round(float(pc.sum(t["value"]).as_py()), 2) == float(sv)
+    assert round(float(pc.sum(t["o_totalprice"]).as_py()), 2) == float(sp)
+    assert set(t.column_names) == {"user_id", "value", "o_totalprice", "c_mktsegment"}
+    # zero exchange: the executed lineage is from_items -> one map stage —
+    # no all-to-all (sort/shuffle/aggregate) operator anywhere in the plan
+    stats = ds.stats()
+    assert "AllToAll" not in stats and "Sort" not in stats and "Aggregate" not in stats
+
+
+def test_three_way_left_join_keeps_unmatched(tri_stores):
+    from parquet_converter_ray.storejoin import store_join_multi
+
+    # customers with no events drop in inner; anchor on customer + how=left
+    ds = store_join_multi(
+        [tri_stores[2], tri_stores[1], tri_stores[0]],
+        columns=[["c_mktsegment"], ["o_totalprice"], ["value"]],
+        how="left",
+    )
+    t = _collect(ds)
+    (n,) = duckdb.sql(
+        f"""SELECT count(*) FROM '{SF_DIR}/customer.parquet'
+            LEFT JOIN '{SF_DIR}/orders.parquet' ON o_custkey = c_custkey
+            LEFT JOIN '{SF_DIR}/events.parquet' ON user_id = c_custkey"""
+    ).fetchone()
+    assert t.num_rows == n
+
+
+def test_store_join_multi_refusals(tri_stores, tmp_path):
+    from parquet_converter_ray.storejoin import store_join_multi
+
+    with pytest.raises(ValueError, match="at least 2"):
+        store_join_multi([tri_stores[0]])
+    with pytest.raises(ValueError, match="join columns"):
+        store_join_multi(tri_stores, ons=["user_id", "o_custkey"])
+    # non-key column overlap across sides
+    with pytest.raises(ValueError, match="multiple sides"):
+        store_join_multi(
+            [tri_stores[0], tri_stores[1], tri_stores[1]],
+            columns=[["value"], ["o_totalprice"], ["o_totalprice"]],
+        )
+    # layout mismatch (different n_parts) refused via the pairwise check
+    bad = str(tmp_path / "events5")
+    encode_dataset(f"{SF_DIR}/events.parquet", bad, n_parts=5,
+                   conv_col="user_id", order_col="event_id",
+                   sort_key=("user_id", "event_id"), salt_rows=0)
+    with pytest.raises(ValueError, match="n_parts"):
+        store_join_multi([tri_stores[0], tri_stores[1], bad])
