@@ -57,29 +57,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # NOTE on ordering: the driver verifies the FIRST 50 entries per round.
-        # Rounds 1-3 covered 74 of 107; the 33 never-driver-checked entries are
-        # deliberately placed first here (round-3 VERDICT item 1), followed by
-        # the queries this round's refactors touch (dedup/tfidf/store), then
-        # the long-green remainder.
-        # --- never-driver-checked through round 3 (33 entries) ---
-        "label_centroids": similarity.label_centroids,
-        "customer_year_overlap": analytics.customer_year_overlap,
+        # Round 5 window = this round's NEW queries, the 3 entries never
+        # driver-checked through round 4 (r4 VERDICT item 2), the queries this
+        # round's refactors touch (bloom typed probes, storeagg prefix proofs,
+        # full-bucket simhash/phash), then the round-4 window remainder. Eight
+        # long-green r4 rows rotated just below slot 50.
+        # --- round-5 new queries (4) ---
+        "store_three_way_join": transcripts.store_three_way_join,
+        "documents_zorder_scan": transcripts.documents_zorder_scan,
+        "image_dedup_phash_store": multimodal.image_dedup_phash_store,
+        "orders_transcript_store_stats": transcripts.orders_transcript_store_stats,
+        # --- never driver-checked through round 4 (3) ---
+        "knn_ivf_persisted": similarity.knn_ivf_persisted,
+        "events_window_unique_users_approx": windows.events_window_unique_users_approx,
+        "image_phash_clusters": multimodal.image_phash_clusters,
+        # --- touched by round-5 refactors ---
+        "dedup_simhash": dedup.dedup_simhash,
+        "image_dedup_phash": multimodal.image_dedup_phash,
+        "lineitem_bloom_scan": transcripts.lineitem_bloom_scan,
+        "store_agg_pushdown": transcripts.store_agg_pushdown,
+        "store_agg_metadata_only": transcripts.store_agg_metadata_only,
+        "documents_prefix_scan": transcripts.documents_prefix_scan,
+        # --- round-4 window remainder ---
         "event_funnel": behavior.event_funnel,
-        "cohort_retention": behavior.cohort_retention,
-        "latest_event_per_user": behavior.latest_event_per_user,
         "events_daily_gapfill": behavior.events_daily_gapfill,
-        "revenue_mom_growth": behavior.revenue_mom_growth,
         "purchase_error_window": behavior.purchase_error_window,
         "user_rolling_peak": behavior.user_rolling_peak,
         "user_rolling_peak_salted": behavior.user_rolling_peak_salted,
-        "unpivot_customer": windows.unpivot_customer,
         "scrub_pii": text.scrub_pii,
         "chunk_documents": text.chunk_documents,
         "token_dup_stats": text.token_dup_stats,
         "decontaminate": text.decontaminate,
         "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
         "name_clusters": dedup.name_clusters,
-        "q14_promo_revenue": relational.q14_promo_revenue,
         "dedup_substring": dedup.dedup_substring,
         "dedup_incremental": dedup.dedup_incremental,
         "transcript_lookup": transcripts.transcript_lookup,
@@ -95,32 +105,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": export.pack_sequences,
         "export_shards": export.export_shards,
         "audio_rms_windows": multimodal.audio_rms_windows,
-        # --- slots 34-50: round-4 additions + queries this round refactored ---
         "asof_attribution": behavior.asof_attribution,
         "asof_attribution_salted": behavior.asof_attribution_salted,
         "events_window_unique_users": windows.events_window_unique_users,
         "lineitem_range_scan": transcripts.lineitem_range_scan,
-        "lineitem_bloom_scan": transcripts.lineitem_bloom_scan,
         "lineitem_band_union_revenue": transcripts.lineitem_band_union_revenue,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "store_bucket_join": transcripts.store_bucket_join,
         "salted_dim_join": transcripts.salted_dim_join,
-        "image_dedup_phash": multimodal.image_dedup_phash,
         "range_search": similarity.range_search,
-        "mode_quantity_by_flag": relational.mode_quantity_by_flag,
         "export_wds": export.export_wds,
-        "documents_prefix_scan": transcripts.documents_prefix_scan,
         "documents_source_scan": transcripts.documents_source_scan,
-        "store_agg_pushdown": transcripts.store_agg_pushdown,
-        "store_agg_metadata_only": transcripts.store_agg_metadata_only,
-        "store_three_way_join": transcripts.store_three_way_join,
-        "knn_ivf_persisted": similarity.knn_ivf_persisted,
-        "events_window_unique_users_approx": windows.events_window_unique_users_approx,
-        "image_phash_clusters": multimodal.image_phash_clusters,
+        # --- (slot >50 from here) rotated-out long-green r4 rows (8) ---
+        "label_centroids": similarity.label_centroids,
+        "customer_year_overlap": analytics.customer_year_overlap,
+        "cohort_retention": behavior.cohort_retention,
+        "latest_event_per_user": behavior.latest_event_per_user,
+        "revenue_mom_growth": behavior.revenue_mom_growth,
+        "unpivot_customer": windows.unpivot_customer,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "mode_quantity_by_flag": relational.mode_quantity_by_flag,
+        # --- long-green remainder ---
         "tfidf_top_terms": text.tfidf_top_terms,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_exact": dedup.dedup_exact,
-        "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
@@ -478,6 +486,21 @@ def oracle_sql() -> dict[str, str]:
                    max(l_shipdate) AS max_ship
             FROM lineitem
             WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+        """,
+        "orders_transcript_store_stats": """
+            SELECT o_orderstatus AS role, count(*)::BIGINT AS n_turns,
+                   sum(length(o_orderpriority))::BIGINT AS sum_chars,
+                   round(sum(length(o_orderpriority)) / count(*)::DOUBLE, 4) AS avg_chars
+            FROM orders GROUP BY role ORDER BY role
+        """,
+        "documents_zorder_scan": """
+            SELECT 'by_chars' AS pred, count(*)::BIGINT AS n_rows,
+                   coalesce(sum(n_chars), 0)::BIGINT AS sum_chars
+            FROM documents WHERE n_chars BETWEEN 100 AND 200
+            UNION ALL
+            SELECT 'by_source', count(*)::BIGINT, coalesce(sum(n_chars), 0)::BIGINT
+            FROM documents WHERE source BETWEEN 'src1' AND 'src2'
+            ORDER BY pred
         """,
         "store_three_way_join": """
             SELECT c_mktsegment, count(*)::BIGINT AS n_rows,

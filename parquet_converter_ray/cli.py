@@ -212,14 +212,20 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser(
         "join",
-        help="co-partitioned (bucketed) join of two encoded stores hash-routed "
-             "on the same key — each part_id joins locally, zero exchange",
+        help="co-partitioned (bucketed) join of TWO OR MORE encoded stores "
+             "hash-routed on the same key — each part_id joins locally, zero "
+             "exchange (N>2 chains local joins anchored on the first store)",
     )
-    p.add_argument("left_dir")
-    p.add_argument("right_dir")
+    p.add_argument("dirs", nargs="+", metavar="STORE_DIR",
+                   help="two or more co-bucketed store directories")
     p.add_argument("--how", choices=["inner", "left"], default="inner")
-    p.add_argument("--left-columns", nargs="*", default=None)
-    p.add_argument("--right-columns", nargs="*", default=None)
+    p.add_argument("--left-columns", nargs="*", default=None,
+                   help="pruned columns for the first store")
+    p.add_argument("--right-columns", nargs="*", default=None,
+                   help="pruned columns for the second store (2-store form only)")
+    p.add_argument("--columns", action="append", default=None, metavar="C1,C2|-",
+                   help="per-store pruned column list (comma-separated, one flag "
+                        "per store in order; '-' = all columns) — the N-store form")
     p.add_argument("--output", default=None, help="write joined rows as parquet instead of counting")
     p.add_argument("--limit", type=int, default=5, help="sample rows printed when not writing")
 
@@ -432,12 +438,32 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({"plan": plan, "result": result}, default=str))
         elif args.cmd == "join":
-            from .storejoin import store_join
+            from .storejoin import store_join, store_join_multi
 
-            ds = store_join(
-                args.left_dir, args.right_dir, how=args.how,
-                left_columns=args.left_columns, right_columns=args.right_columns,
-            )
+            if len(args.dirs) < 2:
+                print("join needs at least 2 store directories", file=sys.stderr)
+                return 2
+            if args.columns is not None and (args.left_columns or args.right_columns):
+                print("pass either --columns (N-store form) or "
+                      "--left-columns/--right-columns (2-store form), not both",
+                      file=sys.stderr)
+                return 2
+            if len(args.dirs) == 2 and args.columns is None:
+                ds = store_join(
+                    args.dirs[0], args.dirs[1], how=args.how,
+                    left_columns=args.left_columns, right_columns=args.right_columns,
+                )
+            else:
+                cols = None
+                if args.columns is not None:
+                    if len(args.columns) != len(args.dirs):
+                        print(f"{len(args.dirs)} stores but {len(args.columns)} "
+                              "--columns flags", file=sys.stderr)
+                        return 2
+                    cols = [None if c.strip() == "-" else
+                            [x.strip() for x in c.split(",") if x.strip()]
+                            for c in args.columns]
+                ds = store_join_multi(args.dirs, columns=cols, how=args.how)
             if args.output:
                 ds.write_parquet(args.output, compression=cfg.compression)
                 rows = ray.data.read_parquet(args.output).count()

@@ -418,19 +418,16 @@ def synth_near_dup_images(
     return ray.data.from_items(rows), truth
 
 
-def image_dedup_phash(sf_dir: str | None = None, max_hamming: int = 6) -> pa.Table:
-    """Image near-duplicate pairs by perceptual hash + banded LSH: decode ->
-    dHash64 (task pool) -> explode each hash into 8 one-byte bands -> bucket
-    groupby emits candidate pairs -> full 64-bit Hamming verify. Pigeonhole:
-    a pair within Hamming<8 of 64 bits MUST agree on >=1 of 8 bands, so
-    recall at ``max_hamming<=7`` is exact — the same banding argument as the
-    SimHash text path (`dedup.dedup_simhash`), applied below the decode
-    layer where byte-level dedup is blind (same picture, different wire
-    format). The exchange carries (band, key, item_id, phash) rows only."""
+def _phash_pairs(hashed: "ray.data.Dataset", max_hamming: int) -> pa.Table:
+    """Banded-LSH near-dup pairs from a (item_id, phash) dataset: explode
+    each 64-bit hash into 8 one-byte bands -> bucket groupby emits candidate
+    pairs -> full 64-bit Hamming verify. Pigeonhole: a pair within Hamming<8
+    of 64 bits MUST agree on >=1 of 8 bands, so recall at ``max_hamming<=7``
+    is exact — the same banding argument as the SimHash text path
+    (`dedup.dedup_simhash`), applied below the decode layer where byte-level
+    dedup is blind (same picture, different wire format). The exchange
+    carries (band, key, item_id, phash) rows only."""
     import pandas as pd
-
-    ds, _ = synth_near_dup_images()
-    hashed = ds.map_batches(PHasher(), batch_format="pyarrow", batch_size=64)
 
     BANDS = 8
 
@@ -488,6 +485,55 @@ def image_dedup_phash(sf_dir: str | None = None, max_hamming: int = 6) -> pa.Tab
     out = out.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
     out["hamming"] = out["hamming"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def image_dedup_phash(sf_dir: str | None = None, max_hamming: int = 6) -> pa.Table:
+    """Image near-duplicate pairs by perceptual hash + banded LSH over the
+    synth media table: decode -> dHash64 (task pool) -> ``_phash_pairs``."""
+    ds, _ = synth_near_dup_images()
+    hashed = ds.map_batches(PHasher(), batch_format="pyarrow", batch_size=64)
+    return _phash_pairs(hashed, max_hamming)
+
+
+def _media_store(n_parts: int = 6) -> str:
+    """The synth media table ENCODED into a container store — payloads as an
+    opaque binary column alongside typed metadata, hash-routed on item_id.
+    The layout a 100 TB media lake uses: pixels never leave their container
+    until a decode stage asks for the payload column. Cached (synth and
+    encode are deterministic)."""
+    import os
+    import shutil
+
+    from ..encode import encode_dataset
+
+    out = "/tmp/pcr_cache/encoded-media-synth"
+    if not os.path.exists(os.path.join(out, "manifest.jsonl")):
+        shutil.rmtree(out, ignore_errors=True)
+        ds, _ = synth_near_dup_images()
+        encode_dataset(
+            ds,
+            out,
+            n_parts=n_parts,
+            conv_col="item_id",
+            order_col="item_id",
+            sort_key=("item_id",),
+            salt_rows=0,
+        )
+    return out
+
+
+def image_dedup_phash_store(sf_dir: str | None = None, max_hamming: int = 6) -> pa.Table:
+    """Same near-dup pairs computed WITHOUT touching raw files: the media
+    table lives in an encoded container store (binary payload column), the
+    scan decodes only (item_id, payload) — media_type and any other metadata
+    buffers are never decompressed — and the identical hash -> band -> verify
+    pipeline runs downstream. Byte-identical to ``image_dedup_phash`` by
+    construction (pytest asserts it)."""
+    from ..decode import decode_dataset
+
+    ds = decode_dataset(_media_store(), columns=["item_id", "payload"])
+    hashed = ds.map_batches(PHasher(), batch_format="pyarrow", batch_size=64)
+    return _phash_pairs(hashed, max_hamming)
 
 
 def image_phash_clusters(sf_dir: str | None = None, max_hamming: int = 6) -> pa.Table:

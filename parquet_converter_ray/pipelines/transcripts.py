@@ -947,3 +947,105 @@ def store_three_way_join(sf_dir: str) -> pa.Table:
             "sum_price": pa.array(sql_round(tot["sum_price"].to_numpy(), 2), pa.float64()),
         }
     )
+
+
+def _documents_zorder_store(sf_dir: str) -> str:
+    """Documents store Z-ORDER clustered on (source, n_chars) — a STRING
+    column and a numeric column interleaved on one Morton curve (string keys
+    are the order-preserving prefix-skip 48-bit keys, the same primitive the
+    single-string cluster layout uses). Every clustered column gets a tight
+    per-container range, so zone maps prune predicates on EITHER column
+    independently. Cached per sf."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_CACHE, f"encoded-docs-zorder-{tag}")
+    if not os.path.exists(os.path.join(out, "manifest.jsonl")):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        encode_dataset(
+            f"{sf_dir}/documents.parquet",
+            out,
+            n_parts=16,
+            conv_col="doc_id",
+            order_col="doc_id",
+            sort_key=("doc_id",),
+            salt_rows=0,
+            cluster_by=["source", "n_chars"],
+        )
+    return out
+
+
+def documents_zorder_scan(sf_dir: str) -> pa.Table:
+    """Multi-column Z-order pruning with a STRING cluster column: the
+    (source, n_chars) documents store answers one band predicate per
+    clustered column, each pruned by that column's zone-map range alone —
+    the (tenant, size)-style layout where no single sort order serves both
+    access paths. Oracle: two filtered aggregates over the raw table."""
+    import pyarrow.compute as pc
+
+    from ..zonemap import scan_store
+
+    store = _documents_zorder_store(sf_dir)
+    rows = {"pred": [], "n_rows": [], "sum_chars": []}
+    for name, clauses in (
+        ("by_chars", [("n_chars", "between", (100, 200))]),
+        ("by_source", [("source", "between", ("src1", "src2"))]),
+    ):
+        ds = scan_store(store, clauses, columns=["n_chars"])
+        batches = [b for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows]
+        t = pa.concat_tables(batches) if batches else pa.table({"n_chars": pa.array([], pa.int64())})
+        rows["pred"].append(name)
+        rows["n_rows"].append(t.num_rows)
+        rows["sum_chars"].append(int(pc.sum(t["n_chars"]).as_py() or 0))
+    return pa.table(
+        {
+            "pred": pa.array(rows["pred"], pa.string()),
+            "n_rows": pa.array(rows["n_rows"], pa.int64()),
+            "sum_chars": pa.array(rows["sum_chars"], pa.int64()),
+        }
+    )
+
+
+def orders_transcript_store_stats(sf_dir: str) -> pa.Table:
+    """ORACLE-CHECKED container-format analytics over a TRANSCRIPT-SHAPED
+    schema: the orders table is recast deterministically into the flagship
+    layout (string conv_id 'conv-<custkey>', int turn order, role/text
+    string columns), encoded with a SALTED hash route — the exact codec and
+    layout path the 10^12-turn store uses (FSST/dict text columns, salt
+    chunks, stable intra-conversation order) — then the per-role stats run
+    directly on the encoded store via a pruned two-column decode. The
+    aggregate ignores the synthetic layout keys, so plain SQL over orders
+    is an exact oracle of the full encode->store->decode->aggregate path."""
+    import pyarrow.compute as pc
+
+    from ._util import read_parquet_clean
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_CACHE, f"encoded-orders-transcript-{tag}")
+    if not os.path.exists(os.path.join(out, "manifest.jsonl")):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+
+        def recast(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "conv_id": pc.binary_join_element_wise(
+                        "conv-", pc.cast(batch["o_custkey"], pa.string()), ""
+                    ),
+                    "turn_idx": batch["o_orderkey"],
+                    "role": batch["o_orderstatus"],
+                    "text": batch["o_orderpriority"],
+                    "ts": batch["o_orderdate"],
+                }
+            )
+
+        ds = read_parquet_clean(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+        ).map_batches(recast, batch_format="pyarrow")
+        # salt_rows=8: customers average ~10 orders, so mega-conversation
+        # splitting genuinely engages at test scale
+        encode_dataset(ds, out, n_parts=8, salt_rows=8)
+    stats = store_role_stats(out)
+    return stats.rename_columns(["role", "n_turns", "sum_chars", "avg_chars"])

@@ -87,3 +87,18 @@ def test_popcount64_matches_python_bitcount():
     want = np.vectorize(lambda v: bin(int(v)).count("1"))(x)
     assert got.shape == x.shape
     assert (got == want).all()
+
+
+def test_image_dedup_phash_store_identical_to_raw(ray_session):
+    """VERDICT r4 item 6: the container-store-backed variant (binary payload
+    column, metadata never decoded) must be byte-identical to the raw-file
+    pipeline on the same synth table."""
+    import shutil
+
+    from parquet_converter_ray.pipelines.multimodal import image_dedup_phash_store
+
+    shutil.rmtree("/tmp/pcr_cache/encoded-media-synth", ignore_errors=True)
+    raw = image_dedup_phash()
+    store = image_dedup_phash_store()
+    assert raw.equals(store)
+    assert store.num_rows > 0

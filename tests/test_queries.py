@@ -164,6 +164,7 @@ def test_all_queries_have_oracle_or_are_documented(ray_session):
         "audio_rms_windows",
         "pack_sequences",
         "image_dedup_phash",  # decode-level perceptual hash: no SQL analogue
+        "image_dedup_phash_store",  # same, over the encoded media store
         "knn_ivf_persisted",  # ANN vs persisted index: recall-tested in pytest
         "export_wds",  # tar sink: invariants read back from the written shards
         "image_phash_clusters",  # decode-level perceptual hash: no SQL analogue

@@ -451,3 +451,48 @@ def test_cluster_by_leads_sort_key_and_engages_sorted_scan(stores):
     key = [(c, "ascending") for c in sorted(exp.column_names)]
     assert got.sort_by(key).equals(exp.sort_by(key).combine_chunks())
     assert dec.range_hits == 1
+
+
+def test_zorder_string_columns_prune_independently(ray_session, tmp_path):
+    """Multi-column Z-order with STRING cluster columns (the round-4
+    documented refusal, now supported): a (source, n_chars) documents store
+    — string x numeric — and a (source, lang) store — string x string —
+    must prune a predicate on EITHER column alone, results identical to a
+    hash-routed store's scan."""
+    from parquet_converter_ray.encode import encode_dataset
+    from parquet_converter_ray.zonemap import scan_store
+
+    sf = "/root/testdata/sf0.001"
+    hdir = str(tmp_path / "hash")
+    encode_dataset(f"{sf}/documents.parquet", hdir, n_parts=16, conv_col="doc_id",
+                   order_col="doc_id", sort_key=("doc_id",), salt_rows=0)
+
+    for tag, cluster in (("sn", ["source", "n_chars"]), ("sl", ["source", "lang"])):
+        zdir = str(tmp_path / f"zorder-{tag}")
+        encode_dataset(f"{sf}/documents.parquet", zdir, n_parts=16,
+                       conv_col="doc_id", order_col="doc_id",
+                       sort_key=("doc_id",), salt_rows=0, cluster_by=cluster)
+        preds = [
+            [("source", "between", ("src1", "src2"))],
+            [("source", "prefix", "src1")],
+        ]
+        preds.append([("n_chars", "between", (100, 200))] if tag == "sn"
+                     else [("lang", "==", "en")])
+        for pred in preds:
+            z_ds, z_plan = scan_store(zdir, pred, return_plan=True)
+            h_ds, _ = scan_store(hdir, pred, return_plan=True)
+            z = _sorted(pa.concat_tables(list(z_ds.iter_batches(batch_format="pyarrow"))))
+            h = _sorted(pa.concat_tables(list(h_ds.iter_batches(batch_format="pyarrow"))))
+            assert z.equals(h), (tag, pred)
+            assert z.num_rows > 0, (tag, pred)
+            # every clustered column's band predicate prunes by layout
+            # (lang has 4 values over 16 parts -> equality must drop parts)
+            assert z_plan["pruned_stats"] > 0, (tag, pred, z_plan)
+
+        # full decode still bit-identical to the raw table
+        from parquet_converter_ray.decode import decode_dataset
+        import pyarrow.parquet as pq
+
+        got = _sorted(pa.concat_tables(list(decode_dataset(zdir).iter_batches(batch_format="pyarrow"))))
+        want = _sorted(pq.read_table(f"{sf}/documents.parquet"))
+        assert got.select(want.column_names).equals(want)

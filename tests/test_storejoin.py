@@ -343,3 +343,40 @@ def test_store_join_multi_refusals(tri_stores, tmp_path):
                    sort_key=("user_id", "event_id"), salt_rows=0)
     with pytest.raises(ValueError, match="n_parts"):
         store_join_multi([tri_stores[0], tri_stores[1], bad])
+
+
+def test_cli_join_three_stores(tri_stores):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cp = subprocess.run(
+        [sys.executable, "-m", "parquet_converter_ray.cli", "--num-cpus", "4",
+         "join", *tri_stores,
+         "--columns", "value", "--columns", "o_totalprice", "--columns", "c_mktsegment"],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+    )
+    assert cp.returncode == 0, cp.stderr[-2000:]
+    out = json.loads(cp.stdout.strip().splitlines()[-1])
+    (n,) = duckdb.sql(
+        f"""SELECT count(*) FROM '{SF_DIR}/events.parquet'
+            JOIN '{SF_DIR}/orders.parquet' ON user_id = o_custkey
+            JOIN '{SF_DIR}/customer.parquet' ON c_custkey = user_id"""
+    ).fetchone()
+    assert out["rows"] == n
+    # two-store legacy flags still work through the same subcommand
+    cp2 = subprocess.run(
+        [sys.executable, "-m", "parquet_converter_ray.cli", "--num-cpus", "4",
+         "join", tri_stores[0], tri_stores[1],
+         "--left-columns", "value", "--right-columns", "o_totalprice", "--limit", "0"],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+    )
+    assert cp2.returncode == 0, cp2.stderr[-2000:]
+    out2 = json.loads(cp2.stdout.strip().splitlines()[-1])
+    (n2,) = duckdb.sql(
+        f"""SELECT count(*) FROM '{SF_DIR}/events.parquet'
+            JOIN '{SF_DIR}/orders.parquet' ON user_id = o_custkey"""
+    ).fetchone()
+    assert out2["rows"] == n2
