@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_zorder_scan": transcripts.documents_zorder_scan,
         "image_dedup_phash_store": multimodal.image_dedup_phash_store,
         "orders_transcript_store_stats": transcripts.orders_transcript_store_stats,
+        "store_family_scan": transcripts.store_family_scan,
         # --- never driver-checked through round 4 (3) ---
         "knn_ivf_persisted": similarity.knn_ivf_persisted,
         "events_window_unique_users_approx": windows.events_window_unique_users_approx,
@@ -486,6 +487,13 @@ def oracle_sql() -> dict[str, str]:
                    max(l_shipdate) AS max_ship
             FROM lineitem
             WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+        """,
+        "store_family_scan": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   round(sum(o_totalprice), 2) AS sum_totalprice
+            FROM orders
+            WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-01' AND TIMESTAMP '1996-09-30'
+              AND o_orderpriority = '1-URGENT'
         """,
         "orders_transcript_store_stats": """
             SELECT o_orderstatus AS role, count(*)::BIGINT AS n_turns,

@@ -161,9 +161,11 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser(
         "scan",
-        help="predicate-pushdown scan of an encoded store (zone-map + dictionary pruning)",
+        help="predicate-pushdown scan of an encoded store (zone-map + dictionary "
+             "pruning); several directories scan as ONE store family (merged "
+             "plan, schemas must agree)",
     )
-    p.add_argument("encoded_dir")
+    p.add_argument("encoded_dir", nargs="+")
     p.add_argument(
         "--where", action="append", metavar="CLAUSE",
         help="conjunct like 'turn_idx>=100', 'role==user', 'tool in search,browser', "
@@ -396,16 +398,32 @@ def main(argv: list[str] | None = None) -> int:
             if args.count:
                 # metadata-first: fully-matching containers answer from their
                 # recorded row counts without opening; only boundary
-                # containers decode (storeagg's three-class plan)
+                # containers decode (storeagg's three-class plan). Counts are
+                # additive, so a family sums per-store metadata answers.
                 from .storeagg import store_agg
 
-                result, aplan = store_agg(args.encoded_dir, ["count"], predicate,
-                                          return_plan=True)
-                print(json.dumps({"plan": aplan, "rows": result["count"]}))
+                rows = 0
+                plans = {}
+                for d in args.encoded_dir:
+                    result, aplan = store_agg(d, ["count"], predicate,
+                                              return_plan=True)
+                    rows += result["count"]
+                    plans[d] = aplan
+                out_plan = plans[args.encoded_dir[0]] if len(plans) == 1 else plans
+                print(json.dumps({"plan": out_plan, "rows": rows}))
                 return 0
-            ds, plan = scan_store(
-                args.encoded_dir, predicate, columns=args.columns, return_plan=True
-            )
+            if len(args.encoded_dir) == 1:
+                ds, plan = scan_store(
+                    args.encoded_dir[0], predicate, columns=args.columns,
+                    return_plan=True,
+                )
+            else:
+                from .zonemap import scan_store_multi
+
+                ds, plan = scan_store_multi(
+                    args.encoded_dir, predicate, columns=args.columns,
+                    return_plan=True,
+                )
             if args.output:
                 ds.write_parquet(args.output, compression=cfg.compression)
                 rows = ray.data.read_parquet(args.output).count()

@@ -660,29 +660,6 @@ def lineitem_bloom_scan(sf_dir: str) -> pa.Table:
     return tbl.sort_by([(c, "ascending") for c in cols])
 
 
-def _documents_source_store(sf_dir: str) -> str:
-    """Documents store range-clustered on the SOURCE string column (prefix-skip
-    string cluster keys): each container covers a disjoint source range, so
-    string zone maps prune prefix/equality scans on it. Cached per sf."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(_CACHE, f"encoded-docs-source-{tag}")
-    if not os.path.exists(os.path.join(out, "manifest.jsonl")):
-        import shutil
-
-        shutil.rmtree(out, ignore_errors=True)
-        encode_dataset(
-            f"{sf_dir}/documents.parquet",
-            out,
-            n_parts=8,
-            conv_col="doc_id",
-            order_col="n_chars",
-            sort_key=("doc_id",),
-            salt_rows=0,
-            cluster_by="source",
-        )
-    return out
-
-
 def documents_prefix_scan(sf_dir: str) -> pa.Table:
     """String-prefix pushdown: ``source prefix 'src1'`` (matches src1 and
     src10..src19) over the source-clustered documents store. The prefix
@@ -1049,3 +1026,82 @@ def orders_transcript_store_stats(sf_dir: str) -> pa.Table:
         encode_dataset(ds, out, n_parts=8, salt_rows=8)
     stats = store_role_stats(out)
     return stats.rename_columns(["role", "n_turns", "sum_chars", "avg_chars"])
+
+
+def _orders_family(sf_dir: str) -> list[str]:
+    """Two 'delivery' stores of orders split at o_orderdate 1996-01-01 — the
+    incremental-ingest lifecycle ``scan_store_multi`` exists for: each
+    delivery encoded on arrival into its own store (no rewrite of history),
+    queried together as one family until compaction conforms them. Both
+    deliveries range-cluster on o_orderdate so zone maps prune date bands
+    inside each member too. Cached per sf."""
+    import datetime as _dt
+
+    import pyarrow.compute as pc
+
+    from ._util import read_parquet_clean
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    cut = _dt.datetime(1996, 1, 1)
+    dirs = []
+    for name, keep in (
+        ("hist", lambda t: t.filter(pc.less(t["o_orderdate"], cut))),
+        ("new", lambda t: t.filter(pc.greater_equal(t["o_orderdate"], cut))),
+    ):
+        out = os.path.join(_CACHE, f"encoded-orders-fam-{name}-{tag}")
+        if not os.path.exists(os.path.join(out, "manifest.jsonl")):
+            import shutil
+
+            shutil.rmtree(out, ignore_errors=True)
+            ds = read_parquet_clean(f"{sf_dir}/orders.parquet").map_batches(
+                keep, batch_format="pyarrow"
+            )
+            encode_dataset(
+                ds,
+                out,
+                conv_col="o_orderkey",
+                order_col="o_custkey",
+                sort_key=("o_orderkey",),
+                salt_rows=0,
+                cluster_by="o_orderdate",
+            )
+        dirs.append(out)
+    return dirs
+
+
+def store_family_scan(sf_dir: str) -> pa.Table:
+    """Predicate-pushdown scan over a FAMILY of delivery stores as one
+    logical table: ``scan_store_multi`` runs the full per-store pruning
+    stack and unions survivors without moving rows (``Dataset.union`` is
+    metadata-only). The 1996 date band postdates the delivery split, so the
+    historical store must answer entirely from manifest zone maps — zero of
+    its containers open (asserted). Oracle: plain SQL over raw orders."""
+    from ..zonemap import scan_store_multi
+    from ._util import sql_round
+
+    dirs = _orders_family(sf_dir)
+    ds, plan = scan_store_multi(
+        dirs,
+        [
+            ("o_orderdate", "between", ("1996-03-01", "1996-09-30")),
+            ("o_orderpriority", "==", "1-URGENT"),
+        ],
+        columns=["o_totalprice"],
+        return_plan=True,
+    )
+    hist = plan["stores"][dirs[0]]
+    assert hist["scanned"] == 0, f"hist delivery should prune fully: {hist}"
+    n = 0
+    s = 0.0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        n += b.num_rows
+        if b.num_rows:
+            s += float(np.sum(b["o_totalprice"].to_numpy(zero_copy_only=False)))
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "sum_totalprice": pa.array(
+                [float(sql_round(np.array([s]), 2)[0])], pa.float64()
+            ),
+        }
+    )

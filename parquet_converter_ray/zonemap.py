@@ -1045,6 +1045,68 @@ def scan_store(
     return (ds, plan) if return_plan else ds
 
 
+def scan_store_multi(
+    dirs: "list[str]",
+    predicate,
+    columns: list[str] | None = None,
+    *,
+    dict_probe: bool = True,
+    verify_crc: bool = False,
+    return_plan: bool = False,
+):
+    """Predicate-pushdown scan over a FAMILY of stores with one merged plan.
+
+    The lifecycle that produces store families: incremental deliveries each
+    encoded into their own store (cheapest ingest — no rewrite of history),
+    compacted only when container sizing demands it. A query should not care
+    how many deliveries exist, so this runs ``scan_store``'s full pruning
+    stack (manifest zone maps, hash route, dictionary/Bloom probes, sorted
+    ranges, page masks, late materialization) PER STORE — pruning state is
+    per-manifest, so nothing merges there — and unions the survivors.
+    ``Dataset.union`` is metadata-only in Ray Data (the streaming executor
+    interleaves the members' blocks), so the union itself moves zero rows.
+
+    Output schemas must agree across stores on (name, type) for the emitted
+    columns — refused loudly, never coerced (schema evolution goes through
+    ``compact_dataset``'s drop/add path, which is where a family gets
+    conformed). The merged plan sums each pruning counter and keeps the
+    per-store breakdown under ``"stores"``.
+    """
+    from . import manifest as mf
+
+    if not dirs:
+        raise ValueError("scan_store_multi needs at least one store directory")
+    schemas = []
+    for d in dirs:
+        recs = mf.load_records(d)
+        if not recs:
+            raise FileNotFoundError(f"no manifest records under {d}")
+        full = _store_schema(d, recs)
+        emitted = [(n, t) for n, t in full if columns is None or n in columns]
+        schemas.append(emitted)
+    if any(s != schemas[0] for s in schemas[1:]):
+        detail = "; ".join(
+            f"{d}: {[(n, str(t)) for n, t in s]}" for d, s in zip(dirs, schemas)
+        )
+        raise ValueError(
+            "store family schemas differ on the emitted columns — conform them "
+            f"via compact_dataset (drop/add columns) first: {detail}"
+        )
+    merged = {"parts_total": 0, "pruned_stats": 0, "pruned_hash": 0,
+              "pruned_dict": 0, "pruned_bloom": 0, "scanned": 0, "stores": {}}
+    union_ds = None
+    for d in dirs:
+        ds, plan = scan_store(
+            d, predicate, columns=columns, dict_probe=dict_probe,
+            verify_crc=verify_crc, return_plan=True,
+        )
+        for k, v in plan.items():
+            merged[k] += v
+        merged["stores"][d] = plan
+        union_ds = ds if union_ds is None else union_ds.union(ds)
+    return (union_ds, merged) if return_plan else union_ds
+
+
 # --- metadata-only profile ------------------------------------------------------
 
 

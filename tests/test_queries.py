@@ -120,6 +120,7 @@ SQL_CHECKED = [
     "user_rolling_peak_salted",
     "session_duration_quantiles",
     "name_clusters",
+    "store_family_scan",
 ]
 
 

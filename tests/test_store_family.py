@@ -1,0 +1,140 @@
+"""Store FAMILIES: several encoded stores scanned as one logical table.
+
+The lifecycle that produces families: incremental deliveries each encoded
+into their own store (no rewrite of history), queried together until a
+compaction conforms them. ``scan_store_multi`` must run the full pruning
+stack per store, union the survivors without moving rows, and refuse
+schema drift loudly.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import ray
+
+from parquet_converter_ray.encode import encode_dataset
+from parquet_converter_ray.synth import make_transcripts
+from parquet_converter_ray.zonemap import scan_store, scan_store_multi
+
+N = 9_000
+
+
+def _collect(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables(batches)
+
+
+def _sorted(t: pa.Table) -> pa.Table:
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+@pytest.fixture(scope="module")
+def family(ray_session, tmp_path_factory):
+    """Two deliveries of the same transcript schema, each its own store."""
+    root = tmp_path_factory.mktemp("fam")
+    a = make_transcripts(N, seed=21)
+    b = make_transcripts(N // 2, seed=22, conv_offset=10_000_000)
+    dirs = []
+    for name, tbl, parts in (("d0", a, 4), ("d1", b, 3)):
+        out = str(root / name)
+        encode_dataset(ray.data.from_arrow(tbl), out, n_parts=parts)
+        dirs.append(out)
+    return {"dirs": dirs, "all": pa.concat_tables([a, b])}
+
+
+def test_family_scan_equals_filter_over_union(family):
+    pred = [("role", "==", "user"), ("turn_idx", "<", 40)]
+    ds, plan = scan_store_multi(family["dirs"], pred, return_plan=True)
+    got = _sorted(_collect(ds))
+    want = _sorted(
+        family["all"].filter(
+            (pc.field("role") == "user") & (pc.field("turn_idx") < 40)
+        )
+    )
+    assert got.num_rows == want.num_rows > 0
+    assert got.select(want.column_names).equals(want)
+    # merged plan: totals are the sum of the per-store breakdowns
+    stores = plan["stores"]
+    assert set(stores) == set(family["dirs"])
+    for k in ("parts_total", "pruned_stats", "pruned_hash", "pruned_dict",
+              "pruned_bloom", "scanned"):
+        assert plan[k] == sum(p[k] for p in stores.values())
+    assert plan["parts_total"] == 7  # 4 + 3
+
+
+def test_family_single_member_matches_scan_store(family):
+    d = family["dirs"][0]
+    pred = [("turn_idx", ">=", 100)]
+    a_ds, a_plan = scan_store(d, pred, return_plan=True)
+    m_ds, m_plan = scan_store_multi([d], pred, return_plan=True)
+    assert _sorted(_collect(a_ds)).equals(_sorted(_collect(m_ds)))
+    assert m_plan["stores"][d] == a_plan
+    for k, v in a_plan.items():
+        assert m_plan[k] == v
+
+
+def test_family_pruning_still_applies_per_store(family):
+    # hash routing on the partition key prunes inside EACH member store
+    conv = family["all"]["conv_id"][0].as_py()
+    ds, plan = scan_store_multi(family["dirs"], [("conv_id", "==", conv)],
+                                return_plan=True)
+    got = _collect(ds)
+    assert got.num_rows == pc.sum(
+        pc.equal(family["all"]["conv_id"], conv)
+    ).as_py()
+    assert plan["pruned_hash"] >= 1  # at least the other store's buckets dropped
+    assert plan["scanned"] < plan["parts_total"]
+
+
+def test_family_schema_drift_refused(ray_session, family, tmp_path):
+    drifted = str(tmp_path / "drifted")
+    t = make_transcripts(2_000, seed=23).drop_columns(["tool"])
+    encode_dataset(ray.data.from_arrow(t), drifted, n_parts=2)
+    with pytest.raises(ValueError, match="family schemas differ"):
+        scan_store_multi(family["dirs"] + [drifted], [("role", "==", "user")])
+    # restricting to the agreeing column subset makes the family scannable
+    ds = scan_store_multi(
+        family["dirs"] + [drifted],
+        [("role", "==", "user")],
+        columns=["conv_id", "turn_idx", "role"],
+    )
+    got = _collect(ds)
+    assert got.column_names == ["conv_id", "turn_idx", "role"]
+    want = pc.sum(pc.equal(family["all"]["role"], "user")).as_py() + pc.sum(
+        pc.equal(t["role"], "user")
+    ).as_py()
+    assert got.num_rows == want
+
+
+def test_family_empty_input_refused():
+    with pytest.raises(ValueError, match="at least one store"):
+        scan_store_multi([], [("role", "==", "user")])
+
+
+def test_cli_scan_family_count_and_rows(family, capsys):
+    from parquet_converter_ray.cli import main
+
+    # metadata-first count sums per-store answers
+    rc = main(["scan", *family["dirs"], "--where", "role==user", "--count"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = pc.sum(pc.equal(family["all"]["role"], "user")).as_py()
+    assert out["rows"] == want
+    assert set(out["plan"]) == set(family["dirs"])  # per-store plan breakdown
+
+    # row-returning scan over the family
+    rc = main([
+        "scan", *family["dirs"], "--where", "turn_idx<5",
+        "--columns", "conv_id", "--limit", "0",
+    ])
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["rows"] == pc.sum(pc.less(family["all"]["turn_idx"], 5)).as_py()
+    assert set(out2["plan"]["stores"]) == set(family["dirs"])
