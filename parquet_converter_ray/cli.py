@@ -128,8 +128,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("keys", nargs="+", help="conversation keys; use --int for integer-keyed columns")
     p.add_argument("--int", dest="as_int", action="store_true")
 
-    p = sub.add_parser("compact", help="re-pack an encoded store into right-sized containers")
-    p.add_argument("input")
+    p = sub.add_parser(
+        "compact",
+        help="re-pack an encoded store into right-sized containers; several "
+             "inputs compact a store FAMILY into one conformed store",
+    )
+    p.add_argument("input", nargs="+")
     p.add_argument("output")
     p.add_argument("--target-mb", type=int, default=96, help="arrow bytes per partition")
     p.add_argument("--n-parts", type=int, default=None,
@@ -343,10 +347,21 @@ def main(argv: list[str] | None = None) -> int:
                     else:
                         add[parts[0]] = typ
             kw = {"n_parts": args.n_parts} if args.n_parts else {}
-            print(json.dumps(compact_dataset(
-                args.input, args.output, target_part_bytes=args.target_mb << 20,
-                drop_columns=args.drop_columns, add_columns=add, **kw,
-            )))
+            if len(args.input) == 1:
+                summary = compact_dataset(
+                    args.input[0], args.output,
+                    target_part_bytes=args.target_mb << 20,
+                    drop_columns=args.drop_columns, add_columns=add, **kw,
+                )
+            else:
+                from .encode import compact_family
+
+                summary = compact_family(
+                    args.input, args.output,
+                    target_part_bytes=args.target_mb << 20,
+                    drop_columns=args.drop_columns, add_columns=add, **kw,
+                )
+            print(json.dumps(summary))
         elif args.cmd == "lookup":
             from .decode import lookup_conversation
 

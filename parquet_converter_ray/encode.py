@@ -648,8 +648,37 @@ def compact_dataset(
     recs = mf.load_records(in_dir)
     bytes_in = sum(r["bytes_in"] for r in recs) or (64 << 20)
     n_parts = kw.pop("n_parts", None) or max(1, -(-bytes_in // target_part_bytes))
-    ds = decode_dataset(in_dir)
+    ds = _evolve_columns(decode_dataset(in_dir), prior, drop_columns, add_columns)
+    return encode_dataset(
+        ds,
+        out_dir,
+        n_parts=int(n_parts),
+        conv_col=kw.pop("conv_col", prior["conv_col"]),
+        order_col=kw.pop("order_col", prior["order_col"]),
+        # carry the recorded within-partition sort through the rewrite — the
+        # default key's columns may not even exist in a non-transcript store
+        sort_key=kw.pop(
+            "sort_key",
+            tuple(prior.get("sort_key") or (prior["conv_col"], prior["order_col"])),
+        ),
+        salt_rows=kw.pop("salt_rows", int(prior.get("salt_rows") or 0)),
+        # a range-clustered store stays range-clustered through compaction
+        # (cuts are resampled for the new n_parts); pass cluster_by=None to
+        # convert back to the hash layout
+        cluster_by=kw.pop("cluster_by", prior.get("cluster_by")),
+        # Bloom columns likewise carry through (minus any dropped columns)
+        bloom_cols=kw.pop(
+            "bloom_cols",
+            [c for c in (prior.get("bloom_cols") or []) if c not in set(drop_columns or ())],
+        ),
+        **kw,
+    )
 
+
+def _evolve_columns(ds, prior: dict, drop_columns, add_columns):
+    """Schema-evolution step shared by compact paths: drop retired columns
+    (partition/order columns refused — they define the layout), then append
+    new ones as typed nulls or a backfill constant."""
     if drop_columns:
         protected = {prior["conv_col"], prior.get("order_col")} & set(drop_columns)
         if protected:
@@ -675,21 +704,105 @@ def compact_dataset(
             return batch
 
         ds = ds.map_batches(_widen, batch_format="pyarrow")
+    return ds
+
+
+def compact_family(
+    in_dirs: "Sequence[str]",
+    out_dir: str,
+    target_part_bytes: int = TARGET_PART_BYTES,
+    drop_columns: Sequence[str] | None = None,
+    add_columns: dict | None = None,
+    **kw,
+) -> dict:
+    """Compact a FAMILY of delivery stores into ONE conformed store.
+
+    The other half of the store-family lifecycle (``zonemap.scan_store_multi``
+    is the query half): incremental deliveries each encode on arrival into
+    their own store, and when the family grows unwieldy — too many undersized
+    containers, or schema drift to resolve — this rewrites them as a single
+    store with n_parts re-derived from the TOTAL recorded bytes. Each member
+    decodes as a stream and the members union (metadata-only in Ray Data)
+    before one partition-atomic encode, so peak memory is one partition's
+    working set regardless of family size.
+
+    Layout parameters must agree across members on (conv_col, order_col) —
+    refused loudly otherwise, since rows from differently-keyed stores cannot
+    share a hash route. Other parameters (salt, cluster_by, bloom_cols)
+    follow the FIRST member's run record exactly like ``compact_dataset``
+    follows its single input, overridable via kwargs. ``drop_columns`` /
+    ``add_columns`` apply uniformly to every member, which is how a drifted
+    family conforms: drop the retired column from the members that still
+    carry it — drops of columns absent from a member are skipped for that
+    member — and/or add the new column with a typed-null/constant backfill.
+    After evolution the member schemas must agree on (name, type); any
+    residual drift is refused with per-store detail. No cross-delivery key
+    dedup happens here (deliveries are disjoint by contract; dedup is its
+    own operator family)."""
+    from . import manifest as mf
+    from .decode import decode_dataset
+
+    if not in_dirs:
+        raise ValueError("compact_family needs at least one store directory")
+    priors = []
+    for d in in_dirs:
+        prior = mf.load_run_record(d)
+        if prior is None:
+            raise ValueError(f"no run record in {d} — not an encoded store?")
+        priors.append(prior)
+    keys = {(p["conv_col"], p.get("order_col")) for p in priors}
+    if len(keys) > 1:
+        detail = "; ".join(
+            f"{d}: ({p['conv_col']}, {p.get('order_col')})"
+            for d, p in zip(in_dirs, priors)
+        )
+        raise ValueError(
+            f"family members disagree on (conv_col, order_col): {detail}"
+        )
+
+    bytes_in = sum(
+        r["bytes_in"] for d in in_dirs for r in mf.load_records(d)
+    ) or (64 << 20)
+    n_parts = kw.pop("n_parts", None) or max(1, -(-bytes_in // target_part_bytes))
+
+    members = []
+    schemas = []
+    for d, prior in zip(in_dirs, priors):
+        ds = decode_dataset(d)
+        present = set(ds.schema().names)
+        member_drops = [c for c in (drop_columns or ()) if c in present]
+        ds = _evolve_columns(ds, prior, member_drops, add_columns)
+        s = ds.schema()
+        schemas.append(list(zip(s.names, s.types)))
+        members.append(ds)
+    if any(s != schemas[0] for s in schemas[1:]):
+        detail = "; ".join(
+            f"{d}: {[(n, str(t)) for n, t in s]}" for d, s in zip(in_dirs, schemas)
+        )
+        raise ValueError(
+            "family schemas still differ after drop/add evolution — resolve "
+            f"the residual drift explicitly: {detail}"
+        )
+    union_ds = members[0]
+    for m in members[1:]:
+        union_ds = union_ds.union(m)
+
+    first = priors[0]
     return encode_dataset(
-        ds,
+        union_ds,
         out_dir,
         n_parts=int(n_parts),
-        conv_col=kw.pop("conv_col", prior["conv_col"]),
-        order_col=kw.pop("order_col", prior["order_col"]),
-        salt_rows=kw.pop("salt_rows", int(prior.get("salt_rows") or 0)),
-        # a range-clustered store stays range-clustered through compaction
-        # (cuts are resampled for the new n_parts); pass cluster_by=None to
-        # convert back to the hash layout
-        cluster_by=kw.pop("cluster_by", prior.get("cluster_by")),
-        # Bloom columns likewise carry through (minus any dropped columns)
+        conv_col=kw.pop("conv_col", first["conv_col"]),
+        order_col=kw.pop("order_col", first["order_col"]),
+        sort_key=kw.pop(
+            "sort_key",
+            tuple(first.get("sort_key") or (first["conv_col"], first["order_col"])),
+        ),
+        salt_rows=kw.pop("salt_rows", int(first.get("salt_rows") or 0)),
+        cluster_by=kw.pop("cluster_by", first.get("cluster_by")),
         bloom_cols=kw.pop(
             "bloom_cols",
-            [c for c in (prior.get("bloom_cols") or []) if c not in set(drop_columns or ())],
+            [c for c in (first.get("bloom_cols") or []) if c not in set(drop_columns or ())],
         ),
         **kw,
     )

@@ -1090,7 +1090,7 @@ def scan_store_multi(
         )
         raise ValueError(
             "store family schemas differ on the emitted columns — conform them "
-            f"via compact_dataset (drop/add columns) first: {detail}"
+            f"via compact_family (drop/add columns) first: {detail}"
         )
     merged = {"parts_total": 0, "pruned_stats": 0, "pruned_hash": 0,
               "pruned_dict": 0, "pruned_bloom": 0, "scanned": 0, "stores": {}}

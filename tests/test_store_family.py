@@ -138,3 +138,90 @@ def test_cli_scan_family_count_and_rows(family, capsys):
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["rows"] == pc.sum(pc.less(family["all"]["turn_idx"], 5)).as_py()
     assert set(out2["plan"]["stores"]) == set(family["dirs"])
+
+
+# --- compact_family: the lifecycle's other half -------------------------------
+
+
+def test_compact_family_roundtrip(family, tmp_path):
+    from parquet_converter_ray import manifest as mf
+    from parquet_converter_ray.decode import decode_dataset
+    from parquet_converter_ray.encode import compact_family
+
+    out = str(tmp_path / "conformed")
+    summary = compact_family(family["dirs"], out, n_parts=3)
+    assert summary["rows"] == family["all"].num_rows
+    got = _sorted(pa.concat_tables(
+        list(decode_dataset(out).iter_batches(batch_format="pyarrow"))
+    ))
+    want = _sorted(family["all"])
+    assert got.select(want.column_names).equals(want)
+    # the conformed store is one store: layout recorded, scannable, routable
+    run = mf.load_run_record(out)
+    assert run["conv_col"] == "conv_id" and run["n_parts"] == 3
+    conv = family["all"]["conv_id"][0].as_py()
+    ds, plan = scan_store(out, [("conv_id", "==", conv)], return_plan=True)
+    assert plan["pruned_hash"] >= 1  # hash route works on the rewritten store
+    assert _collect(ds).num_rows > 0
+
+
+def test_compact_family_conforms_schema_drift(ray_session, family, tmp_path):
+    from parquet_converter_ray.decode import decode_dataset
+    from parquet_converter_ray.encode import compact_family, encode_dataset
+
+    drifted = str(tmp_path / "drifted")
+    t = make_transcripts(2_000, seed=24, conv_offset=20_000_000).drop_columns(["tool"])
+    encode_dataset(ray.data.from_arrow(t), drifted, n_parts=2)
+    dirs = family["dirs"] + [drifted]
+
+    # un-evolved drift is refused with per-store detail
+    with pytest.raises(ValueError, match="still differ after drop/add"):
+        compact_family(dirs, str(tmp_path / "never"))
+
+    # dropping the retired column conforms the family (members without it skip)
+    out = str(tmp_path / "conformed")
+    summary = compact_family(dirs, out, drop_columns=["tool"])
+    assert summary["rows"] == family["all"].num_rows + t.num_rows
+    got = pa.concat_tables(
+        list(decode_dataset(out).iter_batches(batch_format="pyarrow"))
+    )
+    assert "tool" not in got.column_names
+    assert got.num_rows == summary["rows"]
+
+    # adding a typed-constant column backfills uniformly across members
+    out2 = str(tmp_path / "widened")
+    compact_family(dirs, out2, drop_columns=["tool"],
+                   add_columns={"delivery": (pa.string(), "legacy")})
+    got2 = pa.concat_tables(
+        list(decode_dataset(out2, columns=["delivery"]).iter_batches(
+            batch_format="pyarrow"))
+    )
+    assert got2["delivery"].to_pylist() == ["legacy"] * summary["rows"]
+
+
+def test_compact_family_key_mismatch_refused(ray_session, family, tmp_path):
+    from parquet_converter_ray.encode import compact_family, encode_dataset
+
+    other = str(tmp_path / "otherkey")
+    t = make_transcripts(1_000, seed=25, conv_offset=30_000_000)
+    encode_dataset(ray.data.from_arrow(t), other, n_parts=2,
+                   conv_col="role", order_col="turn_idx",
+                   sort_key=("role", "turn_idx"), salt_rows=0)
+    with pytest.raises(ValueError, match="disagree on \\(conv_col"):
+        compact_family([family["dirs"][0], other], str(tmp_path / "never"))
+
+
+def test_cli_compact_family(family, tmp_path, capsys):
+    from parquet_converter_ray.cli import main
+    from parquet_converter_ray.decode import decode_dataset
+
+    out = str(tmp_path / "cli-conformed")
+    rc = main(["compact", *family["dirs"], out, "--n-parts", "2"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == family["all"].num_rows
+    assert summary["partitions"] == 2
+    got = pa.concat_tables(
+        list(decode_dataset(out).iter_batches(batch_format="pyarrow"))
+    )
+    assert got.num_rows == family["all"].num_rows
