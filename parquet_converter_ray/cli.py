@@ -199,9 +199,11 @@ def main(argv: list[str] | None = None) -> int:
         "agg",
         help="metadata-first aggregates over an encoded store: zone maps answer "
              "fully-matching containers without opening them; only boundary "
-             "containers decode (pruned, late-materialized)",
+             "containers decode (pruned, late-materialized). Several "
+             "directories aggregate as ONE store family (answers fold; "
+             "column types must agree)",
     )
-    p.add_argument("encoded_dir")
+    p.add_argument("encoded_dir", nargs="+")
     p.add_argument(
         "--agg", action="append", required=True, metavar="FN[:COL]",
         help="count | nn:col (non-null count) | min:col | max:col | sum:col (repeatable)",
@@ -414,18 +416,18 @@ def main(argv: list[str] | None = None) -> int:
                 # metadata-first: fully-matching containers answer from their
                 # recorded row counts without opening; only boundary
                 # containers decode (storeagg's three-class plan). Counts are
-                # additive, so a family sums per-store metadata answers.
-                from .storeagg import store_agg
+                # additive, so a family folds per-store metadata answers.
+                if len(args.encoded_dir) == 1:
+                    from .storeagg import store_agg
 
-                rows = 0
-                plans = {}
-                for d in args.encoded_dir:
-                    result, aplan = store_agg(d, ["count"], predicate,
-                                              return_plan=True)
-                    rows += result["count"]
-                    plans[d] = aplan
-                out_plan = plans[args.encoded_dir[0]] if len(plans) == 1 else plans
-                print(json.dumps({"plan": out_plan, "rows": rows}))
+                    result, aplan = store_agg(args.encoded_dir[0], ["count"],
+                                              predicate, return_plan=True)
+                else:
+                    from .storeagg import store_agg_multi
+
+                    result, aplan = store_agg_multi(args.encoded_dir, ["count"],
+                                                    predicate, return_plan=True)
+                print(json.dumps({"plan": aplan, "rows": result["count"]}))
                 return 0
             if len(args.encoded_dir) == 1:
                 ds, plan = scan_store(
@@ -466,9 +468,16 @@ def main(argv: list[str] | None = None) -> int:
                 ])
             else:
                 predicate = common or None
-            result, plan = store_agg(
-                args.encoded_dir, args.agg, predicate, return_plan=True
-            )
+            if len(args.encoded_dir) == 1:
+                result, plan = store_agg(
+                    args.encoded_dir[0], args.agg, predicate, return_plan=True
+                )
+            else:
+                from .storeagg import store_agg_multi
+
+                result, plan = store_agg_multi(
+                    args.encoded_dir, args.agg, predicate, return_plan=True
+                )
             print(json.dumps({"plan": plan, "result": result}, default=str))
         elif args.cmd == "join":
             from .storejoin import store_join, store_join_multi

@@ -351,3 +351,83 @@ def store_agg(
             v = float(v)
         result[key] = v
     return (result, plan) if return_plan else result
+
+
+def store_agg_multi(
+    dirs,
+    aggs,
+    predicate=None,
+    *,
+    verify_crc: bool = False,
+    return_plan: bool = False,
+):
+    """Aggregate a FAMILY of stores (``zonemap.scan_store_multi``'s sibling).
+
+    Every supported aggregate is decomposable — ``count``/``nn``/``sum`` are
+    additive, ``min``/``max`` combine by comparison — so the family answer
+    folds the per-store answers exactly; no member decodes anything beyond
+    what its own three-class plan (pruned / metadata-answered / scanned)
+    requires. Aggregate and predicate columns must carry the SAME type in
+    every member (min/max comparisons and sums across type families would be
+    silently wrong) — refused loudly with per-store detail. The merged plan
+    sums each class and keeps the per-store breakdown under ``"stores"``."""
+    from . import manifest as mf
+
+    if not dirs:
+        raise ValueError("store_agg_multi needs at least one store directory")
+    aggs_n = _normalize_aggs(aggs)
+    dnf = _normalize_dnf(predicate) if predicate else []
+    need = sorted(
+        {c for _, c in aggs_n if c is not None}
+        | {c for br in dnf for c, _, _ in br}
+    )
+    typed = []
+    for d in dirs:
+        recs = mf.load_records(d)
+        if not recs:
+            raise FileNotFoundError(f"no manifest records under {d}")
+        schema = dict(_store_schema(d, recs))
+        typed.append({c: schema.get(c) for c in need})
+    if any(t != typed[0] for t in typed[1:]):
+        detail = "; ".join(
+            f"{d}: {{{', '.join(f'{c}: {t}' for c, t in tt.items())}}}"
+            for d, tt in zip(dirs, typed)
+        )
+        raise ValueError(
+            "family members disagree on aggregate/predicate column types — "
+            f"conform them via compact_family first: {detail}"
+        )
+
+    acc: dict = {}
+    merged = {"parts_total": 0, "pruned": 0, "meta_answered": 0, "scanned": 0,
+              "stores": {}}
+    for d in dirs:
+        res, plan = store_agg(
+            d, aggs_n, predicate, verify_crc=verify_crc, return_plan=True
+        )
+        for k in ("parts_total", "pruned", "meta_answered", "scanned"):
+            merged[k] += plan[k]
+        merged["stores"][d] = plan
+        for fn, col in aggs_n:
+            key = fn if col is None else f"{fn}_{col}"
+            v = res[key]
+            if fn in ("count", "nn"):
+                acc[key] = acc.get(key, 0) + int(v)
+            elif v is None:
+                acc.setdefault(key, None)
+            elif fn == "min":
+                cur = acc.get(key)
+                acc[key] = v if cur is None else min(cur, v)
+            elif fn == "max":
+                cur = acc.get(key)
+                acc[key] = v if cur is None else max(cur, v)
+            else:  # sum: int sums stay exact ints, float sums stay floats
+                cur = acc.get(key)
+                acc[key] = v if cur is None else cur + v
+    result = {
+        (fn if col is None else f"{fn}_{col}"): acc.get(
+            fn if col is None else f"{fn}_{col}"
+        )
+        for fn, col in aggs_n
+    }
+    return (result, merged) if return_plan else result

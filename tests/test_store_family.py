@@ -127,7 +127,7 @@ def test_cli_scan_family_count_and_rows(family, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     want = pc.sum(pc.equal(family["all"]["role"], "user")).as_py()
     assert out["rows"] == want
-    assert set(out["plan"]) == set(family["dirs"])  # per-store plan breakdown
+    assert set(out["plan"]["stores"]) == set(family["dirs"])  # per-store breakdown
 
     # row-returning scan over the family
     rc = main([
@@ -225,3 +225,75 @@ def test_cli_compact_family(family, tmp_path, capsys):
         list(decode_dataset(out).iter_batches(batch_format="pyarrow"))
     )
     assert got.num_rows == family["all"].num_rows
+
+
+# --- store_agg_multi: metadata-first aggregates over a family -----------------
+
+
+def test_agg_family_folds_exactly(family):
+    from parquet_converter_ray.storeagg import store_agg_multi
+
+    res, plan = store_agg_multi(
+        family["dirs"],
+        ["count", "nn:tool", "min:turn_idx", "max:turn_idx", "sum:turn_idx"],
+        return_plan=True,
+    )
+    all_t = family["all"]
+    assert res["count"] == all_t.num_rows
+    assert res["nn_tool"] == all_t.num_rows - all_t["tool"].null_count
+    assert res["min_turn_idx"] == pc.min(all_t["turn_idx"]).as_py()
+    assert res["max_turn_idx"] == pc.max(all_t["turn_idx"]).as_py()
+    assert res["sum_turn_idx"] == pc.sum(all_t["turn_idx"]).as_py()
+    # whole-store aggregates answer from metadata alone in EVERY member
+    assert plan["scanned"] == 0
+    assert plan["meta_answered"] == plan["parts_total"] == 7
+    assert set(plan["stores"]) == set(family["dirs"])
+
+
+def test_agg_family_predicate_matches_ground_truth(family):
+    from parquet_converter_ray.storeagg import store_agg_multi
+
+    res = store_agg_multi(
+        family["dirs"], ["count", "sum:turn_idx"], [("role", "==", "user")]
+    )
+    mask = pc.equal(family["all"]["role"], "user")
+    assert res["count"] == pc.sum(mask).as_py()
+    assert res["sum_turn_idx"] == pc.sum(
+        pc.if_else(mask, family["all"]["turn_idx"], 0)
+    ).as_py()
+
+
+def test_agg_family_type_mismatch_refused(ray_session, family, tmp_path):
+    from parquet_converter_ray.encode import encode_dataset
+    from parquet_converter_ray.storeagg import store_agg_multi
+
+    # same column name, different type family: turn_idx as float
+    t = make_transcripts(1_000, seed=26, conv_offset=40_000_000)
+    t = t.set_column(
+        t.schema.get_field_index("turn_idx"),
+        "turn_idx",
+        pc.cast(t["turn_idx"], pa.float64()),
+    )
+    other = str(tmp_path / "floatidx")
+    encode_dataset(ray.data.from_arrow(t), other, n_parts=2)
+    with pytest.raises(ValueError, match="disagree on aggregate/predicate column types"):
+        store_agg_multi([family["dirs"][0], other], ["sum:turn_idx"])
+    # columns the aggregate never touches may drift freely
+    res = store_agg_multi([family["dirs"][0], other], ["count"])
+    assert res["count"] == N + 1_000
+
+
+def test_cli_agg_family(family, capsys):
+    from parquet_converter_ray.cli import main
+
+    rc = main([
+        "agg", *family["dirs"], "--agg", "count", "--agg", "max:turn_idx",
+        "--where", "role==assistant",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    mask = pc.equal(family["all"]["role"], "assistant")
+    assert out["result"]["count"] == pc.sum(mask).as_py()
+    assert out["result"]["max_turn_idx"] == pc.max(
+        pc.if_else(mask, family["all"]["turn_idx"], -1)
+    ).as_py()
