@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_phash_store": multimodal.image_dedup_phash_store,
         "orders_transcript_store_stats": transcripts.orders_transcript_store_stats,
         "store_family_scan": transcripts.store_family_scan,
+        "store_family_agg": transcripts.store_family_agg,
         # --- never driver-checked through round 4 (3) ---
         "knn_ivf_persisted": similarity.knn_ivf_persisted,
         "events_window_unique_users_approx": windows.events_window_unique_users_approx,
@@ -487,6 +488,14 @@ def oracle_sql() -> dict[str, str]:
                    max(l_shipdate) AS max_ship
             FROM lineitem
             WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+        """,
+        "store_family_agg": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            WHERE o_orderdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1995-06-30'
         """,
         "store_family_scan": """
             SELECT count(*)::BIGINT AS n_rows,

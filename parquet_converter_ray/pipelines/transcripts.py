@@ -1105,3 +1105,33 @@ def store_family_scan(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def store_family_agg(sf_dir: str) -> pa.Table:
+    """Metadata-first aggregates over the delivery FAMILY: each member runs
+    its own three-class plan (pruned / metadata-answered / scanned) and the
+    family answer folds exactly — count/sum additive, min/max by
+    comparison. The date band ends before the delivery split, so the post-
+    split store contributes zero opened containers (every one pruned,
+    asserted). Oracle: plain SQL over raw orders."""
+    from ..storeagg import store_agg_multi
+    from ._util import sql_round
+
+    dirs = _orders_family(sf_dir)
+    res, plan = store_agg_multi(
+        dirs,
+        ["count", "min:o_totalprice", "max:o_totalprice", "sum:o_totalprice"],
+        [("o_orderdate", "between", ("1994-01-01", "1995-06-30"))],
+        return_plan=True,
+    )
+    new = plan["stores"][dirs[1]]
+    assert new["pruned"] == new["parts_total"], f"post-split store should prune fully: {new}"
+    r2 = lambda v: float(sql_round(np.array([float(v)]), 2)[0])  # noqa: E731
+    return pa.table(
+        {
+            "n_rows": pa.array([int(res["count"])], pa.int64()),
+            "min_price": pa.array([r2(res["min_o_totalprice"])], pa.float64()),
+            "max_price": pa.array([r2(res["max_o_totalprice"])], pa.float64()),
+            "sum_price": pa.array([r2(res["sum_o_totalprice"])], pa.float64()),
+        }
+    )

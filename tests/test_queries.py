@@ -121,6 +121,7 @@ SQL_CHECKED = [
     "session_duration_quantiles",
     "name_clusters",
     "store_family_scan",
+    "store_family_agg",
 ]
 
 
