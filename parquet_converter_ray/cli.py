@@ -241,10 +241,15 @@ def main(argv: list[str] | None = None) -> int:
         "diff",
         help="content-compare two encoded stores (order-insensitive distributed "
              "fingerprints over the shared columns) — validates compact / "
-             "relocation / schema-evolution migrations",
+             "relocation / schema-evolution migrations. With --against, the "
+             "positional stores form a FAMILY compared as one side (proves a "
+             "compact_family output equal to its deliveries)",
     )
-    p.add_argument("store_a")
-    p.add_argument("store_b")
+    p.add_argument("stores", nargs="+",
+                   help="without --against: exactly two stores, A vs B; with "
+                        "--against: the left-hand family (one or more stores)")
+    p.add_argument("--against", nargs="+", default=None, metavar="STORE",
+                   help="right-hand side (may list several stores — a family)")
     p.add_argument("--columns", nargs="*", default=None)
 
     p = sub.add_parser("fsck", help="check store integrity (manifest <-> containers <-> bytes)")
@@ -516,7 +521,15 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "diff":
             from .decode import store_diff
 
-            res = store_diff(args.store_a, args.store_b, columns=args.columns)
+            if args.against is not None:
+                left, right = args.stores, args.against
+            elif len(args.stores) == 2:
+                left, right = args.stores[0], args.stores[1]
+            else:
+                print("diff needs exactly two stores, or --against for a "
+                      "family comparison", file=sys.stderr)
+                return 2
+            res = store_diff(left, right, columns=args.columns)
             print(json.dumps(res))
             return 0 if res["equal"] else 3
         elif args.cmd == "fsck":

@@ -260,20 +260,44 @@ def dataset_fingerprint(ds: "ray.data.Dataset", columns: list[str] | None = None
     return {"rows": n, "hsum": hsum, "hxor": hxor, "columns": list(cols)}
 
 
-def store_diff(a_dir: str, b_dir: str, columns: list[str] | None = None) -> dict:
+def store_diff(
+    a_dir: "str | list[str]",
+    b_dir: "str | list[str]",
+    columns: list[str] | None = None,
+) -> dict:
     """Content-compare two encoded stores WITHOUT sorting or materializing
     either: shared-column order-insensitive fingerprints (per-batch hash
     folds, driver merges two scalars). The migration-validation tool —
     after a compact / relocation / schema evolution, ``equal: true`` means
     byte-equivalent content on the compared columns regardless of how rows
     were repartitioned. Columns default to the INTERSECTION of the two
-    schemas (reported, so a dropped column is visible, not silent)."""
+    schemas (reported, so a dropped column is visible, not silent).
+
+    Either side may be a LIST of stores (a delivery family): the
+    fingerprint fold is commutative, so a family's fingerprint is the fold
+    over all members' batches — which is exactly how ``compact_family``
+    output is proven equal to the family it conformed, without decoding
+    anything twice or moving a row."""
     from .zonemap import _store_schema
 
     from . import manifest as mf
 
-    sa = dict(_store_schema(a_dir, mf.load_records(a_dir)))
-    sb = dict(_store_schema(b_dir, mf.load_records(b_dir)))
+    a_dirs = [a_dir] if isinstance(a_dir, str) else list(a_dir)
+    b_dirs = [b_dir] if isinstance(b_dir, str) else list(b_dir)
+    if not a_dirs or not b_dirs:
+        raise ValueError("store_diff needs at least one store on each side")
+
+    def _side_schema(dirs: list[str]) -> dict:
+        # intersection of member schemas by name: a column must exist in
+        # every member to be comparable for that side
+        per = [dict(_store_schema(d, mf.load_records(d))) for d in dirs]
+        names = set(per[0])
+        for s in per[1:]:
+            names &= set(s)
+        return {n: per[0][n] for n in per[0] if n in names}
+
+    sa = _side_schema(a_dirs)
+    sb = _side_schema(b_dirs)
     shared = [c for c in sa if c in sb] if columns is None else list(columns)
     missing = [c for c in shared if c not in sa or c not in sb]
     if missing:
@@ -282,8 +306,15 @@ def store_diff(a_dir: str, b_dir: str, columns: list[str] | None = None) -> dict
         raise ValueError(
             f"stores share no columns (a: {sorted(sa)}, b: {sorted(sb)}) — nothing to compare"
         )
-    fa = dataset_fingerprint(decode_dataset(a_dir, columns=shared), columns=shared)
-    fb = dataset_fingerprint(decode_dataset(b_dir, columns=shared), columns=shared)
+
+    def _side_ds(dirs: list[str]):
+        ds = decode_dataset(dirs[0], columns=shared)
+        for d in dirs[1:]:
+            ds = ds.union(decode_dataset(d, columns=shared))
+        return ds
+
+    fa = dataset_fingerprint(_side_ds(a_dirs), columns=shared)
+    fb = dataset_fingerprint(_side_ds(b_dirs), columns=shared)
     return {
         "equal": fa == fb,
         "columns": shared,

@@ -297,3 +297,32 @@ def test_cli_agg_family(family, capsys):
     assert out["result"]["max_turn_idx"] == pc.max(
         pc.if_else(mask, family["all"]["turn_idx"], -1)
     ).as_py()
+
+
+# --- family diff: prove a conformed store equal to its deliveries --------------
+
+
+def test_diff_family_vs_conformed(family, tmp_path, capsys):
+    from parquet_converter_ray.cli import main
+    from parquet_converter_ray.decode import store_diff
+    from parquet_converter_ray.encode import compact_family
+
+    out = str(tmp_path / "conformed")
+    compact_family(family["dirs"], out, n_parts=2)
+    res = store_diff(family["dirs"], out)
+    assert res["equal"] and res["a"]["rows"] == family["all"].num_rows
+
+    # a missing delivery is caught (rows + fingerprints disagree)
+    res2 = store_diff([family["dirs"][0]], out)
+    assert not res2["equal"]
+    assert res2["a"]["rows"] < res2["b"]["rows"]
+
+    # CLI: family --against conformed, rc 0 on equal / 3 on mismatch
+    assert main(["diff", *family["dirs"], "--against", out]) == 0
+    capsys.readouterr()
+    assert main(["diff", family["dirs"][0], "--against", out]) == 3
+    capsys.readouterr()
+    # two-store form still works and a lone positional is refused
+    assert main(["diff", family["dirs"][0], family["dirs"][0]]) == 0
+    capsys.readouterr()
+    assert main(["diff", family["dirs"][0]]) == 2
