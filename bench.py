@@ -141,6 +141,7 @@ def run_bench() -> dict:
         ("lineitem_bloom_scan", transcripts.lineitem_bloom_scan),
         ("store_bucket_join", transcripts.store_bucket_join),
         ("salted_dim_join", transcripts.salted_dim_join),
+        ("store_family_scan", transcripts.store_family_scan),
     ]
     for name, fn in query_list:
         t0 = time.monotonic()
