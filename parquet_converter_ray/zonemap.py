@@ -887,6 +887,98 @@ def _store_schema(out_dir: str, recs: list[dict]) -> list[tuple[str, pa.DataType
     return [(c["name"], str_to_type(c["type"])) for c in footer["columns"]]
 
 
+def _candidate_paths(out_dir: str, dnf, plan: dict) -> "tuple[list[str], list]":
+    """Driver-side pruning levels of a store scan — manifest zone maps and
+    hash routing, all from JSON already on hand (no file opens, no Ray
+    tasks). Mutates ``plan`` counters; returns surviving container paths and
+    the store schema. Shared by ``scan_store`` and ``scan_store_multi``."""
+    from . import manifest as mf
+    from .decode import container_files, resolve_container_path
+
+    recs = mf.load_records(out_dir)
+    if recs:
+        container_files(out_dir)  # stray-container guard
+        # hash routing over a disjunction: a container is reachable if ANY
+        # branch routes to it; one unroutable branch forfeits the level
+        hash_pids: "set[int] | None" = set()
+        for br in dnf:
+            pids = _hash_route_parts(out_dir, recs, br)
+            if pids is None:
+                hash_pids = None
+                break
+            hash_pids |= pids
+        paths = []
+        for r in recs:
+            plan["parts_total"] += 1
+            if hash_pids is not None and int(r["part_id"]) not in hash_pids:
+                plan["pruned_hash"] += 1
+                continue
+            st = r.get("stats") or {}
+            if st and not any(
+                record_may_match(st, int(r.get("rows", 0)), br) for br in dnf
+            ):
+                plan["pruned_stats"] += 1
+                continue
+            paths.append(resolve_container_path(out_dir, r))
+        schema = _store_schema(out_dir, recs)
+    else:
+        paths = container_files(out_dir)
+        if not paths:
+            raise FileNotFoundError(f"no container files under {out_dir}")
+        from .container import read_footer_file
+
+        plan["parts_total"] = len(paths)
+        schema = [(c["name"], str_to_type(c["type"])) for c in read_footer_file(paths[0])["columns"]]
+    return paths, schema
+
+
+def _probe_applies(dnf) -> bool:
+    """The footer probe can only rule a container out on membership-style
+    ops; every branch needs one or the probe proves nothing."""
+    return all(
+        any(op in ("==", "in", "prefix") for _, op, _ in br) for br in dnf
+    )
+
+
+def probe_verdicts(paths: "list[str]", dnf) -> "dict[str, str]":
+    """Distributed footer probe over container paths: tiny ranged reads per
+    path, never on the driver. One footer read serves both checks — the
+    dictionary probe (low-card dict-encoded columns) and the Bloom probe
+    (high-card int/string columns encoded with bloom_cols). Per-path and
+    predicate-only, so candidates from MANY stores batch into one job
+    (``scan_store_multi`` relies on this — one probe job per family, not
+    per member). Returns ``{path: "keep" | "dict" | "bloom"}``."""
+    import ray.data
+
+    from .bloom import bloom_probe_footer
+    from .container import read_footer_file
+
+    pds = ray.data.from_items([{"path": p} for p in paths])
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        out_p, out_v = [], []
+        for p in batch["path"].to_pylist():
+            footer = read_footer_file(p)
+            # a container survives if ANY branch passes both probes;
+            # pruned counts attribute to the deepest level any branch hit
+            v = "dict"
+            for br in dnf:
+                if not dict_probe_path(p, br, footer):
+                    continue
+                if not bloom_probe_footer(p, footer, br):
+                    v = "bloom"
+                    continue
+                v = "keep"
+                break
+            out_p.append(p)
+            out_v.append(v)
+        return pa.table({"path": pa.array(out_p, type=pa.string()),
+                         "verdict": pa.array(out_v, type=pa.string())})
+
+    return {r["path"]: r["verdict"]
+            for r in pds.map_batches(_probe, batch_format="pyarrow").take_all()}
+
+
 def scan_store(
     out_dir: str,
     predicate,
@@ -921,47 +1013,11 @@ def scan_store(
     """
     import ray.data
 
-    from . import manifest as mf
-    from .decode import container_files, resolve_container_path
-
     dnf = _normalize_dnf(predicate)
     clauses = [cl for br in dnf for cl in br]  # flat view: column collection
-    recs = mf.load_records(out_dir)
     plan = {"parts_total": 0, "pruned_stats": 0, "pruned_hash": 0, "pruned_dict": 0,
             "pruned_bloom": 0, "scanned": 0}
-    if recs:
-        container_files(out_dir)  # stray-container guard
-        # hash routing over a disjunction: a container is reachable if ANY
-        # branch routes to it; one unroutable branch forfeits the level
-        hash_pids: "set[int] | None" = set()
-        for br in dnf:
-            pids = _hash_route_parts(out_dir, recs, br)
-            if pids is None:
-                hash_pids = None
-                break
-            hash_pids |= pids
-        paths = []
-        for r in recs:
-            plan["parts_total"] += 1
-            if hash_pids is not None and int(r["part_id"]) not in hash_pids:
-                plan["pruned_hash"] += 1
-                continue
-            st = r.get("stats") or {}
-            if st and not any(
-                record_may_match(st, int(r.get("rows", 0)), br) for br in dnf
-            ):
-                plan["pruned_stats"] += 1
-                continue
-            paths.append(resolve_container_path(out_dir, r))
-        schema = _store_schema(out_dir, recs)
-    else:
-        paths = container_files(out_dir)
-        if not paths:
-            raise FileNotFoundError(f"no container files under {out_dir}")
-        from .container import read_footer_file
-
-        plan["parts_total"] = len(paths)
-        schema = [(c["name"], str_to_type(c["type"])) for c in read_footer_file(paths[0])["columns"]]
+    paths, schema = _candidate_paths(out_dir, dnf, plan)
 
     names = [n for n, _ in schema]
     types = dict(schema)
@@ -979,51 +1035,30 @@ def scan_store(
         out_cols = list(columns)
         read_cols = list(dict.fromkeys(list(columns) + [c for c, _, _ in clauses]))
 
-    if paths and dict_probe and all(
-        any(op in ("==", "in", "prefix") for _, op, _ in br) for br in dnf
-    ):
-        # distributed probe: tiny ranged reads per path, never on the driver.
-        # One footer read serves both checks: the dictionary probe (low-card
-        # dict-encoded columns) and the Bloom probe (high-card int/string
-        # columns encoded with bloom_cols)
-        from .bloom import bloom_probe_footer
-        from .container import read_footer_file
-
-        pds = ray.data.from_items([{"path": p} for p in paths])
-
-        def _probe(batch: pa.Table) -> pa.Table:
-            out_p, out_v = [], []
-            for p in batch["path"].to_pylist():
-                footer = read_footer_file(p)
-                # a container survives if ANY branch passes both probes;
-                # pruned counts attribute to the deepest level any branch hit
-                v = "dict"
-                for br in dnf:
-                    if not dict_probe_path(p, br, footer):
-                        continue
-                    if not bloom_probe_footer(p, footer, br):
-                        v = "bloom"
-                        continue
-                    v = "keep"
-                    break
-                out_p.append(p)
-                out_v.append(v)
-            return pa.table({"path": pa.array(out_p, type=pa.string()),
-                             "verdict": pa.array(out_v, type=pa.string())})
-
-        verdicts = {r["path"]: r["verdict"]
-                    for r in pds.map_batches(_probe, batch_format="pyarrow").take_all()}
+    if paths and dict_probe and _probe_applies(dnf):
+        verdicts = probe_verdicts(paths, dnf)
         plan["pruned_dict"] = sum(1 for v in verdicts.values() if v == "dict")
         plan["pruned_bloom"] = sum(1 for v in verdicts.values() if v == "bloom")
         paths = [p for p in paths if verdicts.get(p) == "keep"]  # preserve order
 
     plan["scanned"] = len(paths)
+    ds = _build_scan_ds(paths, schema, dnf, out_cols, read_cols, verify_crc,
+                        concurrency)
+    return (ds, plan) if return_plan else ds
+
+
+def _build_scan_ds(paths, schema, dnf, out_cols, read_cols, verify_crc,
+                   concurrency=None):
+    """Decoder stage over surviving container paths (or a typed empty
+    dataset when everything pruned). Shared by single-store and family
+    scans."""
+    import ray.data
+
     if not paths:
         empty = pa.table({n: pa.array([], type=t) for n, t in schema if out_cols is None or n in out_cols})
         if out_cols is not None:
             empty = empty.select(out_cols)
-        ds = ray.data.from_arrow(empty)
-        return (ds, plan) if return_plan else ds
+        return ray.data.from_arrow(empty)
 
     ds = ray.data.read_binary_files(paths)
     kwargs: dict = {"batch_format": "pyarrow", "batch_size": 1}
@@ -1042,7 +1077,7 @@ def scan_store(
     else:
         dec = _ScanDecoder(read_cols, out_cols, dnf, verify_crc)
         ds = ds.map_batches(dec, **kwargs)
-    return (ds, plan) if return_plan else ds
+    return ds
 
 
 def scan_store_multi(
@@ -1068,9 +1103,16 @@ def scan_store_multi(
 
     Output schemas must agree across stores on (name, type) for the emitted
     columns — refused loudly, never coerced (schema evolution goes through
-    ``compact_dataset``'s drop/add path, which is where a family gets
+    ``compact_family``'s drop/add path, which is where a family gets
     conformed). The merged plan sums each pruning counter and keeps the
     per-store breakdown under ``"stores"``.
+
+    Scale shape: the manifest/hash/stats levels are driver-side JSON per
+    member (microseconds each), and the distributed footer probe — the only
+    Ray job in planning — batches every member's candidate paths into ONE
+    job, so planning cost does not grow a per-member Ray-job latency with
+    family size. The data stage is per-member decoder datasets unioned
+    metadata-only.
     """
     from . import manifest as mf
 
@@ -1092,14 +1134,53 @@ def scan_store_multi(
             "store family schemas differ on the emitted columns — conform them "
             f"via compact_family (drop/add columns) first: {detail}"
         )
+
+    dnf = _normalize_dnf(predicate)
+    clauses = [cl for br in dnf for cl in br]
     merged = {"parts_total": 0, "pruned_stats": 0, "pruned_hash": 0,
               "pruned_dict": 0, "pruned_bloom": 0, "scanned": 0, "stores": {}}
-    union_ds = None
+
+    # driver-side levels per member (manifest JSON only — no Ray tasks)
+    members = []  # (dir, paths, schema, plan, out_cols, read_cols)
     for d in dirs:
-        ds, plan = scan_store(
-            d, predicate, columns=columns, dict_probe=dict_probe,
-            verify_crc=verify_crc, return_plan=True,
-        )
+        plan = {"parts_total": 0, "pruned_stats": 0, "pruned_hash": 0,
+                "pruned_dict": 0, "pruned_bloom": 0, "scanned": 0}
+        paths, schema = _candidate_paths(d, dnf, plan)
+        names = [n for n, _ in schema]
+        types = dict(schema)
+        for col, op, _ in clauses:
+            if col not in names:
+                raise ValueError(f"predicate column {col!r} not in store schema {names}")
+            if op == "prefix" and not _is_strlike(types[col]):
+                raise ValueError(f"prefix predicate needs a string column; {col!r} is {types[col]}")
+        out_cols = read_cols = None
+        if columns is not None:
+            missing = [c for c in columns if c not in names]
+            if missing:
+                raise ValueError(f"columns {missing} not in store schema {names}")
+            out_cols = list(columns)
+            read_cols = list(dict.fromkeys(list(columns) + [c for c, _, _ in clauses]))
+        members.append((d, paths, schema, plan, out_cols, read_cols))
+
+    # ONE distributed footer probe over every member's candidates
+    all_paths = [p for _, paths, _, _, _, _ in members for p in paths]
+    if all_paths and dict_probe and _probe_applies(dnf):
+        verdicts = probe_verdicts(all_paths, dnf)
+        members = [
+            (d,
+             [p for p in paths if verdicts.get(p) == "keep"],
+             schema,
+             dict(plan,
+                  pruned_dict=sum(1 for p in paths if verdicts.get(p) == "dict"),
+                  pruned_bloom=sum(1 for p in paths if verdicts.get(p) == "bloom")),
+             out_cols, read_cols)
+            for d, paths, schema, plan, out_cols, read_cols in members
+        ]
+
+    union_ds = None
+    for d, paths, schema, plan, out_cols, read_cols in members:
+        plan["scanned"] = len(paths)
+        ds = _build_scan_ds(paths, schema, dnf, out_cols, read_cols, verify_crc)
         for k, v in plan.items():
             merged[k] += v
         merged["stores"][d] = plan

@@ -326,3 +326,25 @@ def test_diff_family_vs_conformed(family, tmp_path, capsys):
     assert main(["diff", family["dirs"][0], family["dirs"][0]]) == 0
     capsys.readouterr()
     assert main(["diff", family["dirs"][0]]) == 2
+
+
+def test_family_probe_is_one_job(family, monkeypatch):
+    """The footer probe batches every member's candidates into ONE job —
+    planning cost must not grow a per-member Ray-job latency."""
+    from parquet_converter_ray import zonemap
+
+    calls = []
+    real = zonemap.probe_verdicts
+
+    def spy(paths, dnf):
+        calls.append(list(paths))
+        return real(paths, dnf)
+
+    monkeypatch.setattr(zonemap, "probe_verdicts", spy)
+    ds, plan = scan_store_multi(
+        family["dirs"], [("role", "==", "user")], return_plan=True
+    )
+    got = _collect(ds).num_rows
+    assert got == pc.sum(pc.equal(family["all"]["role"], "user")).as_py()
+    assert len(calls) == 1  # one probe job for the whole family
+    assert len(calls[0]) == plan["parts_total"] - plan["pruned_stats"] - plan["pruned_hash"]
