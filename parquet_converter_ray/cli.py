@@ -145,8 +145,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--add-column", action="append", default=None, metavar="NAME:TYPE[:DEFAULT]",
                    help="schema evolution: add a column (typed nulls, or a backfill constant)")
 
-    p = sub.add_parser("lookup", help="fetch ONE conversation by key (decodes only its container(s))")
-    p.add_argument("encoded_dir")
+    p = sub.add_parser(
+        "lookup",
+        help="fetch ONE conversation by key (decodes only its container(s)); "
+             "several directories look up across a store FAMILY",
+    )
+    p.add_argument("encoded_dir", nargs="+")
     p.add_argument("key", help="conversation key; use --int for integer-keyed columns")
     p.add_argument("--int", dest="as_int", action="store_true")
     p.add_argument("--columns", nargs="*", default=None)
@@ -370,10 +374,15 @@ def main(argv: list[str] | None = None) -> int:
                 )
             print(json.dumps(summary))
         elif args.cmd == "lookup":
-            from .decode import lookup_conversation
+            from .decode import lookup_conversation, lookup_conversation_multi
 
             key = int(args.key) if args.as_int else args.key
-            tbl = lookup_conversation(args.encoded_dir, key, columns=args.columns)
+            if len(args.encoded_dir) == 1:
+                tbl = lookup_conversation(args.encoded_dir[0], key,
+                                          columns=args.columns)
+            else:
+                tbl = lookup_conversation_multi(args.encoded_dir, key,
+                                                columns=args.columns)
             print(json.dumps({
                 "rows": tbl.num_rows,
                 "columns": tbl.column_names,

@@ -468,3 +468,31 @@ def lookup_conversation(
     if columns is not None:
         out = out.select(columns)
     return out.combine_chunks()
+
+
+def lookup_conversation_multi(
+    dirs: "list[str]", conv_value, columns: list[str] | None = None
+) -> pa.Table:
+    """Point lookup across a FAMILY of delivery stores: a conversation's
+    rows may span deliveries (later turns arrive in later stores), so this
+    runs each member's O(min(k_max+1, n_parts))-container lookup and concats
+    — total cost stays a handful of container decodes per member, never a
+    scan. Output re-sorts by (conv_col, order_col) of the first member's
+    run record when those columns are emitted, so turns read in order even
+    when deliveries interleaved them."""
+    from . import manifest as mf
+
+    if not dirs:
+        raise ValueError("lookup_conversation_multi needs at least one store")
+    parts = [lookup_conversation(d, conv_value, columns=columns) for d in dirs]
+    nonempty = [p for p in parts if p.num_rows] or parts[:1]
+    out = pa.concat_tables(nonempty, promote_options="none")
+    params = mf.load_run_record(dirs[0]) or {}
+    conv_col, order_col = params.get("conv_col"), params.get("order_col")
+    if (
+        out.num_rows
+        and conv_col in out.column_names
+        and order_col and order_col in out.column_names
+    ):
+        out = out.sort_by([(conv_col, "ascending"), (order_col, "ascending")])
+    return out.combine_chunks()

@@ -348,3 +348,50 @@ def test_family_probe_is_one_job(family, monkeypatch):
     assert got == pc.sum(pc.equal(family["all"]["role"], "user")).as_py()
     assert len(calls) == 1  # one probe job for the whole family
     assert len(calls[0]) == plan["parts_total"] - plan["pruned_stats"] - plan["pruned_hash"]
+
+
+def test_family_lookup_spans_deliveries(ray_session, tmp_path, capsys):
+    """A conversation whose turns arrive across two deliveries reads back
+    whole and in turn order from the family lookup."""
+    from parquet_converter_ray.cli import main
+    from parquet_converter_ray.decode import lookup_conversation_multi
+
+    t = make_transcripts(4_000, seed=27)
+    conv = t["conv_id"][0].as_py()  # the mega-conversation: many turns
+    idx = pc.equal(t["conv_id"], conv)
+    mine = t.filter(idx)
+    cut = mine.num_rows // 2
+    cut_turn = mine["turn_idx"][cut].as_py()
+    early = t.filter(pc.or_(pc.invert(idx), pc.less(t["turn_idx"], cut_turn)))
+    late = t.filter(pc.and_(idx, pc.greater_equal(t["turn_idx"], cut_turn)))
+    dirs = []
+    for name, part in (("d0", early), ("d1", late)):
+        out = str(tmp_path / name)
+        encode_dataset(ray.data.from_arrow(part), out, n_parts=2, salt_rows=64)
+        dirs.append(out)
+
+    got = lookup_conversation_multi(dirs, conv)
+    assert got.num_rows == mine.num_rows
+    assert got["turn_idx"].to_pylist() == sorted(mine["turn_idx"].to_pylist())
+
+    rc = main(["lookup", *dirs, conv, "--limit", "1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == mine.num_rows
+
+
+def test_family_scan_disjunction(family):
+    """OR-of-conjunction predicates prune and filter correctly per member."""
+    pred = ("or", [
+        [("turn_idx", "<", 3)],
+        [("role", "==", "system"), ("turn_idx", ">=", 100)],
+    ])
+    ds, plan = scan_store_multi(family["dirs"], pred, return_plan=True)
+    got = _collect(ds)
+    t = family["all"]
+    want = pc.sum(pc.or_(
+        pc.less(t["turn_idx"], 3),
+        pc.and_(pc.equal(t["role"], "system"), pc.greater_equal(t["turn_idx"], 100)),
+    )).as_py()
+    assert got.num_rows == want > 0
+    assert plan["parts_total"] == 7
