@@ -103,8 +103,12 @@ def main(argv: list[str] | None = None) -> int:
                         "columns so ==/in point lookups prune containers the "
                         "zone maps can't (high-cardinality keys)")
 
-    p = sub.add_parser("decode", help="decode containers back to parquet")
-    p.add_argument("input")
+    p = sub.add_parser(
+        "decode",
+        help="decode containers back to parquet; several inputs export a "
+             "store FAMILY as one table (schemas must agree)",
+    )
+    p.add_argument("input", nargs="+")
     p.add_argument("output")
     p.add_argument("--columns", nargs="*", default=None)
     p.add_argument("--max-generation", type=int, default=None,
@@ -195,9 +199,11 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser(
         "storeprofile",
-        help="profile an encoded store from manifest metadata only (no container reads)",
+        help="profile an encoded store from manifest metadata only (no "
+             "container reads); several directories profile as ONE family "
+             "(folded totals + per-store breakdown)",
     )
-    p.add_argument("encoded_dir")
+    p.add_argument("encoded_dir", nargs="+")
 
     p = sub.add_parser(
         "agg",
@@ -321,10 +327,14 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(summary))
         elif args.cmd == "decode":
-            from .decode import decode_dataset
+            from .decode import decode_dataset, decode_family
 
-            ds = decode_dataset(args.input, columns=args.columns,
-                                max_generation=args.max_generation)
+            if len(args.input) == 1:
+                ds = decode_dataset(args.input[0], columns=args.columns,
+                                    max_generation=args.max_generation)
+            else:
+                ds = decode_family(args.input, columns=args.columns,
+                                   max_generation=args.max_generation)
             wkw = {"compression": cfg.compression}
             if args.partition_by:
                 wkw["partition_cols"] = list(args.partition_by)
@@ -468,9 +478,15 @@ def main(argv: list[str] | None = None) -> int:
                     "sample": sample,
                 }, default=str))
         elif args.cmd == "storeprofile":
-            from .zonemap import store_profile
+            if len(args.encoded_dir) == 1:
+                from .zonemap import store_profile
 
-            print(json.dumps(store_profile(args.encoded_dir), default=str))
+                prof = store_profile(args.encoded_dir[0])
+            else:
+                from .zonemap import store_profile_multi
+
+                prof = store_profile_multi(args.encoded_dir)
+            print(json.dumps(prof, default=str))
         elif args.cmd == "agg":
             from .storeagg import store_agg
 

@@ -496,3 +496,39 @@ def lookup_conversation_multi(
     ):
         out = out.sort_by([(conv_col, "ascending"), (order_col, "ascending")])
     return out.combine_chunks()
+
+
+def decode_family(
+    dirs: "list[str]",
+    columns: list[str] | None = None,
+    max_generation: int | None = None,
+):
+    """Decode a FAMILY of delivery stores as one streaming Dataset (the
+    export path: ``decode DIR... OUT`` writes the whole family to parquet).
+    Members union metadata-only; emitted schemas must agree on (name, type)
+    — refused loudly, conform via ``compact_family`` first."""
+    from . import manifest as mf
+    from .zonemap import _store_schema
+
+    if not dirs:
+        raise ValueError("decode_family needs at least one store directory")
+    schemas = []
+    for d in dirs:
+        full = _store_schema(d, mf.load_records(d))
+        schemas.append(
+            [(n, t) for n, t in full if columns is None or n in columns]
+        )
+    if any(s != schemas[0] for s in schemas[1:]):
+        detail = "; ".join(
+            f"{d}: {[(n, str(t)) for n, t in s]}" for d, s in zip(dirs, schemas)
+        )
+        raise ValueError(
+            "store family schemas differ on the emitted columns — conform "
+            f"them via compact_family first: {detail}"
+        )
+    ds = decode_dataset(dirs[0], columns=columns, max_generation=max_generation)
+    for d in dirs[1:]:
+        ds = ds.union(
+            decode_dataset(d, columns=columns, max_generation=max_generation)
+        )
+    return ds

@@ -1246,3 +1246,56 @@ def store_profile(out_dir: str) -> dict:
         "stats_coverage": with_stats / len(recs),
         "columns": cols,
     }
+
+
+def store_profile_multi(dirs: "list[str]") -> dict:
+    """Profile a FAMILY of stores from manifest metadata alone — per-member
+    profiles fold into family totals (partitions/rows/bytes sum, per-column
+    nulls and codec counts sum, bounds combine when the member types agree;
+    a type conflict nulls the folded bounds and flags ``t: "mixed"`` rather
+    than comparing across domains). Opens ZERO container files."""
+    if not dirs:
+        raise ValueError("store_profile_multi needs at least one store directory")
+    per = {d: store_profile(d) for d in dirs}
+    cols: dict[str, dict] = {}
+    for p in per.values():
+        for name, c in p["columns"].items():
+            f = cols.setdefault(
+                name,
+                {"codecs": {}, "nulls": 0, "min": None, "max": None, "t": None,
+                 "approx": False, "stats_parts": 0},
+            )
+            for codec, n in c["codecs"].items():
+                f["codecs"][codec] = f["codecs"].get(codec, 0) + n
+            f["nulls"] += c["nulls"]
+            f["stats_parts"] += c["stats_parts"]
+            f["approx"] = f["approx"] or c["approx"]
+            if c["t"] is not None:
+                if f["t"] is None:
+                    f["t"] = c["t"]
+                elif f["t"] != c["t"] and f["t"] != "mixed":
+                    f["t"] = "mixed"
+            if f["t"] == "mixed":
+                f["min"] = f["max"] = None
+                f["approx"] = True
+                continue
+            if c["min"] is not None and (f["min"] is None or c["min"] < f["min"]):
+                f["min"] = c["min"]
+            if c["max"] is not None and (f["max"] is None or c["max"] > f["max"]):
+                f["max"] = c["max"]
+    parts = sum(p["partitions"] for p in per.values())
+    rows = sum(p["rows"] for p in per.values())
+    b_in = sum(p["bytes_in"] for p in per.values())
+    b_out = sum(p["bytes_out"] for p in per.values())
+    return {
+        "partitions": parts,
+        "rows": rows,
+        "bytes_in": b_in,
+        "bytes_out": b_out,
+        "ratio": b_out / max(b_in, 1),
+        "stats_coverage": sum(
+            p["stats_coverage"] * p["partitions"] for p in per.values()
+        ) / max(parts, 1),
+        "columns": cols,
+        "stores": per,
+    }

@@ -395,3 +395,54 @@ def test_family_scan_disjunction(family):
     )).as_py()
     assert got.num_rows == want > 0
     assert plan["parts_total"] == 7
+
+
+def test_family_profile_folds_metadata_only(family):
+    from parquet_converter_ray.zonemap import store_profile, store_profile_multi
+
+    prof = store_profile_multi(family["dirs"])
+    t = family["all"]
+    assert prof["rows"] == t.num_rows
+    assert prof["partitions"] == 7
+    per = [store_profile(d) for d in family["dirs"]]
+    assert prof["bytes_out"] == sum(p["bytes_out"] for p in per)
+    c = prof["columns"]["turn_idx"]
+    assert c["min"] == pc.min(t["turn_idx"]).as_py()
+    assert c["max"] == pc.max(t["turn_idx"]).as_py()
+    assert prof["columns"]["tool"]["nulls"] == t["tool"].null_count
+    assert set(prof["stores"]) == set(family["dirs"])
+
+
+def test_family_decode_export(family, tmp_path, capsys):
+    from parquet_converter_ray.cli import main
+    from parquet_converter_ray.decode import decode_family
+
+    got = _sorted(_collect(decode_family(family["dirs"])))
+    want = _sorted(family["all"])
+    assert got.select(want.column_names).equals(want)
+
+    # column-pruned family decode
+    two = _collect(decode_family(family["dirs"], columns=["conv_id", "role"]))
+    assert two.column_names == ["conv_id", "role"]
+    assert two.num_rows == want.num_rows
+
+    # CLI export of the whole family to parquet
+    out = str(tmp_path / "export")
+    rc = main(["decode", *family["dirs"], out])
+    assert rc == 0
+    back = ray.data.read_parquet(out).count()
+    assert back == want.num_rows
+
+
+def test_family_decode_schema_drift_refused(ray_session, family, tmp_path):
+    from parquet_converter_ray.decode import decode_family
+    from parquet_converter_ray.encode import encode_dataset
+
+    drifted = str(tmp_path / "drifted2")
+    t = make_transcripts(1_500, seed=28, conv_offset=50_000_000).drop_columns(["tool"])
+    encode_dataset(ray.data.from_arrow(t), drifted, n_parts=2)
+    with pytest.raises(ValueError, match="family schemas differ"):
+        decode_family(family["dirs"] + [drifted])
+    # pruning to the agreeing subset exports fine
+    ds = decode_family(family["dirs"] + [drifted], columns=["conv_id", "turn_idx"])
+    assert _collect(ds).num_rows == family["all"].num_rows + t.num_rows
