@@ -257,10 +257,8 @@ def store_agg(
     containers they can't decide. Returns ``{agg_name: value}`` with min/max
     in the column's logical type; ``return_plan=True`` also returns
     ``{parts_total, pruned, meta_answered, scanned}``."""
-    import ray.data
-
     from . import manifest as mf
-    from .decode import container_files, resolve_container_path
+    from .decode import container_files
 
     aggs = _normalize_aggs(aggs)
     dnf = _normalize_dnf(predicate) if predicate else []
@@ -284,6 +282,24 @@ def store_agg(
 
     acc: dict = {}
     plan = {"parts_total": len(recs), "pruned": 0, "meta_answered": 0, "scanned": 0}
+    scan_paths = _plan_meta(out_dir, recs, aggs, dnf, acc, plan)
+    if scan_paths:
+        partials = scan_agg_partials(scan_paths, aggs, schema, dnf, clauses,
+                                     verify_crc)
+        _merge_partials(partials, aggs, acc)
+    return (
+        (_finalize_agg(aggs, acc, schema), plan)
+        if return_plan
+        else _finalize_agg(aggs, acc, schema)
+    )
+
+
+def _plan_meta(out_dir: str, recs, aggs, dnf, acc: dict, plan: dict) -> list[str]:
+    """Driver-side three-class split of one store's containers: pruned /
+    metadata-answered (folded into ``acc``) / to-scan (returned paths).
+    Manifest JSON only — no file opens, no Ray tasks."""
+    from .decode import resolve_container_path
+
     scan_paths: list[str] = []
     for r in recs:
         st = r.get("stats") or {}
@@ -302,41 +318,54 @@ def store_agg(
         else:
             scan_paths.append(resolve_container_path(out_dir, r))
     plan["scanned"] = len(scan_paths)
+    return scan_paths
 
-    if scan_paths:
-        agg_cols = list(dict.fromkeys(c for _, c in aggs if c is not None))
-        pred_cols = [c for c, _, _ in clauses]
-        out_cols = agg_cols or pred_cols[:1] or [next(iter(schema))]
-        read_cols = list(dict.fromkeys(out_cols + pred_cols))
-        ds = ray.data.read_binary_files(scan_paths)
-        ds = ds.map_batches(
-            _ScanDecoder(read_cols, out_cols, dnf, verify_crc),
-            batch_format="pyarrow",
-            batch_size=1,
-        )
-        partials = ds.map_batches(
-            _AggPartial(aggs, schema), batch_format="pyarrow", batch_size=None
-        ).take_all()
-        for p in partials:
-            for fn, col in aggs:
-                if fn == "count":
-                    acc["count"] = acc.get("count", 0) + int(p["_rows"])
-                    continue
-                key = f"{fn}_{col}"
-                v = p.get(key)
-                if v is None:
-                    continue
-                if fn == "sum" and isinstance(v, str):
-                    v = int(v)  # exact integer sum shipped as decimal string
-                cur = acc.get(key)
-                if fn == "min":
-                    acc[key] = v if cur is None else min(cur, v)
-                elif fn == "max":
-                    acc[key] = v if cur is None else max(cur, v)
-                else:  # nn / sum
-                    acc[key] = (cur or 0) + v
 
-    # finalize: counts default to 0; min/max leave the physical int domain
+def scan_agg_partials(scan_paths, aggs, schema, dnf, clauses, verify_crc):
+    """ONE distributed job: pruned decode of undecidable containers + per-
+    batch aggregate partials. Partials are store-agnostic (they depend only
+    on aggs/schema/predicate), so ``store_agg_multi`` batches every member's
+    paths into a single call — never one Ray job per delivery."""
+    import ray.data
+
+    agg_cols = list(dict.fromkeys(c for _, c in aggs if c is not None))
+    pred_cols = [c for c, _, _ in clauses]
+    out_cols = agg_cols or pred_cols[:1] or [next(iter(schema))]
+    read_cols = list(dict.fromkeys(out_cols + pred_cols))
+    ds = ray.data.read_binary_files(scan_paths)
+    ds = ds.map_batches(
+        _ScanDecoder(read_cols, out_cols, dnf, verify_crc),
+        batch_format="pyarrow",
+        batch_size=1,
+    )
+    return ds.map_batches(
+        _AggPartial(aggs, schema), batch_format="pyarrow", batch_size=None
+    ).take_all()
+
+
+def _merge_partials(partials, aggs, acc: dict) -> None:
+    for p in partials:
+        for fn, col in aggs:
+            if fn == "count":
+                acc["count"] = acc.get("count", 0) + int(p["_rows"])
+                continue
+            key = f"{fn}_{col}"
+            v = p.get(key)
+            if v is None:
+                continue
+            if fn == "sum" and isinstance(v, str):
+                v = int(v)  # exact integer sum shipped as decimal string
+            cur = acc.get(key)
+            if fn == "min":
+                acc[key] = v if cur is None else min(cur, v)
+            elif fn == "max":
+                acc[key] = v if cur is None else max(cur, v)
+            else:  # nn / sum
+                acc[key] = (cur or 0) + v
+
+
+def _finalize_agg(aggs, acc: dict, schema: dict) -> dict:
+    """Counts default to 0; min/max leave the physical int domain."""
     result: dict = {}
     for fn, col in aggs:
         key = fn if col is None else f"{fn}_{col}"
@@ -350,7 +379,7 @@ def store_agg(
         elif v is not None and fn == "sum" and pa.types.is_floating(schema[col]):
             v = float(v)
         result[key] = v
-    return (result, plan) if return_plan else result
+    return result
 
 
 def store_agg_multi(
@@ -370,23 +399,37 @@ def store_agg_multi(
     requires. Aggregate and predicate columns must carry the SAME type in
     every member (min/max comparisons and sums across type families would be
     silently wrong) — refused loudly with per-store detail. The merged plan
-    sums each class and keeps the per-store breakdown under ``"stores"``."""
+    sums each class and keeps the per-store breakdown under ``"stores"``.
+
+    Scale shape: the three-class split is driver-side manifest JSON per
+    member; the scan remainder — the only Ray job — batches every member's
+    undecidable containers into ONE partials job (partials depend only on
+    aggs/predicate, not on which store a container came from), so aggregate
+    cost does not grow a per-member Ray-job latency with family size."""
     from . import manifest as mf
+    from .decode import container_files
 
     if not dirs:
         raise ValueError("store_agg_multi needs at least one store directory")
     aggs_n = _normalize_aggs(aggs)
     dnf = _normalize_dnf(predicate) if predicate else []
+    clauses = [cl for br in dnf for cl in br]
     need = sorted(
         {c for _, c in aggs_n if c is not None}
         | {c for br in dnf for c, _, _ in br}
     )
     typed = []
+    member_recs = []
+    schema0: dict = {}
     for d in dirs:
         recs = mf.load_records(d)
         if not recs:
             raise FileNotFoundError(f"no manifest records under {d}")
+        container_files(d)  # stray-container guard (same as store_agg)
         schema = dict(_store_schema(d, recs))
+        if not schema0:
+            schema0 = schema
+        member_recs.append(recs)
         typed.append({c: schema.get(c) for c in need})
     if any(t != typed[0] for t in typed[1:]):
         detail = "; ".join(
@@ -397,37 +440,33 @@ def store_agg_multi(
             "family members disagree on aggregate/predicate column types — "
             f"conform them via compact_family first: {detail}"
         )
+    if any(t is None for t in typed[0].values()):
+        missing = [c for c, t in typed[0].items() if t is None]
+        raise ValueError(f"columns {missing} not in store schema {sorted(schema0)}")
+    for fn, col in aggs_n:
+        if fn == "sum" and not (
+            pa.types.is_integer(schema0[col]) or pa.types.is_floating(schema0[col])
+        ):
+            raise ValueError(f"sum over non-numeric column {col!r} ({schema0[col]})")
 
+    # driver-side three-class split per member, folding meta answers into
+    # ONE shared accumulator (the fold is identical either way)
     acc: dict = {}
     merged = {"parts_total": 0, "pruned": 0, "meta_answered": 0, "scanned": 0,
               "stores": {}}
-    for d in dirs:
-        res, plan = store_agg(
-            d, aggs_n, predicate, verify_crc=verify_crc, return_plan=True
-        )
+    all_paths: list[str] = []
+    for d, recs in zip(dirs, member_recs):
+        plan = {"parts_total": len(recs), "pruned": 0, "meta_answered": 0,
+                "scanned": 0}
+        all_paths.extend(_plan_meta(d, recs, aggs_n, dnf, acc, plan))
         for k in ("parts_total", "pruned", "meta_answered", "scanned"):
             merged[k] += plan[k]
         merged["stores"][d] = plan
-        for fn, col in aggs_n:
-            key = fn if col is None else f"{fn}_{col}"
-            v = res[key]
-            if fn in ("count", "nn"):
-                acc[key] = acc.get(key, 0) + int(v)
-            elif v is None:
-                acc.setdefault(key, None)
-            elif fn == "min":
-                cur = acc.get(key)
-                acc[key] = v if cur is None else min(cur, v)
-            elif fn == "max":
-                cur = acc.get(key)
-                acc[key] = v if cur is None else max(cur, v)
-            else:  # sum: int sums stay exact ints, float sums stay floats
-                cur = acc.get(key)
-                acc[key] = v if cur is None else cur + v
-    result = {
-        (fn if col is None else f"{fn}_{col}"): acc.get(
-            fn if col is None else f"{fn}_{col}"
-        )
-        for fn, col in aggs_n
-    }
+
+    # ONE partials job over every member's undecidable containers
+    if all_paths:
+        partials = scan_agg_partials(all_paths, aggs_n, schema0, dnf, clauses,
+                                     verify_crc)
+        _merge_partials(partials, aggs_n, acc)
+    result = _finalize_agg(aggs_n, acc, schema0)
     return (result, merged) if return_plan else result

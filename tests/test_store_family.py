@@ -446,3 +446,26 @@ def test_family_decode_schema_drift_refused(ray_session, family, tmp_path):
     # pruning to the agreeing subset exports fine
     ds = decode_family(family["dirs"] + [drifted], columns=["conv_id", "turn_idx"])
     assert _collect(ds).num_rows == family["all"].num_rows + t.num_rows
+
+
+def test_agg_family_scan_remainder_is_one_job(family, monkeypatch):
+    """Undecidable containers across members fold in ONE partials job."""
+    from parquet_converter_ray import storeagg
+
+    calls = []
+    real = storeagg.scan_agg_partials
+
+    def spy(paths, *a, **kw):
+        calls.append(list(paths))
+        return real(paths, *a, **kw)
+
+    monkeypatch.setattr(storeagg, "scan_agg_partials", spy)
+    # role== is not provable full-match by zone maps (mixed roles per
+    # container), so every unpruned container lands in the scan remainder
+    res, plan = storeagg.store_agg_multi(
+        family["dirs"], ["count"], [("role", "==", "user")], return_plan=True
+    )
+    assert res["count"] == pc.sum(pc.equal(family["all"]["role"], "user")).as_py()
+    assert plan["scanned"] > 0
+    assert len(calls) == 1
+    assert len(calls[0]) == plan["scanned"]
