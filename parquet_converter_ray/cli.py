@@ -125,12 +125,33 @@ def main(argv: list[str] | None = None) -> int:
                    help="idempotent delivery: drop rows whose (conv, order) key is already stored")
 
     p = sub.add_parser(
+        "upsert",
+        help="MERGE a delivery by (conv, order) row key: matching keys replace, new keys insert",
+    )
+    p.add_argument("input", help="parquet file/dir with the delivery rows")
+    p.add_argument("encoded_dir")
+
+    p = sub.add_parser(
         "delete",
         help="delete whole conversations from a store in place (rewrites only their partitions)",
     )
     p.add_argument("encoded_dir")
     p.add_argument("keys", nargs="+", help="conversation keys; use --int for integer-keyed columns")
     p.add_argument("--int", dest="as_int", action="store_true")
+
+    p = sub.add_parser(
+        "snapshot", help="hard-link point-in-time snapshot (delete-proof, O(metadata))"
+    )
+    p.add_argument("encoded_dir")
+    p.add_argument("--name", default=None, help="snapshot name (default sNNNN)")
+    p.add_argument("--drop", action="store_true", help="drop the named snapshot instead")
+
+    p = sub.add_parser("snapshots", help="list a store's published snapshots")
+    p.add_argument("encoded_dir")
+
+    p = sub.add_parser("restore", help="roll the store back to a named snapshot")
+    p.add_argument("encoded_dir")
+    p.add_argument("name")
 
     p = sub.add_parser(
         "compact",
@@ -344,11 +365,32 @@ def main(argv: list[str] | None = None) -> int:
             from .encode import append_dataset
 
             print(json.dumps(append_dataset(args.input, args.encoded_dir, skip_existing=args.skip_existing)))
+        elif args.cmd == "upsert":
+            from .encode import upsert_dataset
+
+            print(json.dumps(upsert_dataset(args.input, args.encoded_dir)))
         elif args.cmd == "delete":
             from .encode import delete_conversations
 
             keys = [int(k) for k in args.keys] if args.as_int else list(args.keys)
             print(json.dumps(delete_conversations(args.encoded_dir, keys)))
+        elif args.cmd == "snapshot":
+            from .snapshot import drop_snapshot, snapshot_store
+
+            if args.drop:
+                if not args.name:
+                    ap.error("snapshot --drop needs --name")
+                print(json.dumps(drop_snapshot(args.encoded_dir, args.name)))
+            else:
+                print(json.dumps(snapshot_store(args.encoded_dir, name=args.name)))
+        elif args.cmd == "snapshots":
+            from .snapshot import list_snapshots
+
+            print(json.dumps(list_snapshots(args.encoded_dir)))
+        elif args.cmd == "restore":
+            from .snapshot import restore_snapshot
+
+            print(json.dumps(restore_snapshot(args.encoded_dir, args.name)))
         elif args.cmd == "compact":
             import pyarrow as pa
 

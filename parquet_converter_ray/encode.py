@@ -849,6 +849,66 @@ _LINEAGE_SCHEMA = pa.schema(
 )
 
 
+def _conform_delivery(ds, out_dir: str, prior: dict, conv_col: str, order_col: str):
+    """Schema-conform a delivery to the STORE schema (footer of any base
+    container — a tail seek, no column bytes). Reordered columns are
+    harmless; columns the store has but the delivery lacks are filled with
+    typed nulls (additive drift over months of ingest); extra or
+    type-changed columns would silently corrupt decode, so they raise.
+    Shared by ``append_dataset`` and ``upsert_dataset``."""
+    from .codecs import str_to_type
+    from .container import read_footer_file
+    from .decode import container_files
+
+    footer = read_footer_file(container_files(out_dir)[0])
+    store_schema = [(c["name"], str_to_type(c["type"])) for c in footer["columns"]]
+    store_names = [n for n, _ in store_schema]
+    del_schema = ds.schema()
+    del_names = list(del_schema.names)
+    extra = [n for n in del_names if n not in store_names]
+    if extra:
+        raise ValueError(
+            f"delivery has columns {extra} the store {out_dir} does not; "
+            "schema evolution is additive on the STORE side only — compact "
+            "into a new store to add columns"
+        )
+    missing = [n for n in store_names if n not in del_names]
+    if conv_col in missing or order_col in missing:
+        raise ValueError(
+            f"delivery lacks the partition/order column(s) "
+            f"{[c for c in (conv_col, order_col) if c in missing]} — cannot append"
+        )
+    if (prior.get("partition_mode") or "hash") == "range":
+        cl = prior.get("cluster_by") or []
+        cl = [cl] if isinstance(cl, str) else list(cl)
+        lacking = [c for c in cl if c in missing]
+        if lacking:
+            raise ValueError(
+                f"delivery lacks the range-cluster column(s) {lacking} "
+                "— cannot assign partitions"
+            )
+    for n, t in store_schema:
+        if n in del_names:
+            dt = del_schema.base_schema.field(n).type
+            if dt != t:
+                raise ValueError(
+                    f"column {n!r}: delivery type {dt} != store type {t} — "
+                    "appending would mix physical encodings"
+                )
+
+    def _conform(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                n: batch[n] if n in batch.column_names else pa.nulls(batch.num_rows, t)
+                for n, t in store_schema
+            }
+        )
+
+    if missing or del_names != store_names:
+        ds = ds.map_batches(_conform, batch_format="pyarrow")
+    return ds
+
+
 def append_dataset(
     source,
     out_dir: str,
@@ -902,61 +962,7 @@ def append_dataset(
     else:
         ds = source
 
-    # --- schema-conform the delivery to the STORE schema (footer of any base
-    # container — a tail seek, no column bytes). Reordered columns are
-    # harmless; columns the store has but the delivery lacks are filled with
-    # typed nulls (additive drift over months of ingest); extra or
-    # type-changed columns would silently corrupt decode, so they raise.
-    from .codecs import str_to_type
-    from .container import read_footer_file
-    from .decode import container_files
-
-    footer = read_footer_file(container_files(out_dir)[0])
-    store_schema = [(c["name"], str_to_type(c["type"])) for c in footer["columns"]]
-    store_names = [n for n, _ in store_schema]
-    del_schema = ds.schema()
-    del_names = list(del_schema.names)
-    extra = [n for n in del_names if n not in store_names]
-    if extra:
-        raise ValueError(
-            f"delivery has columns {extra} the store {out_dir} does not; "
-            "schema evolution is additive on the STORE side only — compact "
-            "into a new store to add columns"
-        )
-    missing = [n for n in store_names if n not in del_names]
-    if conv_col in missing or order_col in missing:
-        raise ValueError(
-            f"delivery lacks the partition/order column(s) "
-            f"{[c for c in (conv_col, order_col) if c in missing]} — cannot append"
-        )
-    if (prior.get("partition_mode") or "hash") == "range":
-        cl = prior.get("cluster_by") or []
-        cl = [cl] if isinstance(cl, str) else list(cl)
-        lacking = [c for c in cl if c in missing]
-        if lacking:
-            raise ValueError(
-                f"delivery lacks the range-cluster column(s) {lacking} "
-                "— cannot assign partitions"
-            )
-    for n, t in store_schema:
-        if n in del_names:
-            dt = del_schema.base_schema.field(n).type
-            if dt != t:
-                raise ValueError(
-                    f"column {n!r}: delivery type {dt} != store type {t} — "
-                    "appending would mix physical encodings"
-                )
-
-    def _conform(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                n: batch[n] if n in batch.column_names else pa.nulls(batch.num_rows, t)
-                for n, t in store_schema
-            }
-        )
-
-    if missing or del_names != store_names:
-        ds = ds.map_batches(_conform, batch_format="pyarrow")
+    ds = _conform_delivery(ds, out_dir, prior, conv_col, order_col)
 
     if (prior.get("partition_mode") or "hash") == "range":
         # a range-clustered store appends with the RECORDED cuts + spans (the
@@ -1014,6 +1020,257 @@ def append_dataset(
     summary["rows_appended"] = int(sum(r["rows"] for r in taken))
     return summary
 
+
+_UPSERT_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("rows", pa.int64()),
+        ("updated", pa.int64()),
+        ("inserted", pa.int64()),
+        ("folded_gen", pa.int32()),
+    ]
+)
+
+
+def upsert_dataset(source, out_dir: str, codec: str | dict = "auto") -> dict:
+    """MERGE a delivery into an existing store by row key ``(conv, order)``:
+    delivery rows REPLACE stored rows with the same key, keys the store has
+    never seen INSERT — the standard upsert/merge primitive a long-lived
+    store needs for late-arriving corrections (re-scored turns, redacted
+    text, fixed tool labels) without the delete-list round trip.
+
+    Partition-local by construction, even under mega-conversation salting:
+    ``part_id`` is a pure function of (hash(conv), order-chunk), so a
+    delivery row and every stored version of its key land in the same
+    partition — one fused rewrite per TOUCHED partition, never a store scan,
+    untouched partitions keep their exact bytes. Each rewrite folds the
+    partition's appended generations into a fresh base container under the
+    same crash-safety contract as ``delete_conversations`` (records dropped
+    → atomic base write with ``folded`` map → generation files removed), so
+    a crashed upsert leaves the store untouched, loudly invalid, or
+    finished — never silently duplicated.
+
+    Key-level replace is the semantics that stays partition-local; replacing
+    a WHOLE conversation (old turns the delivery doesn't re-deliver must
+    die) is ``delete_conversations`` + ``append_dataset``, because under
+    salting the old turns' chunks live in other partitions. Range-clustered
+    stores refuse for the same reason: their partition is a function of
+    cluster-column VALUES, so an updated row whose cluster value changed
+    would leave its old version alive in another bucket.
+
+    A delivery carrying two rows with the same key is ambiguous (which one
+    wins?) and raises rather than picking silently."""
+    import glob as _glob
+
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    from . import manifest as mf
+    from .decode import resolve_container_path
+    from .partition import HASH_VERSION
+
+    prior = mf.load_run_record(out_dir)
+    if prior is None:
+        raise ValueError(f"no run record in {out_dir} — upsert needs an existing store")
+    if prior.get("hash_version") != HASH_VERSION:
+        raise ValueError(
+            f"store {out_dir} was partitioned with hash {prior.get('hash_version')!r}; "
+            f"this build uses {HASH_VERSION!r} — upserting would mispartition rows"
+        )
+    if (prior.get("partition_mode") or "hash") == "range":
+        raise ValueError(
+            "upsert_dataset requires a hash-partitioned store: a range-"
+            "clustered partition is a function of cluster-column VALUES, so "
+            "an update that changes them strands the old row in another "
+            "bucket — use delete_conversations + append_dataset instead"
+        )
+    n_parts = int(prior["n_parts"])
+    conv_col, order_col = prior["conv_col"], prior["order_col"]
+    if not order_col:
+        raise ValueError(
+            "upsert_dataset merges by (conv, order) row key; this store has "
+            "no order column — use delete_conversations + append_dataset"
+        )
+    salt_rows = int(prior.get("salt_rows") or 0)
+    sort_key = tuple(prior.get("sort_key") or (conv_col, order_col))
+    bound_cols = frozenset(prior.get("cluster_by") or ())
+    bloom_cols = frozenset(prior.get("bloom_cols") or ())
+
+    if isinstance(source, (str, list)):
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        ds = read_parquet_clean(source, override_num_blocks=max(3 * cpus, n_parts))
+    else:
+        ds = source
+    ds = _conform_delivery(ds, out_dir, prior, conv_col, order_col)
+    store_names = list(ds.schema().names)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        return assign_part_id(
+            batch, n_parts, conv_col=conv_col, order_col=order_col, salt_rows=salt_rows
+        )
+
+    # manifest snapshot broadcast once (metadata-scale), not re-read per group
+    recs = mf.load_records(out_dir)
+    by_part: dict[int, list[dict]] = {}
+    for r in recs:
+        by_part.setdefault(int(r["part_id"]), []).append(r)
+    by_part_ref = ray.put(by_part)
+
+    def _merge_group(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pin_arrow_threads(1)
+        if not g.num_rows:
+            return _UPSERT_SCHEMA.empty_table()
+        pid = int(g["part_id"][0].as_py())
+        delivery = g.select(store_names)
+        dkeys = _row_keys(delivery[conv_col], delivery[order_col]).combine_chunks()
+        n_dup = delivery.num_rows - pc.count_distinct(dkeys).as_py()
+        if n_dup:
+            raise ValueError(
+                f"delivery carries {n_dup} duplicate ({conv_col}, {order_col}) "
+                f"key(s) in partition {pid} — which row wins is ambiguous; "
+                "dedup the delivery first"
+            )
+        parts = ray.get(by_part_ref)
+        precs = parts.get(pid, [])
+        paths = [resolve_container_path(out_dir, r) for r in precs]
+        leftovers = sorted(
+            set(_glob.glob(os.path.join(out_dir, f"part-{pid:05d}-g*.pcc"))) - set(paths)
+        )
+        if not precs and os.path.exists(os.path.join(out_dir, f"part-{pid:05d}.pcc")):
+            raise ValueError(
+                f"partition {pid} in {out_dir} has a base container but no "
+                "lineage record — run fsck/repair before upserting into it"
+            )
+        base_rec = next((r for r in precs if not int(r.get("generation", 0))), None)
+        existing, folded = _fold_partition(
+            pid, paths, leftovers,
+            (base_rec or {}).get("folded") or {},
+            (base_rec or {}).get("crc32"),
+        )
+        folded_gen = max(
+            [int(r.get("generation", 0)) for r in precs]
+            + [_generation_of(p) for p in leftovers]
+            + [0]
+        )
+        updated = 0
+        if existing is not None and existing.num_rows:
+            keys = _row_keys(existing[conv_col], existing[order_col])
+            before = existing.num_rows
+            existing = existing.filter(pc.invert(pc.is_in(keys, value_set=dkeys)))
+            updated = before - existing.num_rows
+            merged = pa.concat_tables([existing.select(store_names), delivery])
+        else:
+            merged = delivery
+        # crash contract step 2: generation records drop first (readers fail
+        # loudly on the manifest-stray guard until the new base lands)
+        for r in precs:
+            if int(r.get("generation", 0)):
+                try:
+                    os.remove(mf.record_path(out_dir, pid, int(r["generation"])))
+                except OSError:
+                    pass
+        enc = EncodePartition(
+            out_dir, codec=codec, sort_key=sort_key, generation=0,
+            bound_cols=bound_cols, bloom_cols=bloom_cols,
+        )
+        enc.encode_one(pid, merged, folded=folded)
+        base = os.path.join(out_dir, f"part-{pid:05d}.pcc")
+        for p in paths + leftovers:
+            if os.path.abspath(p) != os.path.abspath(base):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+        return pa.table(
+            {
+                "part_id": pa.array([pid], type=pa.int32()),
+                "rows": pa.array([merged.num_rows], type=pa.int64()),
+                "updated": pa.array([updated], type=pa.int64()),
+                "inserted": pa.array([delivery.num_rows - updated], type=pa.int64()),
+                "folded_gen": pa.array([folded_gen], type=pa.int32()),
+            }
+        )
+
+    lineage = (
+        ds.map_batches(_assign, batch_format="pyarrow")
+        .groupby("part_id")
+        .map_groups(_merge_group, batch_format="pyarrow")
+    )
+    ctx = DataContext.get_current()
+    prev_strategy = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        taken = lineage.take_all()
+    finally:
+        ctx.shuffle_strategy = prev_strategy
+    # snapshot watermark: same rule as delete — folding generations into
+    # rewritten bases invalidates generation-level snapshots below that point
+    folded_gen = max((int(r["folded_gen"]) for r in taken), default=0)
+    if folded_gen > int(prior.get("snapshot_watermark") or 0):
+        prior["snapshot_watermark"] = folded_gen
+        mf.write_run_record(out_dir, prior)
+    summary = mf.consolidate(out_dir)
+    summary["n_parts"] = n_parts
+    summary["rows_updated"] = int(sum(r["updated"] for r in taken))
+    summary["rows_inserted"] = int(sum(r["inserted"] for r in taken))
+    summary["parts_rewritten"] = len(taken)
+    return summary
+
+
+def _generation_of(path: str) -> int:
+    """part-NNNNN-gKKKK.pcc -> KKKK (0 on anything unexpected)."""
+    try:
+        return int(os.path.basename(path).rsplit("-g", 1)[1].split(".")[0])
+    except (IndexError, ValueError):
+        return 0
+
+def _fold_partition(
+    pid: int,
+    container_paths: list[str],
+    leftover_paths: list[str],
+    prior_folded: dict,
+    base_crc: int | None,
+) -> "tuple[pa.Table | None, dict[str, int]]":
+    """Decode ONE partition's recorded containers plus crash leftovers into a
+    single table, returning ``(table, folded)`` — the shared step 1 of the
+    in-place rewrite crash-safety contract (see ``_rewrite_partition``). A
+    leftover generation file is included only if the base record's ``folded``
+    map does not already carry its (basename, crc32); a base container whose
+    crc differs from its record proves a previous rewrite's rename landed and
+    already holds every leftover's surviving rows. Returns ``(None, folded)``
+    when the partition has no containers at all (pure-insert upsert)."""
+    from .container import decode_table
+
+    tabs = []
+    folded: dict[str, int] = {}
+    base_name = f"part-{pid:05d}.pcc"
+    base_is_newer = False
+    for p in container_paths:
+        with open(p, "rb") as f:
+            raw = f.read()
+        tabs.append(decode_table(raw))
+        name = os.path.basename(p)
+        if name != base_name:
+            folded[name] = zlib.crc32(raw) & 0xFFFFFFFF
+        elif base_crc is not None:
+            base_is_newer = (zlib.crc32(raw) & 0xFFFFFFFF) != base_crc
+    for p in leftover_paths:
+        with open(p, "rb") as f:
+            raw = f.read()
+        crc = zlib.crc32(raw) & 0xFFFFFFFF
+        name = os.path.basename(p)
+        if not base_is_newer and prior_folded.get(name) != crc:
+            tabs.append(decode_table(raw))
+        folded[name] = crc
+    if not tabs:
+        return None, folded
+    return pa.concat_tables(tabs).combine_chunks(), folded
+
+
 def _rewrite_partition(
     pid: int,
     container_paths: list[str],
@@ -1027,6 +1284,7 @@ def _rewrite_partition(
     codec: str | dict,
     victims: list,
     bound_cols: "frozenset[str]" = frozenset(),
+    bloom_cols: "frozenset[str]" = frozenset(),
 ) -> tuple[int, int]:
     """Rewrite ONE partition without the victim conversations (delete worker).
 
@@ -1057,34 +1315,9 @@ def _rewrite_partition(
     """
     import pyarrow.compute as pc
 
-    from .container import decode_table
-
-    tabs = []
-    folded: dict[str, int] = {}
-    base_name = f"part-{pid:05d}.pcc"
-    base_is_newer = False
-    for p in container_paths:
-        with open(p, "rb") as f:
-            raw = f.read()
-        tabs.append(decode_table(raw))
-        name = os.path.basename(p)
-        if name != base_name:
-            folded[name] = zlib.crc32(raw) & 0xFFFFFFFF
-        elif base_crc is not None:
-            # record/container crc mismatch = a previous rewrite crashed
-            # between the atomic container rename and the record write (the
-            # rename is atomic, so the container is fully old or fully new).
-            # The NEW container already holds every leftover's surviving rows.
-            base_is_newer = (zlib.crc32(raw) & 0xFFFFFFFF) != base_crc
-    for p in leftover_paths:
-        with open(p, "rb") as f:
-            raw = f.read()
-        crc = zlib.crc32(raw) & 0xFFFFFFFF
-        name = os.path.basename(p)
-        if not base_is_newer and prior_folded.get(name) != crc:
-            tabs.append(decode_table(raw))
-        folded[name] = crc
-    t = pa.concat_tables(tabs).combine_chunks()
+    t, folded = _fold_partition(pid, container_paths, leftover_paths, prior_folded, base_crc)
+    if t is None:  # unreachable from delete: probes only select partitions with containers
+        return 0, 0
     before = t.num_rows
     vict = pa.array(victims).cast(t[conv_col].type)
     t = t.filter(pc.invert(pc.is_in(t[conv_col], value_set=vict)))
@@ -1096,7 +1329,8 @@ def _rewrite_partition(
         except OSError:
             pass
     enc = EncodePartition(
-        out_dir, codec=codec, sort_key=sort_key, generation=0, bound_cols=bound_cols
+        out_dir, codec=codec, sort_key=sort_key, generation=0,
+        bound_cols=bound_cols, bloom_cols=bloom_cols,
     )
     enc.encode_one(pid, t, folded=folded)
     base = os.path.join(out_dir, f"part-{pid:05d}.pcc")
@@ -1286,6 +1520,7 @@ def delete_conversations(out_dir: str, conv_values: list, codec: str | dict = "a
                     pid, [], leftovers, [], {}, None,
                     out_dir, conv_col, sort_key, codec, victims,
                     frozenset(prior.get("cluster_by") or ()),
+                    frozenset(prior.get("bloom_cols") or ()),
                 )
             )
             continue
@@ -1314,6 +1549,7 @@ def delete_conversations(out_dir: str, conv_values: list, codec: str | dict = "a
                 (base_rec or {}).get("crc32"),
                 out_dir, conv_col, sort_key, codec, victims,
                 frozenset(prior.get("cluster_by") or ()),
+                frozenset(prior.get("bloom_cols") or ()),
             )
         )
     results = ray.get(futures)
