@@ -62,7 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round's refactors touch (bloom typed probes, storeagg prefix proofs,
         # full-bucket simhash/phash), then the round-4 window remainder. Eight
         # long-green r4 rows rotated just below slot 50.
-        # --- round-5 new queries (4) ---
+        # --- round-5 new queries ---
+        "store_upsert_stats": transcripts.store_upsert_stats,
+        "store_snapshot_travel": transcripts.store_snapshot_travel,
         "store_three_way_join": transcripts.store_three_way_join,
         "documents_zorder_scan": transcripts.documents_zorder_scan,
         "image_dedup_phash_store": multimodal.image_dedup_phash_store,
@@ -116,9 +118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_bucket_join": transcripts.store_bucket_join,
         "salted_dim_join": transcripts.salted_dim_join,
         "range_search": similarity.range_search,
+        # --- (slot >50 from here) rotated-out long-green rows ---
         "export_wds": export.export_wds,
         "documents_source_scan": transcripts.documents_source_scan,
-        # --- (slot >50 from here) rotated-out long-green r4 rows (8) ---
         "label_centroids": similarity.label_centroids,
         "customer_year_overlap": analytics.customer_year_overlap,
         "cohort_retention": behavior.cohort_retention,
@@ -503,6 +505,29 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-01' AND TIMESTAMP '1996-09-30'
               AND o_orderpriority = '1-URGENT'
+        """,
+        "store_upsert_stats": """
+            WITH merged AS (
+                SELECT o_orderstatus AS role,
+                       CASE WHEN o_orderkey % 10 = 0 THEN 'UPSERTED'
+                            ELSE o_orderpriority END AS text
+                FROM orders
+                UNION ALL
+                SELECT 'X', 'INSERTED' FROM orders WHERE o_orderkey % 100 = 7
+            )
+            SELECT role, count(*)::BIGINT AS n_turns,
+                   sum(length(text))::BIGINT AS sum_chars
+            FROM merged GROUP BY role ORDER BY role
+        """,
+        "store_snapshot_travel": """
+            SELECT 'live' AS src, count(*)::BIGINT AS n,
+                   sum(length(o_orderpriority))::BIGINT AS sum_chars
+            FROM orders WHERE o_custkey % 50 <> 0
+            UNION ALL
+            SELECT 'snapshot', count(*)::BIGINT,
+                   sum(length(o_orderpriority))::BIGINT
+            FROM orders
+            ORDER BY src
         """,
         "orders_transcript_store_stats": """
             SELECT o_orderstatus AS role, count(*)::BIGINT AS n_turns,

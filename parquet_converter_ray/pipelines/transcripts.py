@@ -1028,6 +1028,146 @@ def orders_transcript_store_stats(sf_dir: str) -> pa.Table:
     return stats.rename_columns(["role", "n_turns", "sum_chars", "avg_chars"])
 
 
+def _recast_orders(sf_dir: str):
+    """orders recast deterministically into the flagship transcript layout
+    (see ``orders_transcript_store_stats``): conv 'conv-<custkey>', turn =
+    orderkey, role = orderstatus, text = orderpriority."""
+    import pyarrow.compute as pc
+
+    from ._util import read_parquet_clean
+
+    def recast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": pc.binary_join_element_wise(
+                    "conv-", pc.cast(batch["o_custkey"], pa.string()), ""
+                ),
+                "turn_idx": batch["o_orderkey"],
+                "role": batch["o_orderstatus"],
+                "text": batch["o_orderpriority"],
+            }
+        )
+
+    return read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderstatus", "o_orderpriority"],
+    ).map_batches(recast, batch_format="pyarrow")
+
+
+def store_upsert_stats(sf_dir: str) -> pa.Table:
+    """ORACLE-CHECKED key-level MERGE over the container format: orders are
+    recast into the transcript layout and encoded (salted hash route), a
+    deterministic delivery then UPSERTS — rows with o_orderkey % 10 == 0 are
+    re-delivered with edited text (updates), plus brand-new conversations
+    'ins-<orderkey>' for o_orderkey % 100 == 7 (inserts) — and the per-role
+    stats run on the decoded post-merge store. Because both halves of the
+    delivery derive from orders itself, plain SQL (CASE for the updates,
+    UNION ALL for the inserts) is an exact oracle of the full
+    encode -> upsert-rewrite -> decode -> aggregate path. Built in a fresh
+    scratch store each call: upsert MUTATES the store, so caching would
+    leak one run's merge into the next."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from ..encode import encode_dataset, upsert_dataset
+    from ._util import finish_on_driver
+
+    out = tempfile.mkdtemp(prefix="pcr-upsert-", dir="/tmp")
+    try:
+        ds = _recast_orders(sf_dir)
+        encode_dataset(ds, out, n_parts=8, salt_rows=8)
+
+        def make_delivery(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ks = batch["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+            upd = batch.filter(pa.array(ks % 10 == 0))
+            upd = upd.set_column(
+                upd.column_names.index("text"),
+                "text",
+                pa.array(["UPSERTED"] * upd.num_rows, type=pa.string()),
+            )
+            insrc = batch.filter(pa.array(ks % 100 == 7))
+            ins = pa.table(
+                {
+                    "conv_id": pc.binary_join_element_wise(
+                        "ins-", pc.cast(insrc["turn_idx"], pa.string()), ""
+                    ),
+                    "turn_idx": pa.array([0] * insrc.num_rows, type=batch["turn_idx"].type),
+                    "role": pa.array(["X"] * insrc.num_rows, type=pa.string()),
+                    "text": pa.array(["INSERTED"] * insrc.num_rows, type=pa.string()),
+                }
+            )
+            return pa.concat_tables([upd, ins])
+
+        delivery = _recast_orders(sf_dir).map_batches(make_delivery, batch_format="pyarrow")
+        upsert_dataset(delivery, out)
+        stats = store_role_stats(out)
+        df = stats.to_pandas()[["role", "n_turns", "n_chars"]]
+        df.columns = ["role", "n_turns", "sum_chars"]
+        return pa.Table.from_pandas(df.sort_values("role"), preserve_index=False)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def store_snapshot_travel(sf_dir: str) -> pa.Table:
+    """ORACLE-CHECKED time travel: encode recast orders, take a hard-link
+    snapshot, DELETE every conversation with o_custkey % 50 == 0 from the
+    live store, then aggregate BOTH the snapshot (which must still see the
+    pre-delete bytes — the links pin the old inodes through the in-place
+    rewrite) and the live store. SQL over orders expresses both states
+    exactly, so the driver verifies the snapshot read-back independently of
+    our own decode. Fresh scratch store per call (the delete mutates it)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..encode import delete_conversations, encode_dataset
+    from ..snapshot import snapshot_store
+    from ._util import read_parquet_clean
+
+    out = tempfile.mkdtemp(prefix="pcr-snap-", dir="/tmp")
+    try:
+        encode_dataset(_recast_orders(sf_dir), out, n_parts=8, salt_rows=8)
+        snap = snapshot_store(out, name="pre-delete")
+
+        keys = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+        def victims_of(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ck = batch["o_custkey"].combine_chunks()
+            m = pa.array(ck.to_numpy(zero_copy_only=False) % 50 == 0)
+            return pa.table({"k": pc.unique(ck.filter(m))})
+
+        vic = sorted(
+            {
+                f"conv-{k}"
+                for b in keys.map_batches(victims_of, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+                for k in b["k"].to_pylist()
+            }
+        )
+        delete_conversations(out, vic)
+
+        rows = []
+        for src, path in (("live", out), ("snapshot", snap["path"])):
+            st = store_role_stats(path).to_pandas()
+            rows.append(
+                {"src": src, "n": int(st["n_turns"].sum()), "sum_chars": int(st["n_chars"].sum())}
+            )
+        return pa.Table.from_pandas(
+            pd.DataFrame(rows).sort_values("src"), preserve_index=False
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _orders_family(sf_dir: str) -> list[str]:
     """Two 'delivery' stores of orders split at o_orderdate 1996-01-01 — the
     incremental-ingest lifecycle ``scan_store_multi`` exists for: each
