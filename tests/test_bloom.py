@@ -266,3 +266,29 @@ def test_numeric_string_probe_matches_int_column(ray_session, tmp_path):
         absent_hits += int(bloom_probe_footer(path, footer, [("k", "==", "999999")]))
     assert present >= 2
     assert absent_hits <= 1  # absent key still prunes (fpr slack)
+
+
+def test_delete_rewrite_keeps_blooms(bloom_store, tmp_path):
+    """A delete's partition rewrite must re-emit the store's Bloom sidecars:
+    before the fix the rewrite dropped bloom_cols, so a single delete
+    silently degraded every later point lookup on the touched partitions."""
+    import shutil
+
+    from parquet_converter_ray.container import decode_table
+    from parquet_converter_ray.encode import delete_conversations
+
+    out = str(tmp_path / "store")
+    shutil.copytree(bloom_store, out)
+    victims = []
+    for p in sorted(glob.glob(os.path.join(out, "part-*.pcc")))[:2]:
+        with open(p, "rb") as f:
+            victims.append(decode_table(f.read(), columns=["conv_id"])["conv_id"][0].as_py())
+    s = delete_conversations(out, victims)
+    assert s["parts_rewritten"] >= 1
+    for p in sorted(glob.glob(os.path.join(out, "part-*.pcc"))):
+        assert "conv_id" in (read_footer_file(p).get("blooms") or {}), p
+    # and an absent-key scan still bloom-prunes everything post-rewrite
+    ds, plan = scan_store(out, [("conv_id", "==", "conv-does-not-exist")],
+                          columns=["conv_id"], return_plan=True)
+    assert _collect(ds).num_rows == 0
+    assert plan["scanned"] == 0
