@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-bucket simhash/phash), then the round-4 window remainder. Eight
         # long-green r4 rows rotated just below slot 50.
         # --- round-5 new queries ---
+        "documents_text_search": transcripts.documents_text_search,
         "store_upsert_stats": transcripts.store_upsert_stats,
         "store_snapshot_travel": transcripts.store_snapshot_travel,
         "store_three_way_join": transcripts.store_three_way_join,
@@ -505,6 +506,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-01' AND TIMESTAMP '1996-09-30'
               AND o_orderpriority = '1-URGENT'
+        """,
+        "documents_text_search": """
+            SELECT lang, count(*)::BIGINT AS n_docs
+            FROM documents
+            WHERE regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')
+              AND regexp_matches(lower(text), '(^|[^a-z0-9])dup([^a-z0-9]|$)')
+            GROUP BY lang ORDER BY lang
         """,
         "store_upsert_stats": """
             WITH merged AS (

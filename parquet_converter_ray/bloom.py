@@ -131,13 +131,9 @@ def _indices(h: np.ndarray, k: int, m: int) -> np.ndarray:
     return (h[:, None] + i[None, :] * step[:, None]) & np.uint64(m - 1)
 
 
-def build_bloom(col: "pa.Array | pa.ChunkedArray") -> "tuple[bytes, dict] | None":
-    """Bloom bytes + footer meta for one column of one (sorted) partition
-    table. None when the type is unsupported or the column is all-null."""
-    h = _column_hashes(col)
-    if h is None:
-        return None
-    hu = np.unique(h)  # size by DISTINCT values; dedups the insert loop too
+def _bloom_from_hashes(hu: np.ndarray) -> "tuple[bytes, dict]":
+    """Bloom bytes + footer meta from a DISTINCT hash array (shared by the
+    value blooms and the token blooms — same sizing, same double hashing)."""
     nd = int(hu.size)
     m = BLOOM_MIN_BITS
     while m < nd * BLOOM_BITS_PER_VALUE and m < BLOOM_MAX_BITS:
@@ -148,6 +144,15 @@ def build_bloom(col: "pa.Array | pa.ChunkedArray") -> "tuple[bytes, dict] | None
     np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
                      (np.uint64(1) << (idx & np.uint64(7))).astype(np.uint8))
     return bits.tobytes(), {"m": int(m), "k": int(k), "nd": nd, "algo": BLOOM_ALGO}
+
+
+def build_bloom(col: "pa.Array | pa.ChunkedArray") -> "tuple[bytes, dict] | None":
+    """Bloom bytes + footer meta for one column of one (sorted) partition
+    table. None when the type is unsupported or the column is all-null."""
+    h = _column_hashes(col)
+    if h is None:
+        return None
+    return _bloom_from_hashes(np.unique(h))  # size by DISTINCT values
 
 
 def bloom_may_contain(bits: bytes, meta: dict, h: np.ndarray) -> np.ndarray:
@@ -174,16 +179,115 @@ def build_blooms(table: pa.Table, bloom_cols) -> "dict[str, tuple[bytes, dict]]"
     return out
 
 
+# --- token blooms (full-text containment pruning) ------------------------------
+#
+# A value bloom answers "may this container hold value V"; a TOKEN bloom
+# answers "may any row's TEXT contain word W" — the pruning lever for the
+# ``hastok`` predicate (full-text search over an encoded store). Tokens are
+# maximal runs of lowercase ASCII alphanumerics after Unicode lowercasing
+# (``[a-z0-9]+`` on ``utf8_lower(text)``); the filter is built over the
+# container's DISTINCT tokens and stored in the same footer ``blooms`` map
+# under the reserved key ``"tok:<column>"`` (colons never appear in column
+# names this engine writes), so the container format is unchanged and
+# pre-token readers skip the extra section for free. The meta entry carries
+# ``tok: TOKENIZER_ALGO`` so a probe refuses (answers may-match) across
+# tokenizer versions — never unsound, only unpruned.
+
+TOKENIZER_ALGO = "lower-ascii-alnum-v1"  # bump if tokenization ever changes
+_TOKEN_SPLIT = "[^a-z0-9]+"
+TOKEN_KEY_PREFIX = "tok:"
+
+
+def query_tokens(text: str) -> list[str]:
+    """Tokenize a probe string exactly as ``column_tokens`` tokenizes column
+    values (lowercase, split on non-alphanumerics, drop empties); order kept,
+    duplicates removed."""
+    import re
+
+    return list(dict.fromkeys(t for t in re.split(_TOKEN_SPLIT, text.lower()) if t))
+
+
+def column_tokens(col: "pa.Array | pa.ChunkedArray") -> "pa.Array | None":
+    """Flat token array (with duplicates) of a string column, vectorized via
+    Arrow kernels. None for non-string or all-null columns."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+        return None
+    if col.null_count:
+        col = col.drop_null()
+    if len(col) == 0:
+        return pa.array([], pa.string())
+    parts = pc.split_pattern_regex(pc.utf8_lower(col), pattern=_TOKEN_SPLIT)
+    flat = pc.list_flatten(parts)
+    return flat.filter(pc.not_equal(flat, ""))
+
+
+def hastok_mask(col: "pa.Array | pa.ChunkedArray", query: str):
+    """Exact per-row mask for the ``hastok`` predicate: True when the row's
+    text contains EVERY query token as a whole token. Vectorized as one RE2
+    match per token over the lowercased column — the boundary class
+    ``(^|[^a-z0-9])tok([^a-z0-9]|$)`` is exactly the split class the
+    tokenizer uses, so the mask agrees with token membership bit-for-bit
+    (and with a SQL ``regexp_matches(lower(col), ...)`` oracle, since DuckDB
+    and Arrow both run RE2). Nulls come back null (the caller's
+    ``fill_null(False)`` applies SQL semantics)."""
+    import re
+
+    import pyarrow.compute as pc
+
+    toks = query_tokens(query)
+    lower = pc.utf8_lower(col)
+    mask = None
+    for t in toks:
+        pat = "(^|[^a-z0-9])" + re.escape(t) + "([^a-z0-9]|$)"
+        m = pc.match_substring_regex(lower, pattern=pat)
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    return mask
+
+
+def build_token_bloom(col: "pa.Array | pa.ChunkedArray") -> "tuple[bytes, dict] | None":
+    """Token bloom bytes + footer meta for one string column of one
+    partition table. None when the column is non-string or yields no
+    tokens (an empty filter would prune every probe — unsound)."""
+    toks = column_tokens(col)
+    if toks is None or len(toks) == 0:
+        return None
+    h = stable_hash_strings(toks)
+    bits, meta = _bloom_from_hashes(np.unique(h))
+    meta["tok"] = TOKENIZER_ALGO
+    return bits, meta
+
+
+def build_token_blooms(table: pa.Table, text_bloom_cols) -> "dict[str, tuple[bytes, dict]]":
+    """``{"tok:<col>": (bits, meta)}`` entries ready to merge into the
+    container's ``blooms`` map alongside the value blooms."""
+    out: dict[str, tuple[bytes, dict]] = {}
+    for name in text_bloom_cols:
+        if name not in table.column_names:
+            continue
+        built = build_token_bloom(table.column(name))
+        if built is not None:
+            out[TOKEN_KEY_PREFIX + name] = built
+    return out
+
+
 def bloom_probe_footer(path: str, footer: dict, clauses, verify_crc: bool = False) -> bool:
     """True when the container may hold matches: for every ``==`` / ``in``
     conjunct whose column has a Bloom filter here, at least one wanted value
-    must pass the filter. Filter bytes are RANGED-read (KB on any container
-    size); columns without filters or un-hashable literals never prune."""
+    must pass the filter, and for every ``hastok`` conjunct whose column has
+    a TOKEN bloom, every query token must pass it. Filter bytes are
+    RANGED-read (KB on any container size); columns without filters or
+    un-hashable literals never prune."""
     blooms = footer.get("blooms") or {}
     if not blooms:
         return True
     eq = [(c, op, v) for c, op, v in clauses if op in ("==", "in") and c in blooms]
-    if not eq:
+    tok = [(c, v) for c, op, v in clauses
+           if op == "hastok" and TOKEN_KEY_PREFIX + c in blooms]
+    if not eq and not tok:
         return True
     col_types = {c["name"]: c["type"] for c in footer.get("columns", [])}
     with open(path, "rb") as f:
@@ -202,5 +306,21 @@ def bloom_probe_footer(path: str, footer: dict, clauses, verify_crc: bool = Fals
             if verify_crc and (zlib.crc32(bits) & 0xFFFFFFFF) != ent.get("crc32"):
                 raise ValueError(f"bloom crc mismatch for column {col!r} in {path}")
             if not bool(bloom_may_contain(bits, ent, h).any()):
+                return False
+        for col, val in tok:
+            ent = blooms[TOKEN_KEY_PREFIX + col]
+            if ent.get("tok") != TOKENIZER_ALGO:
+                continue  # other tokenizer version: may-match, never unsound
+            toks = query_tokens(val if isinstance(val, str) else str(val))
+            if not toks:
+                continue
+            # hastok is conjunctive over its tokens: EVERY token must pass
+            # the filter or no row in this container can match
+            h = stable_hash_strings(pa.array(toks, pa.string()))
+            f.seek(int(ent["offset"]))
+            bits = f.read(int(ent["len"]))
+            if verify_crc and (zlib.crc32(bits) & 0xFFFFFFFF) != ent.get("crc32"):
+                raise ValueError(f"token bloom crc mismatch for column {col!r} in {path}")
+            if not bool(bloom_may_contain(bits, ent, h).all()):
                 return False
     return True

@@ -47,9 +47,17 @@ def _parse_where(clause: str) -> tuple[str, str, object]:
                 pass
         return s
 
-    m = re.match(r"^\s*(\w+)\s+(in|between|prefix)\s+(.+)$", clause, re.IGNORECASE)
+    m = re.match(r"^\s*(\w+)\s+(in|between|prefix|hastok)\s+(.+)$", clause, re.IGNORECASE)
     if m:
         col, op, rest = m.group(1), m.group(2).lower(), m.group(3)
+        if op == "hastok":
+            # the whole rest of the clause is the query string (tokens are
+            # conjunctive): --where "text hastok 'spark window'" matches rows
+            # whose text contains BOTH words as whole tokens
+            q = rest.strip()
+            if len(q) >= 2 and q[0] == q[-1] and q[0] in ("'", '"'):
+                q = q[1:-1]
+            return (col, op, q)
         if op == "prefix":
             # unquote like every other op's _val, but stay a string:
             # --where "conv_id prefix 'conv-0'" must match conv-0*, not 'conv-0*
@@ -102,6 +110,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="write a per-container Bloom filter for these int/string "
                         "columns so ==/in point lookups prune containers the "
                         "zone maps can't (high-cardinality keys)")
+    p.add_argument("--text-bloom-cols", nargs="+", default=None, metavar="COL",
+                   help="write a per-container TOKEN Bloom filter for these text "
+                        "columns so 'col hastok words' full-text scans prune "
+                        "containers without decoding them")
 
     p = sub.add_parser(
         "decode",
@@ -345,6 +357,7 @@ def main(argv: list[str] | None = None) -> int:
                 resume=args.resume,
                 cluster_by=args.cluster_by,
                 bloom_cols=args.bloom_cols,
+                text_bloom_cols=args.text_bloom_cols,
             )
             print(json.dumps(summary))
         elif args.cmd == "decode":

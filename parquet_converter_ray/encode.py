@@ -98,6 +98,7 @@ class EncodePartition:
         generation: int = 0,
         bound_cols: "frozenset[str]" = frozenset(),
         bloom_cols: "frozenset[str]" = frozenset(),
+        text_bloom_cols: "frozenset[str]" = frozenset(),
     ):
         self.out_dir = out_dir
         self.codec = codec
@@ -106,6 +107,7 @@ class EncodePartition:
         self.generation = int(generation)
         self.bound_cols = frozenset(bound_cols)  # force zone-map bounds (range-cluster string cols)
         self.bloom_cols = frozenset(bloom_cols)  # per-container Bloom filters (point-lookup pruning)
+        self.text_bloom_cols = frozenset(text_bloom_cols)  # token blooms (hastok full-text pruning)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         pin_arrow_threads(1)
@@ -142,6 +144,10 @@ class EncodePartition:
             from .bloom import build_blooms
 
             blooms = build_blooms(table, self.bloom_cols)
+        if self.text_bloom_cols:
+            from .bloom import build_token_blooms
+
+            blooms = {**(blooms or {}), **build_token_blooms(table, self.text_bloom_cols)}
         payload = pack_container(
             blobs,
             extra={"part_id": part_id, "rows": table.num_rows, "sort_key": sort_cols,
@@ -379,6 +385,7 @@ def encode_dataset(
     shuffle_strategy: str | None = None,
     cluster_by: str | None = None,
     bloom_cols: "Sequence[str] | None" = None,
+    text_bloom_cols: "Sequence[str] | None" = None,
     fault_hook: Callable[[int], None] | None = None,
 ) -> dict:
     """Run the encode pipeline; returns the consolidated manifest summary.
@@ -501,6 +508,26 @@ def encode_dataset(
                 f"bloom_cols {bad} are not integer/string/binary — Bloom filters "
                 "serve equality lookups; range predicates already prune via zone maps"
             )
+    if text_bloom_cols:
+        import pyarrow as _pa
+
+        text_bloom_cols = (
+            [text_bloom_cols] if isinstance(text_bloom_cols, str) else list(text_bloom_cols)
+        )
+        missing_tok = [c for c in text_bloom_cols if c not in schema_names]
+        if missing_tok:
+            raise ValueError(f"text_bloom_cols {missing_tok} not in schema {schema_names}")
+        base = ds.schema().base_schema
+        bad = [
+            c for c in text_bloom_cols
+            if not (_pa.types.is_string(base.field(c).type)
+                    or _pa.types.is_large_string(base.field(c).type))
+        ]
+        if bad:
+            raise ValueError(
+                f"text_bloom_cols {bad} are not text columns — token blooms "
+                "serve the hastok full-text predicate over string columns"
+            )
     run_params = {
         "n_parts": int(n_parts),
         "salt_rows": int(salt_rows),
@@ -517,6 +544,7 @@ def encode_dataset(
         # the probe handles (absent filter = no pruning) — recorded so
         # append reuses it by default
         "bloom_cols": list(bloom_cols or []),
+        "text_bloom_cols": list(text_bloom_cols or []),
     }
     if resume and prior is not None:
         # stores written before range clustering existed have no
@@ -583,7 +611,10 @@ def encode_dataset(
             ds = ds.map_batches(_skip_done, batch_format="pyarrow")
 
     cls = EncodePages if page_shuffle else EncodePartition
-    enc_kw = {} if page_shuffle else {"bloom_cols": frozenset(bloom_cols or ())}
+    enc_kw = {} if page_shuffle else {
+        "bloom_cols": frozenset(bloom_cols or ()),
+        "text_bloom_cols": frozenset(text_bloom_cols or ()),
+    }
     encoder = cls(
         out_dir, codec=codec, sort_key=sort_key, fault_hook=fault_hook,
         bound_cols=frozenset(cluster_by or ()), **enc_kw,
@@ -670,6 +701,10 @@ def compact_dataset(
         bloom_cols=kw.pop(
             "bloom_cols",
             [c for c in (prior.get("bloom_cols") or []) if c not in set(drop_columns or ())],
+        ),
+        text_bloom_cols=kw.pop(
+            "text_bloom_cols",
+            [c for c in (prior.get("text_bloom_cols") or []) if c not in set(drop_columns or ())],
         ),
         **kw,
     )
@@ -803,6 +838,10 @@ def compact_family(
         bloom_cols=kw.pop(
             "bloom_cols",
             [c for c in (first.get("bloom_cols") or []) if c not in set(drop_columns or ())],
+        ),
+        text_bloom_cols=kw.pop(
+            "text_bloom_cols",
+            [c for c in (first.get("text_bloom_cols") or []) if c not in set(drop_columns or ())],
         ),
         **kw,
     )
@@ -987,6 +1026,7 @@ def append_dataset(
         out_dir, codec=codec, sort_key=sort_key, generation=gen,
         bound_cols=frozenset(prior.get("cluster_by") or ()),
         bloom_cols=frozenset(prior.get("bloom_cols") or ()),
+        text_bloom_cols=frozenset(prior.get("text_bloom_cols") or ()),
     )
 
     def _encode_group(g: pa.Table) -> pa.Table:
@@ -1094,6 +1134,7 @@ def upsert_dataset(source, out_dir: str, codec: str | dict = "auto") -> dict:
     sort_key = tuple(prior.get("sort_key") or (conv_col, order_col))
     bound_cols = frozenset(prior.get("cluster_by") or ())
     bloom_cols = frozenset(prior.get("bloom_cols") or ())
+    text_bloom_cols = frozenset(prior.get("text_bloom_cols") or ())
 
     if isinstance(source, (str, list)):
         try:
@@ -1176,6 +1217,7 @@ def upsert_dataset(source, out_dir: str, codec: str | dict = "auto") -> dict:
         enc = EncodePartition(
             out_dir, codec=codec, sort_key=sort_key, generation=0,
             bound_cols=bound_cols, bloom_cols=bloom_cols,
+            text_bloom_cols=text_bloom_cols,
         )
         enc.encode_one(pid, merged, folded=folded)
         base = os.path.join(out_dir, f"part-{pid:05d}.pcc")
@@ -1285,6 +1327,7 @@ def _rewrite_partition(
     victims: list,
     bound_cols: "frozenset[str]" = frozenset(),
     bloom_cols: "frozenset[str]" = frozenset(),
+    text_bloom_cols: "frozenset[str]" = frozenset(),
 ) -> tuple[int, int]:
     """Rewrite ONE partition without the victim conversations (delete worker).
 
@@ -1331,6 +1374,7 @@ def _rewrite_partition(
     enc = EncodePartition(
         out_dir, codec=codec, sort_key=sort_key, generation=0,
         bound_cols=bound_cols, bloom_cols=bloom_cols,
+        text_bloom_cols=text_bloom_cols,
     )
     enc.encode_one(pid, t, folded=folded)
     base = os.path.join(out_dir, f"part-{pid:05d}.pcc")
@@ -1521,6 +1565,7 @@ def delete_conversations(out_dir: str, conv_values: list, codec: str | dict = "a
                     out_dir, conv_col, sort_key, codec, victims,
                     frozenset(prior.get("cluster_by") or ()),
                     frozenset(prior.get("bloom_cols") or ()),
+                    frozenset(prior.get("text_bloom_cols") or ()),
                 )
             )
             continue
@@ -1550,6 +1595,7 @@ def delete_conversations(out_dir: str, conv_values: list, codec: str | dict = "a
                 out_dir, conv_col, sort_key, codec, victims,
                 frozenset(prior.get("cluster_by") or ()),
                 frozenset(prior.get("bloom_cols") or ()),
+                frozenset(prior.get("text_bloom_cols") or ()),
             )
         )
     results = ray.get(futures)

@@ -688,6 +688,61 @@ def documents_prefix_scan(sf_dir: str) -> pa.Table:
     ).sort_by("source")
 
 
+def _documents_token_store(sf_dir: str) -> str:
+    """Documents store with a TOKEN bloom sidecar on ``text``
+    (``text_bloom_cols``): each container's footer carries a Bloom filter
+    over the distinct word tokens of its text rows, so a ``hastok``
+    full-text scan prunes containers that provably lack a query token
+    before any data buffer decodes. Cached per sf."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_CACHE, f"encoded-docs-tokens-{tag}")
+    if not os.path.exists(os.path.join(out, "manifest.jsonl")):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        encode_dataset(
+            f"{sf_dir}/documents.parquet",
+            out,
+            conv_col="doc_id",
+            order_col=None,
+            sort_key=("doc_id",),
+            salt_rows=0,
+            text_bloom_cols=["text"],
+        )
+    return out
+
+
+def documents_text_search(sf_dir: str) -> pa.Table:
+    """Full-text search pushdown: ``text hastok 'spark dup'`` (rows whose
+    text contains BOTH words as whole tokens) over a token-bloomed documents
+    store, aggregated per language. Pruning stack: the per-container TOKEN
+    bloom drops containers missing either token via a ranged footer read;
+    survivors decode (late-materialized) and the exact mask — one RE2
+    token-boundary match per query token — agrees bit-for-bit with the
+    tokenizer. Oracle: conjunctive ``regexp_matches(lower(text), ...)``
+    (DuckDB runs the same RE2 pattern class).
+
+    At 100 TB shape: the probe is one batched Ray job of KB-ranged footer
+    reads; a rare term opens only the containers whose token set may hold
+    it — grep over a corpus without decoding the corpus."""
+    from ..zonemap import scan_store
+
+    ds = scan_store(
+        _documents_token_store(sf_dir),
+        [("text", "hastok", "spark dup")],
+        columns=["lang", "doc_id"],
+    )
+    batches = [b for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not batches:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64())})
+    t = pa.concat_tables(batches)
+    g = t.group_by("lang").aggregate([("doc_id", "count")])
+    return pa.table(
+        {"lang": g["lang"], "n_docs": g["doc_id_count"].cast(pa.int64())}
+    ).sort_by("lang")
+
+
 def store_agg_pushdown(sf_dir: str) -> pa.Table:
     """Aggregate pushdown over the RANGE-CLUSTERED lineitem store: for the
     1996-1998 ship-date band, interior containers are PROVEN fully matching

@@ -41,7 +41,7 @@ from .codecs.util import unwrap_buf
 
 STR_BOUND_LEN = 64  # string zone-map bounds are truncated to this many chars
 
-_OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "between", "prefix")
+_OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "between", "prefix", "hastok")
 
 
 # --- bound helpers -----------------------------------------------------------
@@ -411,6 +411,16 @@ def _normalize(predicate) -> list[tuple[str, str, object]]:
             val = (lo, hi)
         if op == "prefix" and not isinstance(val, str):
             raise ValueError(f"prefix predicate needs a str value, got {type(val)}")
+        if op == "hastok":
+            from .bloom import query_tokens
+
+            if not isinstance(val, str):
+                raise ValueError(f"hastok predicate needs a str value, got {type(val)}")
+            if not query_tokens(val):
+                raise ValueError(
+                    f"hastok value {val!r} tokenizes to nothing "
+                    "(tokens are [a-z0-9]+ runs after lowercasing)"
+                )
         clauses.append((str(col), op, val))
     return clauses
 
@@ -513,6 +523,10 @@ def predicate_mask(table: pa.Table, clauses):
         t = c.type if not isinstance(c, pa.ChunkedArray) else c.type
         if op == "prefix":
             m = pc.starts_with(c, pattern=val)
+        elif op == "hastok":
+            from .bloom import hastok_mask
+
+            m = hastok_mask(c, val)
         elif op == "in":
             m = pc.is_in(c, value_set=pa.array([_pa_scalar(v, t).as_py() for v in val], type=t))
         elif op == "between":
@@ -588,7 +602,7 @@ def dict_probe_path(path: str, clauses, footer: dict | None = None) -> bool:
     one wanted value must appear in the dictionary."""
     from .container import read_footer_file
 
-    eq = [(c, op, v) for c, op, v in clauses if op in ("==", "in", "prefix")]
+    eq = [(c, op, v) for c, op, v in clauses if op in ("==", "in", "prefix", "hastok")]
     if not eq:
         return True
     if footer is None:
@@ -598,7 +612,7 @@ def dict_probe_path(path: str, clauses, footer: dict | None = None) -> bool:
         ent = cols.get(col)
         if ent is None or ent["codec"] != "dict":
             continue
-        wanted = [val] if op in ("==", "prefix") else list(val)
+        wanted = [val] if op in ("==", "prefix", "hastok") else list(val)
         dv = container_dict_values(path, ent)
         if dv is None:
             continue
@@ -606,6 +620,20 @@ def dict_probe_path(path: str, clauses, footer: dict | None = None) -> bool:
             if isinstance(dv, np.ndarray):
                 continue  # numeric dictionary: prefix can't prune
             if not pc.any(pc.starts_with(dv, pattern=val)).as_py():
+                return False
+            continue
+        if op == "hastok":
+            if isinstance(dv, np.ndarray) or not (
+                pa.types.is_string(dv.type) or pa.types.is_large_string(dv.type)
+            ):
+                continue  # non-text dictionary: no tokens
+            # one value per row, so the container may match iff SOME
+            # dictionary value contains every query token — an EXACT check
+            # over distinct values, stronger than the token bloom
+            from .bloom import hastok_mask
+
+            m = hastok_mask(dv, val)
+            if m is not None and not pc.any(pc.fill_null(m, False)).as_py():
                 return False
             continue
         if isinstance(dv, np.ndarray):
@@ -936,7 +964,7 @@ def _probe_applies(dnf) -> bool:
     """The footer probe can only rule a container out on membership-style
     ops; every branch needs one or the probe proves nothing."""
     return all(
-        any(op in ("==", "in", "prefix") for _, op, _ in br) for br in dnf
+        any(op in ("==", "in", "prefix", "hastok") for _, op, _ in br) for br in dnf
     )
 
 
@@ -1026,6 +1054,10 @@ def scan_store(
             raise ValueError(f"predicate column {col!r} not in store schema {names}")
         if op == "prefix" and not _is_strlike(types[col]):
             raise ValueError(f"prefix predicate needs a string column; {col!r} is {types[col]}")
+        if op == "hastok" and not (
+            pa.types.is_string(types[col]) or pa.types.is_large_string(types[col])
+        ):
+            raise ValueError(f"hastok predicate needs a text column; {col!r} is {types[col]}")
     out_cols = None
     read_cols = None
     if columns is not None:

@@ -122,6 +122,7 @@ SQL_CHECKED = [
     "name_clusters",
     "store_family_scan",
     "store_family_agg",
+    "documents_text_search",
 ]
 
 
