@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # long-green r4 rows rotated just below slot 50.
         # --- round-5 new queries ---
         "documents_text_search": transcripts.documents_text_search,
+        "documents_phrase_search": transcripts.documents_phrase_search,
         "store_upsert_stats": transcripts.store_upsert_stats,
         "store_snapshot_travel": transcripts.store_snapshot_travel,
         "store_three_way_join": transcripts.store_three_way_join,
@@ -512,6 +513,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')
               AND regexp_matches(lower(text), '(^|[^a-z0-9])dup([^a-z0-9]|$)')
+            GROUP BY lang ORDER BY lang
+        """,
+        "documents_phrase_search": """
+            SELECT lang, count(*)::BIGINT AS n_docs
+            FROM documents
+            WHERE regexp_matches(lower(text),
+                                 '(^|[^a-z0-9])spark[^a-z0-9]+window([^a-z0-9]|$)')
             GROUP BY lang ORDER BY lang
         """,
         "store_upsert_stats": """

@@ -248,6 +248,25 @@ def hastok_mask(col: "pa.Array | pa.ChunkedArray", query: str):
     return mask
 
 
+def hasphrase_mask(col: "pa.Array | pa.ChunkedArray", query: str):
+    """Exact per-row mask for the ``hasphrase`` predicate: True when the
+    row's text contains the query tokens CONSECUTIVELY (adjacent tokens, any
+    separators between them). One RE2 match over the lowercased column:
+    ``(^|[^a-z0-9])t1[^a-z0-9]+t2...([^a-z0-9]|$)``. A one-token phrase is
+    exactly ``hastok``. Nulls come back null."""
+    import re
+
+    import pyarrow.compute as pc
+
+    toks = query_tokens(query)
+    if not toks:
+        return None
+    pat = ("(^|[^a-z0-9])"
+           + "[^a-z0-9]+".join(re.escape(t) for t in toks)
+           + "([^a-z0-9]|$)")
+    return pc.match_substring_regex(pc.utf8_lower(col), pattern=pat)
+
+
 def build_token_bloom(col: "pa.Array | pa.ChunkedArray") -> "tuple[bytes, dict] | None":
     """Token bloom bytes + footer meta for one string column of one
     partition table. None when the column is non-string or yields no
@@ -277,16 +296,19 @@ def build_token_blooms(table: pa.Table, text_bloom_cols) -> "dict[str, tuple[byt
 def bloom_probe_footer(path: str, footer: dict, clauses, verify_crc: bool = False) -> bool:
     """True when the container may hold matches: for every ``==`` / ``in``
     conjunct whose column has a Bloom filter here, at least one wanted value
-    must pass the filter, and for every ``hastok`` conjunct whose column has
-    a TOKEN bloom, every query token must pass it. Filter bytes are
+    must pass the filter, and for every ``hastok``/``hasphrase`` conjunct
+    whose column has a TOKEN bloom, every query token must pass it. Filter bytes are
     RANGED-read (KB on any container size); columns without filters or
     un-hashable literals never prune."""
     blooms = footer.get("blooms") or {}
     if not blooms:
         return True
     eq = [(c, op, v) for c, op, v in clauses if op in ("==", "in") and c in blooms]
+    # hasphrase prunes on the SAME token blooms: a row containing the
+    # phrase necessarily contains every phrase token, so "some phrase
+    # token provably absent" rules the container out
     tok = [(c, v) for c, op, v in clauses
-           if op == "hastok" and TOKEN_KEY_PREFIX + c in blooms]
+           if op in ("hastok", "hasphrase") and TOKEN_KEY_PREFIX + c in blooms]
     if not eq and not tok:
         return True
     col_types = {c["name"]: c["type"] for c in footer.get("columns", [])}

@@ -47,13 +47,14 @@ def _parse_where(clause: str) -> tuple[str, str, object]:
                 pass
         return s
 
-    m = re.match(r"^\s*(\w+)\s+(in|between|prefix|hastok)\s+(.+)$", clause, re.IGNORECASE)
+    m = re.match(r"^\s*(\w+)\s+(in|between|prefix|hastok|hasphrase)\s+(.+)$",
+                 clause, re.IGNORECASE)
     if m:
         col, op, rest = m.group(1), m.group(2).lower(), m.group(3)
-        if op == "hastok":
-            # the whole rest of the clause is the query string (tokens are
-            # conjunctive): --where "text hastok 'spark window'" matches rows
-            # whose text contains BOTH words as whole tokens
+        if op in ("hastok", "hasphrase"):
+            # the whole rest of the clause is the query string: hastok is
+            # conjunctive over tokens anywhere in the row ("text hastok
+            # 'spark window'"); hasphrase requires them CONSECUTIVE
             q = rest.strip()
             if len(q) >= 2 and q[0] == q[-1] and q[0] in ("'", '"'):
                 q = q[1:-1]

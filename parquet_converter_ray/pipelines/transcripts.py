@@ -743,6 +743,38 @@ def documents_text_search(sf_dir: str) -> pa.Table:
     ).sort_by("lang")
 
 
+def documents_phrase_search(sf_dir: str) -> pa.Table:
+    """Phrase-search pushdown: ``text hasphrase 'spark window'`` (rows whose
+    text contains the two words CONSECUTIVELY, in order) over the same
+    token-bloomed documents store as ``documents_text_search``. Pruning
+    reuses the token blooms unchanged — a row holding the phrase holds every
+    phrase token, so a container provably missing either token is skipped by
+    the same ranged footer probe; survivors decode late-materialized and the
+    exact mask is ONE RE2 pattern ``(^|[^a-z0-9])spark[^a-z0-9]+window(...)``
+    per row. Oracle: the identical regex class via DuckDB
+    ``regexp_matches(lower(text), ...)``.
+
+    At 100 TB shape: same cost profile as ``hastok`` — KB footer probes pick
+    the candidate containers; the extra phrase constraint only tightens the
+    row mask, never widens the read set."""
+    from ..zonemap import scan_store
+
+    ds = scan_store(
+        _documents_token_store(sf_dir),
+        [("text", "hasphrase", "spark window")],
+        columns=["lang", "doc_id"],
+    )
+    batches = [b for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not batches:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64())})
+    t = pa.concat_tables(batches)
+    g = t.group_by("lang").aggregate([("doc_id", "count")])
+    return pa.table(
+        {"lang": g["lang"], "n_docs": g["doc_id_count"].cast(pa.int64())}
+    ).sort_by("lang")
+
+
 def store_agg_pushdown(sf_dir: str) -> pa.Table:
     """Aggregate pushdown over the RANGE-CLUSTERED lineitem store: for the
     1996-1998 ship-date band, interior containers are PROVEN fully matching

@@ -41,7 +41,8 @@ from .codecs.util import unwrap_buf
 
 STR_BOUND_LEN = 64  # string zone-map bounds are truncated to this many chars
 
-_OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "between", "prefix", "hastok")
+_OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "between", "prefix", "hastok",
+        "hasphrase")
 
 
 # --- bound helpers -----------------------------------------------------------
@@ -411,14 +412,14 @@ def _normalize(predicate) -> list[tuple[str, str, object]]:
             val = (lo, hi)
         if op == "prefix" and not isinstance(val, str):
             raise ValueError(f"prefix predicate needs a str value, got {type(val)}")
-        if op == "hastok":
+        if op in ("hastok", "hasphrase"):
             from .bloom import query_tokens
 
             if not isinstance(val, str):
-                raise ValueError(f"hastok predicate needs a str value, got {type(val)}")
+                raise ValueError(f"{op} predicate needs a str value, got {type(val)}")
             if not query_tokens(val):
                 raise ValueError(
-                    f"hastok value {val!r} tokenizes to nothing "
+                    f"{op} value {val!r} tokenizes to nothing "
                     "(tokens are [a-z0-9]+ runs after lowercasing)"
                 )
         clauses.append((str(col), op, val))
@@ -527,6 +528,10 @@ def predicate_mask(table: pa.Table, clauses):
             from .bloom import hastok_mask
 
             m = hastok_mask(c, val)
+        elif op == "hasphrase":
+            from .bloom import hasphrase_mask
+
+            m = hasphrase_mask(c, val)
         elif op == "in":
             m = pc.is_in(c, value_set=pa.array([_pa_scalar(v, t).as_py() for v in val], type=t))
         elif op == "between":
@@ -602,7 +607,8 @@ def dict_probe_path(path: str, clauses, footer: dict | None = None) -> bool:
     one wanted value must appear in the dictionary."""
     from .container import read_footer_file
 
-    eq = [(c, op, v) for c, op, v in clauses if op in ("==", "in", "prefix", "hastok")]
+    eq = [(c, op, v) for c, op, v in clauses
+          if op in ("==", "in", "prefix", "hastok", "hasphrase")]
     if not eq:
         return True
     if footer is None:
@@ -612,7 +618,7 @@ def dict_probe_path(path: str, clauses, footer: dict | None = None) -> bool:
         ent = cols.get(col)
         if ent is None or ent["codec"] != "dict":
             continue
-        wanted = [val] if op in ("==", "prefix", "hastok") else list(val)
+        wanted = [val] if op in ("==", "prefix", "hastok", "hasphrase") else list(val)
         dv = container_dict_values(path, ent)
         if dv is None:
             continue
@@ -622,17 +628,17 @@ def dict_probe_path(path: str, clauses, footer: dict | None = None) -> bool:
             if not pc.any(pc.starts_with(dv, pattern=val)).as_py():
                 return False
             continue
-        if op == "hastok":
+        if op in ("hastok", "hasphrase"):
             if isinstance(dv, np.ndarray) or not (
                 pa.types.is_string(dv.type) or pa.types.is_large_string(dv.type)
             ):
                 continue  # non-text dictionary: no tokens
             # one value per row, so the container may match iff SOME
-            # dictionary value contains every query token — an EXACT check
-            # over distinct values, stronger than the token bloom
-            from .bloom import hastok_mask
+            # dictionary value satisfies the text predicate — an EXACT
+            # check over distinct values, stronger than the token bloom
+            from .bloom import hasphrase_mask, hastok_mask
 
-            m = hastok_mask(dv, val)
+            m = (hastok_mask if op == "hastok" else hasphrase_mask)(dv, val)
             if m is not None and not pc.any(pc.fill_null(m, False)).as_py():
                 return False
             continue
@@ -964,7 +970,8 @@ def _probe_applies(dnf) -> bool:
     """The footer probe can only rule a container out on membership-style
     ops; every branch needs one or the probe proves nothing."""
     return all(
-        any(op in ("==", "in", "prefix", "hastok") for _, op, _ in br) for br in dnf
+        any(op in ("==", "in", "prefix", "hastok", "hasphrase") for _, op, _ in br)
+        for br in dnf
     )
 
 
@@ -1054,10 +1061,10 @@ def scan_store(
             raise ValueError(f"predicate column {col!r} not in store schema {names}")
         if op == "prefix" and not _is_strlike(types[col]):
             raise ValueError(f"prefix predicate needs a string column; {col!r} is {types[col]}")
-        if op == "hastok" and not (
+        if op in ("hastok", "hasphrase") and not (
             pa.types.is_string(types[col]) or pa.types.is_large_string(types[col])
         ):
-            raise ValueError(f"hastok predicate needs a text column; {col!r} is {types[col]}")
+            raise ValueError(f"{op} predicate needs a text column; {col!r} is {types[col]}")
     out_cols = None
     read_cols = None
     if columns is not None:

@@ -123,6 +123,7 @@ SQL_CHECKED = [
     "store_family_scan",
     "store_family_agg",
     "documents_text_search",
+    "documents_phrase_search",
 ]
 
 

@@ -1,6 +1,7 @@
-"""Token blooms + the ``hastok`` full-text predicate: tokenizer/filter units,
-exact-mask semantics vs a row-wise reference, store-scan pruning over planted
-rare tokens, lifecycle carry-through (append/delete), CLI parsing."""
+"""Token blooms + the ``hastok``/``hasphrase`` full-text predicates:
+tokenizer/filter units, exact-mask semantics vs row-wise references,
+store-scan pruning over planted rare tokens (phrases reuse the same token
+blooms), lifecycle carry-through (append/delete), CLI parsing."""
 
 from __future__ import annotations
 
@@ -108,6 +109,52 @@ def test_hastok_mask_matches_rowwise_reference(query):
     m = hastok_mask(pa.array(vals, pa.string()), query)
     got = pc.fill_null(m, False).to_pylist()
     assert got == _ref_hastok(vals, query)
+
+
+def _ref_hasphrase(vals, query):
+    toks = query_tokens(query)
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(False)
+            continue
+        row = [t for t in re.split("[^a-z0-9]+", v.lower()) if t]
+        n = len(toks)
+        out.append(any(row[i:i + n] == toks for i in range(len(row) - n + 1)))
+    return out
+
+
+@pytest.mark.parametrize(
+    "query", ["spark", "spark dup", "spark window dup", "Window, SPARK!"]
+)
+def test_hasphrase_mask_matches_rowwise_reference(query):
+    vals = [
+        "spark window dup",
+        "the spark-dup pipeline",      # separator between tokens: still adjacent
+        "sparkdup fused",              # fused: one token, not the phrase
+        "spark  window",
+        "DUP then Spark",              # order matters for phrases
+        "windowspark dup",
+        "spark then window dup",       # intervening token breaks adjacency
+        None,
+        "",
+        "spark0 dup",                  # digits extend the token
+        "a spark window dup z",
+    ]
+    from parquet_converter_ray.bloom import hasphrase_mask
+
+    m = hasphrase_mask(pa.array(vals, pa.string()), query)
+    got = pc.fill_null(m, False).to_pylist()
+    assert got == _ref_hasphrase(vals, query)
+
+
+def test_hasphrase_one_token_equals_hastok():
+    from parquet_converter_ray.bloom import hasphrase_mask
+
+    vals = pa.array(["spark window", "no match", None, "SPARK!", "sparkle"])
+    ph = pc.fill_null(hasphrase_mask(vals, "spark"), False).to_pylist()
+    tk = pc.fill_null(hastok_mask(vals, "spark"), False).to_pylist()
+    assert ph == tk
 
 
 # --- store scan: pruning over planted rare tokens ------------------------------------
@@ -218,11 +265,53 @@ def test_hastok_composes_with_other_predicates(token_store, docs_table):
     assert _collect(ds).num_rows == docs_table.filter(mask).num_rows
 
 
+def test_scan_hasphrase_prunes_and_orders(token_store, docs_table):
+    from parquet_converter_ray.bloom import hasphrase_mask
+
+    # the planted text is "... needleword special ..." — consecutive, in order
+    ds, plan = scan_store(
+        token_store,
+        [("text", "hasphrase", "needleword special")],
+        columns=["doc_id", "grp"],
+        return_plan=True,
+    )
+    got = _collect(ds).sort_by("doc_id")
+    exp = (
+        docs_table.filter(
+            pc.fill_null(hasphrase_mask(docs_table["text"], "needleword special"), False)
+        )
+        .select(["doc_id", "grp"])
+        .sort_by("doc_id")
+    )
+    assert got.equals(exp)
+    assert got.num_rows == N_DOCS // 8
+    # token blooms prune the 7 containers that lack the phrase tokens
+    assert plan["pruned_bloom"] >= 1
+    assert plan["scanned"] < plan["parts_total"]
+    # reversed order: same tokens (bloom can't prune the grp-3 container)
+    # but the exact mask yields zero rows — order is enforced row-wise
+    ds, plan = scan_store(token_store, [("text", "hasphrase", "special needleword")],
+                          columns=["doc_id"], return_plan=True)
+    assert _collect(ds).num_rows == 0
+    assert plan["scanned"] >= 1
+    # a phrase with one absent token prunes EVERY container via the bloom
+    ds, plan = scan_store(token_store, [("text", "hasphrase", "needleword zzneverq")],
+                          columns=["doc_id"], return_plan=True)
+    assert _collect(ds).num_rows == 0
+    assert plan["pruned_bloom"] == plan["parts_total"]
+
+
 def test_hastok_validation(token_store):
     with pytest.raises(ValueError, match="text column"):
         _collect(scan_store(token_store, [("doc_id", "hastok", "5")], columns=["doc_id"]))
     with pytest.raises(ValueError, match="tokenizes to nothing"):
         _collect(scan_store(token_store, [("text", "hastok", "!!!")], columns=["doc_id"]))
+    with pytest.raises(ValueError, match="text column"):
+        _collect(scan_store(token_store, [("doc_id", "hasphrase", "5")],
+                            columns=["doc_id"]))
+    with pytest.raises(ValueError, match="tokenizes to nothing"):
+        _collect(scan_store(token_store, [("text", "hasphrase", "...")],
+                            columns=["doc_id"]))
 
 
 # --- lifecycle carry-through ---------------------------------------------------------
@@ -273,6 +362,8 @@ def test_parse_where_hastok():
 
     assert _parse_where("text hastok 'spark window'") == ("text", "hastok", "spark window")
     assert _parse_where("text hastok needle") == ("text", "hastok", "needle")
+    assert _parse_where("text hasphrase 'spark window'") == (
+        "text", "hasphrase", "spark window")
 
 
 def test_cli_scan_hastok(ray_session, token_store, capsys):
