@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-5 new queries ---
         "documents_text_search": transcripts.documents_text_search,
         "documents_phrase_search": transcripts.documents_phrase_search,
+        "rebucket_join": transcripts.rebucket_join,
         "store_upsert_stats": transcripts.store_upsert_stats,
         "store_snapshot_travel": transcripts.store_snapshot_travel,
         "store_three_way_join": transcripts.store_three_way_join,
@@ -521,6 +522,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(lower(text),
                                  '(^|[^a-z0-9])spark[^a-z0-9]+window([^a-z0-9]|$)')
             GROUP BY lang ORDER BY lang
+        """,
+        "rebucket_join": """
+            SELECT o_orderstatus, count(*)::BIGINT AS n_lineitems,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "store_upsert_stats": """
             WITH merged AS (

@@ -184,6 +184,23 @@ def main(argv: list[str] | None = None) -> int:
                    help="schema evolution: add a column (typed nulls, or a backfill constant)")
 
     p = sub.add_parser(
+        "rebucket",
+        help="re-route a store into a bucketed-JOIN-able layout: hash-"
+             "partitioned on --on, unsalted, n_parts matched to --like "
+             "(or --n-parts) so `join` accepts the pair",
+    )
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--on", default=None,
+                   help="new partition column = the join key (default: keep "
+                        "the store's current partition column)")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--like", default=None,
+                   help="store directory whose n_parts to match (must itself "
+                        "be hash-partitioned and unsalted)")
+    g.add_argument("--n-parts", type=int, default=None)
+
+    p = sub.add_parser(
         "lookup",
         help="fetch ONE conversation by key (decodes only its container(s)); "
              "several directories look up across a store FAMILY",
@@ -438,6 +455,14 @@ def main(argv: list[str] | None = None) -> int:
                     target_part_bytes=args.target_mb << 20,
                     drop_columns=args.drop_columns, add_columns=add, **kw,
                 )
+            print(json.dumps(summary))
+        elif args.cmd == "rebucket":
+            from .encode import rebucket_dataset
+
+            summary = rebucket_dataset(
+                args.input, args.output,
+                on=args.on, like=args.like, n_parts=args.n_parts,
+            )
             print(json.dumps(summary))
         elif args.cmd == "lookup":
             from .decode import lookup_conversation, lookup_conversation_multi

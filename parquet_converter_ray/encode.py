@@ -847,6 +847,75 @@ def compact_family(
     )
 
 
+def rebucket_dataset(
+    in_dir: str,
+    out_dir: str,
+    *,
+    on: str | None = None,
+    like: str | None = None,
+    n_parts: int | None = None,
+    **kw,
+) -> dict:
+    """Re-route an encoded store into a bucketed-JOIN-able layout: hash-
+    partitioned on ``on`` (default: the store's current partition column),
+    UNSALTED and UN-CLUSTERED, with the target partition count taken from
+    ``like``'s run record — so the result provably co-buckets with that
+    store for ``storejoin.store_join`` — or given directly as ``n_parts``.
+
+    This is the repair path for the bucketed join's loud refusals: two
+    stores encoded at different times with mismatched n_parts (or one
+    salted / range-clustered / keyed on another column) cannot co-locate
+    keys, and ``store_join`` refuses them. Rebucketing pays the partition
+    exchange ONCE — the same price ingest would have paid — after which
+    every join against the ``like`` store is map-only over matched buckets.
+    All other layout parameters (order column, within-partition sort, codec
+    choice, Bloom sidecars) carry through from the source store exactly as
+    in ``compact_dataset``, which this routes through.
+
+    When matching ``like``, the TARGET side must itself satisfy the
+    bucketed-join layout (current hash version, hash mode, unsalted) —
+    matching a non-joinable store's n_parts buys nothing, so that is
+    refused with the real reason instead of succeeding uselessly."""
+    from .partition import HASH_VERSION
+
+    if (like is None) == (n_parts is None):
+        raise ValueError("rebucket needs exactly one of like= / n_parts=")
+    prior = mf.load_run_record(in_dir)
+    if prior is None:
+        raise ValueError(f"no run record in {in_dir} — not an encoded store?")
+    if like is not None:
+        target = mf.load_run_record(like)
+        if target is None:
+            raise ValueError(f"no run record in {like} — not an encoded store?")
+        if target.get("hash_version") != HASH_VERSION:
+            raise ValueError(
+                f"{like}: hash_version {target.get('hash_version')!r} != current "
+                f"{HASH_VERSION!r} — rebucketing against it cannot co-locate keys"
+            )
+        if (target.get("partition_mode") or "hash") != "hash":
+            raise ValueError(
+                f"{like}: partition_mode {target.get('partition_mode')!r} — a "
+                "range-clustered store routes by value range; rebucket against "
+                "a hash-partitioned store (or pass n_parts= directly)"
+            )
+        if int(target.get("salt_rows") or 0) != 0:
+            raise ValueError(
+                f"{like}: salt_rows={target.get('salt_rows')} — a salted store "
+                "splits keys across chunk partitions and never bucketed-joins"
+            )
+        n_parts = int(target["n_parts"])
+    return compact_dataset(
+        in_dir,
+        out_dir,
+        n_parts=int(n_parts),
+        conv_col=kw.pop("conv_col", on or prior["conv_col"]),
+        order_col=kw.pop("order_col", prior.get("order_col")),
+        salt_rows=0,
+        cluster_by=None,
+        **kw,
+    )
+
+
 def _row_keys(conv, order) -> "pa.ChunkedArray":
     """(conv, order) composed into one binary key, vectorized (0x1f separator
     — cannot occur inside the decimal order rendering)."""

@@ -526,6 +526,89 @@ def store_bucket_join(sf_dir: str) -> pa.Table:
     )
 
 
+def rebucket_join(sf_dir: str) -> pa.Table:
+    """Join-layout REPAIR: a lineitem store ingested with the wrong layout
+    for an order join (hash-keyed on l_suppkey, 10 partitions) cannot
+    bucketed-join the 16-partition orders store — ``store_join`` refuses the
+    pair loudly. ``encode.rebucket_dataset(..., on="l_orderkey",
+    like=orders_store)`` pays the partition exchange ONCE to re-route it
+    (unsalted, n_parts matched from the target's run record), after which
+    the join is map-only over matched buckets, zero exchange — the
+    Hive/Spark "repair the bucketing, then bucket-join forever" lifecycle.
+    Aggregates joined revenue per order status with per-batch partials
+    (bounded 3-key space finishes on the driver). Oracle: plain SQL
+    join + GROUP BY."""
+    import pandas as pd
+
+    from ..encode import rebucket_dataset
+    from ..storejoin import store_join
+    from ._util import finish_on_driver, sql_round
+
+    o_dir, _ = _bucketed_pair(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wrong = os.path.join(_CACHE, f"encoded-lineitem-suppkeyed-{tag}")
+    fixed = os.path.join(_CACHE, f"encoded-lineitem-rebucketed-{tag}")
+    if not os.path.exists(os.path.join(wrong, "manifest.jsonl")):
+        import shutil
+
+        shutil.rmtree(wrong, ignore_errors=True)
+        encode_dataset(
+            f"{sf_dir}/lineitem.parquet",
+            wrong,
+            n_parts=10,
+            conv_col="l_suppkey",
+            order_col="l_orderkey",
+            sort_key=("l_suppkey", "l_orderkey"),
+            salt_rows=0,
+        )
+    if not os.path.exists(os.path.join(fixed, "manifest.jsonl")):
+        import shutil
+
+        shutil.rmtree(fixed, ignore_errors=True)
+        rebucket_dataset(wrong, fixed, on="l_orderkey", like=o_dir)
+
+    ds = store_join(
+        o_dir,
+        fixed,
+        left_columns=["o_orderkey", "o_orderstatus"],
+        right_columns=["l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return pd.DataFrame({"o_orderstatus": [], "n_lineitems": [], "revenue": []})
+        rev = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        batch = batch.append_column("rev", rev)
+        g = batch.group_by("o_orderstatus").aggregate(
+            [("rev", "count"), ("rev", "sum")]
+        )
+        return pd.DataFrame(
+            {
+                "o_orderstatus": g["o_orderstatus"].to_pylist(),
+                "n_lineitems": g["rev_count"].to_numpy(zero_copy_only=False),
+                "revenue": g["rev_sum"].to_numpy(zero_copy_only=False),
+            }
+        )
+
+    tot = finish_on_driver(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderstatus"],
+        ["n_lineitems", "revenue"],
+    ).sort_values("o_orderstatus")
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(tot["o_orderstatus"], pa.string()),
+            "n_lineitems": pa.array(tot["n_lineitems"].astype("int64"), pa.int64()),
+            "revenue": pa.array(sql_round(tot["revenue"].to_numpy(), 2), pa.float64()),
+        }
+    )
+
+
 def salted_dim_join(sf_dir: str) -> pa.Table:
     """Dimension join against a SALTED fact store — the flagship-store
     enrichment pattern: the fact side (hash+salt routed, the layout the

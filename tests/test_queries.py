@@ -124,6 +124,7 @@ SQL_CHECKED = [
     "store_family_agg",
     "documents_text_search",
     "documents_phrase_search",
+    "rebucket_join",
 ]
 
 

@@ -153,6 +153,93 @@ def test_rebucket_restores_joinability(stores, tmp_path):
     assert round(float(pc.sum(t["l_extendedprice"]).as_py()), 2) == float(s)
 
 
+def test_rebucket_dataset_full_repair(stores, tmp_path):
+    """rebucket_dataset repairs EVERY layout mismatch at once: a store
+    hash-keyed on the WRONG column with the wrong n_parts re-routes onto
+    the join key with n_parts matched from the like= store's run record,
+    and then joins shuffle-free with results equal to DuckDB."""
+    from parquet_converter_ray.encode import encode_dataset, rebucket_dataset
+
+    o_dir, _ = stores
+    wrong = str(tmp_path / "suppkeyed")
+    encode_dataset(f"{SF_DIR}/lineitem.parquet", wrong, n_parts=5,
+                   conv_col="l_suppkey", order_col="l_orderkey",
+                   sort_key=("l_suppkey", "l_orderkey"), salt_rows=0)
+    with pytest.raises(ValueError, match="n_parts mismatch|partitioned on"):
+        store_join(o_dir, wrong, right_on="l_orderkey")
+    fixed = str(tmp_path / "orderkeyed")
+    rebucket_dataset(wrong, fixed, on="l_orderkey", like=o_dir)
+    t = _collect(store_join(o_dir, fixed,
+                            left_columns=["o_orderkey"],
+                            right_columns=["l_extendedprice"]))
+    n, s = duckdb.sql(
+        f"""SELECT count(*), round(sum(l_extendedprice), 2)
+            FROM '{SF_DIR}/orders.parquet' JOIN '{SF_DIR}/lineitem.parquet'
+            ON o_orderkey = l_orderkey"""
+    ).fetchone()
+    assert t.num_rows == n
+    assert round(float(pc.sum(t["l_extendedprice"]).as_py()), 2) == float(s)
+    # the rebucketed store still holds the source rows bit-for-bit; the
+    # synth lineitem's (orderkey, linenumber) is NOT unique, so order-
+    # insensitive whole-row compare: sort both sides by every column
+    from parquet_converter_ray.decode import decode_dataset
+
+    a = _collect(decode_dataset(wrong))
+    key = [(c, "ascending") for c in sorted(a.column_names)]
+    a = a.select(sorted(a.column_names)).sort_by(key)
+    b = _collect(decode_dataset(fixed)).select(sorted(a.column_names)).sort_by(key)
+    assert a.equals(b)
+
+
+def test_rebucket_refusals(stores, tmp_path):
+    from parquet_converter_ray.encode import encode_dataset, rebucket_dataset
+
+    o_dir, l_dir = stores
+    with pytest.raises(ValueError, match="exactly one of"):
+        rebucket_dataset(l_dir, str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="exactly one of"):
+        rebucket_dataset(l_dir, str(tmp_path / "x"), like=o_dir, n_parts=8)
+    # a salted like= target can never bucket-join: refuse with the reason
+    salted = str(tmp_path / "salted")
+    encode_dataset(f"{SF_DIR}/orders.parquet", salted, n_parts=4,
+                   conv_col="o_orderkey", order_col="o_custkey",
+                   sort_key=("o_orderkey",), salt_rows=50)
+    with pytest.raises(ValueError, match="salt_rows"):
+        rebucket_dataset(l_dir, str(tmp_path / "x"), like=salted)
+    # a range-clustered like= target routes by value range, not key hash
+    clustered = str(tmp_path / "clustered")
+    encode_dataset(f"{SF_DIR}/orders.parquet", clustered, n_parts=4,
+                   conv_col="o_orderkey", order_col="o_custkey",
+                   sort_key=("o_orderkey",), salt_rows=0,
+                   cluster_by="o_totalprice")
+    with pytest.raises(ValueError, match="range-clustered"):
+        rebucket_dataset(l_dir, str(tmp_path / "x"), like=clustered)
+
+
+def test_cli_rebucket(stores, tmp_path, capsys):
+    import json
+
+    from parquet_converter_ray.cli import main
+
+    o_dir, _ = stores
+    wrong = str(tmp_path / "wrongparts")
+    encode_dataset(f"{SF_DIR}/lineitem.parquet", wrong, n_parts=3,
+                   conv_col="l_orderkey", order_col="l_linenumber",
+                   sort_key=("l_orderkey", "l_linenumber"), salt_rows=0)
+    fixed = str(tmp_path / "fixedparts")
+    rc = main(["rebucket", wrong, fixed, "--like", o_dir])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"] > 0
+    t = _collect(store_join(o_dir, fixed,
+                            left_columns=["o_orderkey"],
+                            right_columns=["l_quantity"]))
+    n = duckdb.sql(
+        f"""SELECT count(*) FROM '{SF_DIR}/orders.parquet'
+            JOIN '{SF_DIR}/lineitem.parquet' ON o_orderkey = l_orderkey"""
+    ).fetchone()[0]
+    assert t.num_rows == n
+
+
 def test_store_join_dim_salted_fact(ray_session, tmp_path):
     """Dimension join against a SALTED fact store: dim rows replicate to all
     salt-chunk partitions, fact containers never move; inner and left match
