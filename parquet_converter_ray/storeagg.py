@@ -13,7 +13,11 @@ from manifest zone maps alone (JSON already on hand, no file opens):
 * **scanned** — everything else streams through the normal pruned decode
   (``zonemap._ScanDecoder``: sorted-lead ranges, page pruning, late
   materialization) and folds per-batch partials; only the predicate and
-  aggregated columns are ever decoded.
+  aggregated columns are ever decoded. Before that decode, membership-style
+  predicates (==/in/prefix/hastok/hasphrase on every DNF branch) get the
+  same FOOTER-PROBE level ``scan_store`` runs — one Ray job of KB-ranged
+  dictionary + Bloom reads over the remainder — so a rare-token or point
+  aggregate prunes containers the min/max stats never could.
 
 On a range-clustered store a band aggregate thus opens ONLY the (at most
 two) boundary containers — interior containers are proven fully matching
@@ -52,9 +56,11 @@ from .zonemap import (
     _int_physical,
     _normalize_dnf,
     _prefix_upper,
+    _probe_applies,
     _ScanDecoder,
     _store_schema,
     exact_int_sum,
+    probe_verdicts,
     record_may_match,
 )
 
@@ -283,6 +289,7 @@ def store_agg(
     acc: dict = {}
     plan = {"parts_total": len(recs), "pruned": 0, "meta_answered": 0, "scanned": 0}
     scan_paths = _plan_meta(out_dir, recs, aggs, dnf, acc, plan)
+    scan_paths = _probe_scan_paths(scan_paths, dnf, plan)
     if scan_paths:
         partials = scan_agg_partials(scan_paths, aggs, schema, dnf, clauses,
                                      verify_crc)
@@ -292,6 +299,25 @@ def store_agg(
         if return_plan
         else _finalize_agg(aggs, acc, schema)
     )
+
+
+def _probe_scan_paths(scan_paths: list[str], dnf, plan: dict) -> list[str]:
+    """Footer-probe level for aggregates — the same dictionary + Bloom
+    container pruning ``scan_store`` runs, applied to the zone-map-undecided
+    remainder before it decodes: a rare-token ``hastok`` or a point ``==``
+    on a bloom'd key answers an aggregate after KB-ranged footer reads
+    instead of decoding every container the min/max stats can't rule out.
+    One Ray job over ALL candidate paths (family callers pass every
+    member's remainder at once). Only sound-to-prune membership ops apply
+    (``_probe_applies``); comparison-only predicates pass through."""
+    if not scan_paths or not dnf or not _probe_applies(dnf):
+        return scan_paths
+    verdicts = probe_verdicts(scan_paths, dnf)
+    plan["pruned_dict"] = sum(1 for v in verdicts.values() if v == "dict")
+    plan["pruned_bloom"] = sum(1 for v in verdicts.values() if v == "bloom")
+    kept = [p for p in scan_paths if verdicts.get(p) == "keep"]
+    plan["scanned"] = len(kept)
+    return kept
 
 
 def _plan_meta(out_dir: str, recs, aggs, dnf, acc: dict, plan: dict) -> list[str]:
@@ -463,7 +489,9 @@ def store_agg_multi(
             merged[k] += plan[k]
         merged["stores"][d] = plan
 
-    # ONE partials job over every member's undecidable containers
+    # ONE footer-probe job over every member's remainder (dict + Bloom
+    # pruning, same as store_agg), then ONE partials job over survivors
+    all_paths = _probe_scan_paths(all_paths, dnf, merged)
     if all_paths:
         partials = scan_agg_partials(all_paths, aggs_n, schema0, dnf, clauses,
                                      verify_crc)

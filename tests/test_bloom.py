@@ -130,6 +130,29 @@ def test_scan_prunes_on_bloom_and_matches_exact(bloom_store, transcripts):
     assert plan["scanned"] < plan["parts_total"]
 
 
+def test_store_agg_prunes_on_bloom(bloom_store, transcripts):
+    """store_agg gets the footer-probe level: a point aggregate on a
+    bloom'd key over a ts-clustered store (zone maps useless for conv_id)
+    decodes only the containers the Bloom filter can't rule out."""
+    from parquet_converter_ray.storeagg import store_agg
+
+    convs = pc.unique(transcripts["conv_id"]).to_pylist()
+    want = sorted(convs)[len(convs) // 2]
+    res, plan = store_agg(bloom_store, ["count", "max:turn_idx"],
+                          [("conv_id", "==", want)], return_plan=True)
+    mask = pc.equal(transcripts["conv_id"], want)
+    assert res["count"] == pc.sum(pc.cast(mask, pa.int64())).as_py()
+    assert res["max_turn_idx"] == pc.max(
+        pc.filter(transcripts["turn_idx"], mask)).as_py()
+    assert plan["pruned_bloom"] >= 1
+    assert plan["scanned"] < plan["parts_total"]
+    # absent key: zero scan, zero count
+    res, plan = store_agg(bloom_store, ["count"],
+                          [("conv_id", "==", "conv-that-never-was")],
+                          return_plan=True)
+    assert res["count"] == 0 and plan["scanned"] == 0
+
+
 def test_scan_absent_key_prunes_everything(bloom_store):
     ds, plan = scan_store(bloom_store, [("conv_id", "==", "conv-that-never-was")],
                           columns=["turn_idx"], return_plan=True)

@@ -302,4 +302,7 @@ def test_store_agg_prefix_predicate(store, table):
     mask = pc.equal(table["flag"], "A")
     assert res["count"] == pc.sum(pc.cast(mask, pa.int64())).as_py()
     assert res["sum_k"] == pc.sum(pc.if_else(mask, table["k"], pa.scalar(0, pa.int64()))).as_py()
-    assert plan["parts_total"] == plan["pruned"] + plan["meta_answered"] + plan["scanned"]
+    assert plan["parts_total"] == (
+        plan["pruned"] + plan.get("pruned_dict", 0) + plan.get("pruned_bloom", 0)
+        + plan["meta_answered"] + plan["scanned"]
+    )

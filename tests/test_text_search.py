@@ -314,6 +314,34 @@ def test_hastok_validation(token_store):
                             columns=["doc_id"]))
 
 
+def test_store_agg_prunes_on_token_bloom(token_store, docs_table):
+    """Aggregates get the footer-probe level too: a rare-token hastok
+    aggregate answers after KB footer reads, decoding ONLY the containers
+    whose token blooms may hold every query token."""
+    from parquet_converter_ray.storeagg import store_agg
+
+    res, plan = store_agg(
+        token_store, ["count", "sum:doc_id"],
+        [("text", "hastok", "needleword")], return_plan=True,
+    )
+    mask = pc.fill_null(hastok_mask(docs_table["text"], "needleword"), False)
+    assert res["count"] == docs_table.filter(mask).num_rows == N_DOCS // 8
+    assert res["sum_doc_id"] == int(pc.sum(pc.filter(docs_table["doc_id"], mask)).as_py())
+    assert plan["pruned_bloom"] >= 1
+    assert plan["scanned"] < plan["parts_total"]
+    # absent token: every zone-map-undecided container bloom-prunes; zero scan
+    res, plan = store_agg(token_store, ["count"],
+                          [("text", "hastok", "zzneverq")], return_plan=True)
+    assert res["count"] == 0 and plan["scanned"] == 0
+    assert plan["pruned_bloom"] == plan["parts_total"]
+    # hasphrase rides the same blooms
+    res, plan = store_agg(token_store, ["count"],
+                          [("text", "hasphrase", "needleword special")],
+                          return_plan=True)
+    assert res["count"] == N_DOCS // 8
+    assert plan["pruned_bloom"] >= 1
+
+
 # --- lifecycle carry-through ---------------------------------------------------------
 
 
