@@ -196,7 +196,9 @@ def store_join_dim(
     taken = set(fact_cols) - {fact_on}
     for i, (src_i, on_i, cols_i) in enumerate(dims):
         if isinstance(src_i, str):
-            ds_i = ray.data.read_parquet(
+            from .pipelines._util import read_parquet_clean
+
+            ds_i = read_parquet_clean(
                 src_i,
                 columns=None if cols_i is None else list(dict.fromkeys([on_i] + list(cols_i))),
             )
