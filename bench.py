@@ -142,6 +142,9 @@ def run_bench() -> dict:
         ("store_bucket_join", transcripts.store_bucket_join),
         ("salted_dim_join", transcripts.salted_dim_join),
         ("store_family_scan", transcripts.store_family_scan),
+        ("documents_text_search", transcripts.documents_text_search),
+        ("documents_phrase_search", transcripts.documents_phrase_search),
+        ("rebucket_join", transcripts.rebucket_join),
     ]
     for name, fn in query_list:
         t0 = time.monotonic()
