@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-5 new queries ---
         "documents_text_search": transcripts.documents_text_search,
         "documents_phrase_search": transcripts.documents_phrase_search,
+        "documents_anytoken_search": transcripts.documents_anytoken_search,
         "rebucket_join": transcripts.rebucket_join,
         "store_upsert_stats": transcripts.store_upsert_stats,
         "store_snapshot_travel": transcripts.store_snapshot_travel,
@@ -521,6 +522,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE regexp_matches(lower(text),
                                  '(^|[^a-z0-9])spark[^a-z0-9]+window([^a-z0-9]|$)')
+            GROUP BY lang ORDER BY lang
+        """,
+        "documents_anytoken_search": """
+            SELECT lang, count(*)::BIGINT AS n_docs
+            FROM documents
+            WHERE regexp_matches(lower(text),
+                                 '(^|[^a-z0-9])(dup|quantum)([^a-z0-9]|$)')
             GROUP BY lang ORDER BY lang
         """,
         "rebucket_join": """

@@ -267,6 +267,27 @@ def hasphrase_mask(col: "pa.Array | pa.ChunkedArray", query: str):
     return pc.match_substring_regex(pc.utf8_lower(col), pattern=pat)
 
 
+def hasany_mask(col: "pa.Array | pa.ChunkedArray", query: str):
+    """Exact per-row mask for the ``hasany`` predicate: True when the row's
+    text contains AT LEAST ONE query token as a whole token (the disjunctive
+    dual of ``hastok``). One RE2 alternation pass per batch regardless of
+    token count: ``(^|[^a-z0-9])(t1|t2|...)([^a-z0-9]|$)`` — the boundary
+    class is exactly the tokenizer's split class, so the mask agrees with
+    token membership bit-for-bit (and with a DuckDB ``regexp_matches``
+    oracle over the same pattern). Nulls come back null."""
+    import re
+
+    import pyarrow.compute as pc
+
+    toks = query_tokens(query)
+    if not toks:
+        return None
+    pat = ("(^|[^a-z0-9])("
+           + "|".join(re.escape(t) for t in toks)
+           + ")([^a-z0-9]|$)")
+    return pc.match_substring_regex(pc.utf8_lower(col), pattern=pat)
+
+
 def build_token_bloom(col: "pa.Array | pa.ChunkedArray") -> "tuple[bytes, dict] | None":
     """Token bloom bytes + footer meta for one string column of one
     partition table. None when the column is non-string or yields no
@@ -306,9 +327,11 @@ def bloom_probe_footer(path: str, footer: dict, clauses, verify_crc: bool = Fals
     eq = [(c, op, v) for c, op, v in clauses if op in ("==", "in") and c in blooms]
     # hasphrase prunes on the SAME token blooms: a row containing the
     # phrase necessarily contains every phrase token, so "some phrase
-    # token provably absent" rules the container out
-    tok = [(c, v) for c, op, v in clauses
-           if op in ("hastok", "hasphrase") and TOKEN_KEY_PREFIX + c in blooms]
+    # token provably absent" rules the container out. hasany is the
+    # disjunctive dual: prune only when EVERY token is provably absent.
+    tok = [(c, op, v) for c, op, v in clauses
+           if op in ("hastok", "hasphrase", "hasany")
+           and TOKEN_KEY_PREFIX + c in blooms]
     if not eq and not tok:
         return True
     col_types = {c["name"]: c["type"] for c in footer.get("columns", [])}
@@ -329,20 +352,22 @@ def bloom_probe_footer(path: str, footer: dict, clauses, verify_crc: bool = Fals
                 raise ValueError(f"bloom crc mismatch for column {col!r} in {path}")
             if not bool(bloom_may_contain(bits, ent, h).any()):
                 return False
-        for col, val in tok:
+        for col, op, val in tok:
             ent = blooms[TOKEN_KEY_PREFIX + col]
             if ent.get("tok") != TOKENIZER_ALGO:
                 continue  # other tokenizer version: may-match, never unsound
             toks = query_tokens(val if isinstance(val, str) else str(val))
             if not toks:
                 continue
-            # hastok is conjunctive over its tokens: EVERY token must pass
-            # the filter or no row in this container can match
+            # hastok/hasphrase are conjunctive over their tokens: EVERY
+            # token must pass the filter or no row in this container can
+            # match. hasany needs only SOME token to pass.
             h = stable_hash_strings(pa.array(toks, pa.string()))
             f.seek(int(ent["offset"]))
             bits = f.read(int(ent["len"]))
             if verify_crc and (zlib.crc32(bits) & 0xFFFFFFFF) != ent.get("crc32"):
                 raise ValueError(f"token bloom crc mismatch for column {col!r} in {path}")
-            if not bool(bloom_may_contain(bits, ent, h).all()):
+            hits = bloom_may_contain(bits, ent, h)
+            if not bool(hits.any() if op == "hasany" else hits.all()):
                 return False
     return True

@@ -47,14 +47,15 @@ def _parse_where(clause: str) -> tuple[str, str, object]:
                 pass
         return s
 
-    m = re.match(r"^\s*(\w+)\s+(in|between|prefix|hastok|hasphrase)\s+(.+)$",
+    m = re.match(r"^\s*(\w+)\s+(in|between|prefix|hastok|hasphrase|hasany)\s+(.+)$",
                  clause, re.IGNORECASE)
     if m:
         col, op, rest = m.group(1), m.group(2).lower(), m.group(3)
-        if op in ("hastok", "hasphrase"):
+        if op in ("hastok", "hasphrase", "hasany"):
             # the whole rest of the clause is the query string: hastok is
             # conjunctive over tokens anywhere in the row ("text hastok
-            # 'spark window'"); hasphrase requires them CONSECUTIVE
+            # 'spark window'"); hasphrase requires them CONSECUTIVE;
+            # hasany matches rows holding ANY of the tokens
             q = rest.strip()
             if len(q) >= 2 and q[0] == q[-1] and q[0] in ("'", '"'):
                 q = q[1:-1]

@@ -858,6 +858,39 @@ def documents_phrase_search(sf_dir: str) -> pa.Table:
     ).sort_by("lang")
 
 
+def documents_anytoken_search(sf_dir: str) -> pa.Table:
+    """Disjunctive full-text search pushdown: ``text hasany 'dup quantum'``
+    (rows whose text contains EITHER word as a whole token) over the same
+    token-bloomed documents store as ``documents_text_search``. The footer
+    probe prunes a container only when EVERY query token is provably absent
+    from its token bloom — the sound dual of ``hastok``'s all-tokens-must-
+    pass rule — so with one rare ('dup') and one corpus-absent ('quantum')
+    token, only the containers that may hold 'dup' decode. Exact mask: ONE
+    RE2 alternation ``(^|[^a-z0-9])(dup|quantum)([^a-z0-9]|$)`` per batch.
+    Oracle: the identical pattern via DuckDB ``regexp_matches`` (same RE2
+    class).
+
+    At 100 TB shape: OR-of-terms search costs the same KB-ranged footer
+    probe as AND-of-terms; the read set is the union of each term's
+    candidate containers, still probed in one batched Ray job."""
+    from ..zonemap import scan_store
+
+    ds = scan_store(
+        _documents_token_store(sf_dir),
+        [("text", "hasany", "dup quantum")],
+        columns=["lang", "doc_id"],
+    )
+    batches = [b for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not batches:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64())})
+    t = pa.concat_tables(batches)
+    g = t.group_by("lang").aggregate([("doc_id", "count")])
+    return pa.table(
+        {"lang": g["lang"], "n_docs": g["doc_id_count"].cast(pa.int64())}
+    ).sort_by("lang")
+
+
 def store_agg_pushdown(sf_dir: str) -> pa.Table:
     """Aggregate pushdown over the RANGE-CLUSTERED lineitem store: for the
     1996-1998 ship-date band, interior containers are PROVEN fully matching

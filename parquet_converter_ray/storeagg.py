@@ -14,7 +14,7 @@ from manifest zone maps alone (JSON already on hand, no file opens):
   (``zonemap._ScanDecoder``: sorted-lead ranges, page pruning, late
   materialization) and folds per-batch partials; only the predicate and
   aggregated columns are ever decoded. Before that decode, membership-style
-  predicates (==/in/prefix/hastok/hasphrase on every DNF branch) get the
+  predicates (==/in/prefix/hastok/hasphrase/hasany on every DNF branch) get the
   same FOOTER-PROBE level ``scan_store`` runs — one Ray job of KB-ranged
   dictionary + Bloom reads over the remainder — so a rare-token or point
   aggregate prunes containers the min/max stats never could.

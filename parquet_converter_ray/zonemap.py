@@ -42,7 +42,7 @@ from .codecs.util import unwrap_buf
 STR_BOUND_LEN = 64  # string zone-map bounds are truncated to this many chars
 
 _OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "between", "prefix", "hastok",
-        "hasphrase")
+        "hasphrase", "hasany")
 
 
 # --- bound helpers -----------------------------------------------------------
@@ -412,7 +412,7 @@ def _normalize(predicate) -> list[tuple[str, str, object]]:
             val = (lo, hi)
         if op == "prefix" and not isinstance(val, str):
             raise ValueError(f"prefix predicate needs a str value, got {type(val)}")
-        if op in ("hastok", "hasphrase"):
+        if op in ("hastok", "hasphrase", "hasany"):
             from .bloom import query_tokens
 
             if not isinstance(val, str):
@@ -532,6 +532,10 @@ def predicate_mask(table: pa.Table, clauses):
             from .bloom import hasphrase_mask
 
             m = hasphrase_mask(c, val)
+        elif op == "hasany":
+            from .bloom import hasany_mask
+
+            m = hasany_mask(c, val)
         elif op == "in":
             m = pc.is_in(c, value_set=pa.array([_pa_scalar(v, t).as_py() for v in val], type=t))
         elif op == "between":
@@ -608,7 +612,7 @@ def dict_probe_path(path: str, clauses, footer: dict | None = None) -> bool:
     from .container import read_footer_file
 
     eq = [(c, op, v) for c, op, v in clauses
-          if op in ("==", "in", "prefix", "hastok", "hasphrase")]
+          if op in ("==", "in", "prefix", "hastok", "hasphrase", "hasany")]
     if not eq:
         return True
     if footer is None:
@@ -618,7 +622,7 @@ def dict_probe_path(path: str, clauses, footer: dict | None = None) -> bool:
         ent = cols.get(col)
         if ent is None or ent["codec"] != "dict":
             continue
-        wanted = [val] if op in ("==", "prefix", "hastok", "hasphrase") else list(val)
+        wanted = [val] if op in ("==", "prefix", "hastok", "hasphrase", "hasany") else list(val)
         dv = container_dict_values(path, ent)
         if dv is None:
             continue
@@ -628,7 +632,7 @@ def dict_probe_path(path: str, clauses, footer: dict | None = None) -> bool:
             if not pc.any(pc.starts_with(dv, pattern=val)).as_py():
                 return False
             continue
-        if op in ("hastok", "hasphrase"):
+        if op in ("hastok", "hasphrase", "hasany"):
             if isinstance(dv, np.ndarray) or not (
                 pa.types.is_string(dv.type) or pa.types.is_large_string(dv.type)
             ):
@@ -636,9 +640,10 @@ def dict_probe_path(path: str, clauses, footer: dict | None = None) -> bool:
             # one value per row, so the container may match iff SOME
             # dictionary value satisfies the text predicate — an EXACT
             # check over distinct values, stronger than the token bloom
-            from .bloom import hasphrase_mask, hastok_mask
+            from .bloom import hasany_mask, hasphrase_mask, hastok_mask
 
-            m = (hastok_mask if op == "hastok" else hasphrase_mask)(dv, val)
+            m = {"hastok": hastok_mask, "hasphrase": hasphrase_mask,
+                 "hasany": hasany_mask}[op](dv, val)
             if m is not None and not pc.any(pc.fill_null(m, False)).as_py():
                 return False
             continue
@@ -970,7 +975,7 @@ def _probe_applies(dnf) -> bool:
     """The footer probe can only rule a container out on membership-style
     ops; every branch needs one or the probe proves nothing."""
     return all(
-        any(op in ("==", "in", "prefix", "hastok", "hasphrase") for _, op, _ in br)
+        any(op in ("==", "in", "prefix", "hastok", "hasphrase", "hasany") for _, op, _ in br)
         for br in dnf
     )
 
@@ -1061,7 +1066,7 @@ def scan_store(
             raise ValueError(f"predicate column {col!r} not in store schema {names}")
         if op == "prefix" and not _is_strlike(types[col]):
             raise ValueError(f"prefix predicate needs a string column; {col!r} is {types[col]}")
-        if op in ("hastok", "hasphrase") and not (
+        if op in ("hastok", "hasphrase", "hasany") and not (
             pa.types.is_string(types[col]) or pa.types.is_large_string(types[col])
         ):
             raise ValueError(f"{op} predicate needs a text column; {col!r} is {types[col]}")

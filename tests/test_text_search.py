@@ -342,6 +342,125 @@ def test_store_agg_prunes_on_token_bloom(token_store, docs_table):
     assert plan["pruned_bloom"] >= 1
 
 
+# --- hasany (disjunctive dual) --------------------------------------------------------
+
+
+def _ref_hasany(vals, query):
+    toks = query_tokens(query)
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(False)
+            continue
+        row = set(re.split("[^a-z0-9]+", v.lower()))
+        out.append(any(t in row for t in toks))
+    return out
+
+
+@pytest.mark.parametrize(
+    "query", ["spark", "spark dup", "Window, SPARK!", "sparkdup", "zz dup"]
+)
+def test_hasany_mask_matches_rowwise_reference(query):
+    from parquet_converter_ray.bloom import hasany_mask
+
+    vals = [
+        "spark window dup",
+        "the spark-dup pipeline",
+        "sparkdup fused",
+        "spark  window",
+        "DUP then Spark",
+        "windowspark dup",
+        None,
+        "",
+        "spark0 dup",  # digits extend the token: 'spark0' != 'spark'
+        "nothing here",
+    ]
+    m = hasany_mask(pa.array(vals, pa.string()), query)
+    got = pc.fill_null(m, False).to_pylist()
+    assert got == _ref_hasany(vals, query)
+
+
+def test_hasany_one_token_equals_hastok():
+    from parquet_converter_ray.bloom import hasany_mask
+
+    vals = pa.array(["spark window", "no match", None, "SPARK!", "sparkle"])
+    any_ = pc.fill_null(hasany_mask(vals, "spark"), False).to_pylist()
+    tok = pc.fill_null(hastok_mask(vals, "spark"), False).to_pylist()
+    assert any_ == tok
+
+
+def test_hasany_footer_probe_dual(token_store):
+    """hasany prunes only when EVERY token is provably absent: a container
+    holding 'alpha' survives 'alpha zzneverq' (hastok would prune it)."""
+    path = sorted(glob.glob(os.path.join(token_store, "part-*.pcc")))[0]
+    footer = read_footer_file(path)
+    present = "alpha"  # common words are in every container's text pool
+    assert bloom_probe_footer(path, footer, [("text", "hasany", f"{present} zzneverq")])
+    assert not bloom_probe_footer(path, footer, [("text", "hastok", f"{present} zzneverq")])
+    assert not bloom_probe_footer(
+        path, footer, [("text", "hasany", "zzneverq qqneverz")]
+    )
+
+
+def test_scan_hasany_prunes_and_matches_exact(token_store, docs_table):
+    from parquet_converter_ray.bloom import hasany_mask
+
+    # one planted rare token OR one absent token: only grp-3 containers scan
+    ds, plan = scan_store(
+        token_store,
+        [("text", "hasany", "needleword zzneverq")],
+        columns=["doc_id", "grp"],
+        return_plan=True,
+    )
+    got = _collect(ds).sort_by("doc_id")
+    exp = (
+        docs_table.filter(
+            pc.fill_null(hasany_mask(docs_table["text"], "needleword zzneverq"), False)
+        )
+        .select(["doc_id", "grp"])
+        .sort_by("doc_id")
+    )
+    assert got.equals(exp)
+    assert got.num_rows == N_DOCS // 8
+    assert plan["pruned_bloom"] >= 1
+    assert plan["scanned"] < plan["parts_total"]
+    # every token absent: zero rows; nearly every container prunes. Unlike
+    # hastok, a disjunctive probe survives on a false positive for EITHER
+    # token (~2x the FP surface), so allow one FP container to scan.
+    ds, plan = scan_store(token_store, [("text", "hasany", "zzneverq qqneverz")],
+                          columns=["doc_id"], return_plan=True)
+    assert _collect(ds).num_rows == 0
+    assert plan["pruned_bloom"] >= plan["parts_total"] - 1
+    assert plan["pruned_bloom"] + plan["scanned"] == plan["parts_total"]
+
+
+def test_store_agg_hasany(token_store, docs_table):
+    from parquet_converter_ray.bloom import hasany_mask
+    from parquet_converter_ray.storeagg import store_agg
+
+    res, plan = store_agg(
+        token_store, ["count"],
+        [("text", "hasany", "needleword zzneverq")], return_plan=True,
+    )
+    mask = pc.fill_null(hasany_mask(docs_table["text"], "needleword zzneverq"), False)
+    assert res["count"] == docs_table.filter(mask).num_rows == N_DOCS // 8
+    assert plan["pruned_bloom"] >= 1
+
+
+def test_hasany_validation(token_store):
+    with pytest.raises(ValueError, match="text column"):
+        _collect(scan_store(token_store, [("doc_id", "hasany", "5")], columns=["doc_id"]))
+    with pytest.raises(ValueError, match="tokenizes to nothing"):
+        _collect(scan_store(token_store, [("text", "hasany", "!!!")], columns=["doc_id"]))
+
+
+def test_parse_where_hasany():
+    from parquet_converter_ray.cli import _parse_where
+
+    assert _parse_where("text hasany 'spark window'") == ("text", "hasany", "spark window")
+    assert _parse_where("text hasany needle") == ("text", "hasany", "needle")
+
+
 # --- lifecycle carry-through ---------------------------------------------------------
 
 
