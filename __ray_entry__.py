@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_text_search": transcripts.documents_text_search,
         "documents_phrase_search": transcripts.documents_phrase_search,
         "documents_anytoken_search": transcripts.documents_anytoken_search,
+        "dpp_dim_join": transcripts.dpp_dim_join,
         "rebucket_join": transcripts.rebucket_join,
         "store_upsert_stats": transcripts.store_upsert_stats,
         "store_snapshot_travel": transcripts.store_snapshot_travel,
@@ -530,6 +531,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(lower(text),
                                  '(^|[^a-z0-9])(dup|quantum)([^a-z0-9]|$)')
             GROUP BY lang ORDER BY lang
+        """,
+        "dpp_dim_join": """
+            SELECT o_orderstatus, count(*)::BIGINT AS n_lineitems,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "rebucket_join": """
             SELECT o_orderstatus, count(*)::BIGINT AS n_lineitems,

@@ -141,6 +141,7 @@ def run_bench() -> dict:
         ("lineitem_bloom_scan", transcripts.lineitem_bloom_scan),
         ("store_bucket_join", transcripts.store_bucket_join),
         ("salted_dim_join", transcripts.salted_dim_join),
+        ("dpp_dim_join", transcripts.dpp_dim_join),
         ("store_family_scan", transcripts.store_family_scan),
         ("documents_text_search", transcripts.documents_text_search),
         ("documents_phrase_search", transcripts.documents_phrase_search),

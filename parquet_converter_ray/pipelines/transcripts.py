@@ -673,6 +673,85 @@ def salted_dim_join(sf_dir: str) -> pa.Table:
     )
 
 
+def dpp_dim_join(sf_dir: str) -> pa.Table:
+    """Dynamic-partition-pruned dimension join (semijoin pushdown): orders
+    filtered to '1-URGENT' joins the salted lineitem fact store. The
+    filtered dim is collected once driver-side (it is about to be
+    replicated through the routing exchange anyway), its distinct keys
+    hash-route to the only fact partitions an inner-join row can live in —
+    the SAME arithmetic the dim replication uses, so the pruned container
+    set and the exchange stay in lockstep — and the remaining containers
+    take the zone-map + footer-probe levels. Containers no urgent order
+    reaches never decode. Oracle: SQL join with the dim filter in WHERE.
+
+    At 100 TB shape: this is Spark's DPP applied to the container layout —
+    a selective dim filter turns a full-fact-scan join into a read of the
+    matching buckets only."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..storejoin import store_join_dim
+    from ._util import finish_on_driver, read_parquet_clean, sql_round
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fact = os.path.join(_CACHE, f"encoded-lineitem-salted4-{tag}")
+    if not os.path.exists(os.path.join(fact, "manifest.jsonl")):
+        import shutil
+
+        shutil.rmtree(fact, ignore_errors=True)
+        encode_dataset(
+            f"{sf_dir}/lineitem.parquet",
+            fact,
+            n_parts=16,
+            conv_col="l_orderkey",
+            order_col="l_linenumber",
+            sort_key=("l_orderkey", "l_linenumber"),
+            salt_rows=4,
+        )
+
+    def urgent(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["o_orderpriority"], "1-URGENT"))
+
+    dim = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    ).map_batches(urgent, batch_format="pyarrow")
+    ds = store_join_dim(
+        fact,
+        dim,
+        dim_on="o_orderkey",
+        fact_columns=["l_orderkey", "l_extendedprice"],
+        dim_columns=["o_orderstatus"],
+    )
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        if batch.num_rows == 0:
+            return pd.DataFrame({"o_orderstatus": [], "n_lineitems": [], "sum_price": []})
+        g = batch.group_by("o_orderstatus").aggregate(
+            [("l_extendedprice", "count"), ("l_extendedprice", "sum")]
+        )
+        return pd.DataFrame(
+            {
+                "o_orderstatus": g["o_orderstatus"].to_pylist(),
+                "n_lineitems": g["l_extendedprice_count"].to_numpy(zero_copy_only=False),
+                "sum_price": g["l_extendedprice_sum"].to_numpy(zero_copy_only=False),
+            }
+        )
+
+    tot = finish_on_driver(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderstatus"],
+        ["n_lineitems", "sum_price"],
+    ).sort_values("o_orderstatus")
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(tot["o_orderstatus"], pa.string()),
+            "n_lineitems": pa.array(tot["n_lineitems"].astype("int64"), pa.int64()),
+            "sum_price": pa.array(sql_round(tot["sum_price"].to_numpy(), 2), pa.float64()),
+        }
+    )
+
+
 def lineitem_band_union_revenue(sf_dir: str) -> pa.Table:
     """Disjunctive pushdown over the range-clustered store: revenue in the
     union of two disjoint ship-date bands. Each pruning level keeps a

@@ -123,6 +123,51 @@ class _BucketJoiner:
         return pa.concat_tables(out, promote_options="default")
 
 
+# Dynamic-partition-pruning thresholds: a dim side with at most this many
+# rows is collected driver-side (it is about to be replicated through an
+# exchange anyway, so holding one copy on the driver is strictly cheaper);
+# its distinct keys then prune fact containers BEFORE any decode. Key lists
+# up to the stats cap run the per-record zone-map check (a Python loop per
+# record, so bounded); up to the probe cap they run the batched dictionary
+# + Bloom footer probe (vectorized hashing, one Ray job).
+_DPP_MAX_DIM_ROWS = 100_000
+_DPP_STATS_MAX_KEYS = 1_024
+_DPP_PROBE_MAX_KEYS = 65_536
+
+
+def _collect_dim_table(ds_i, cols_full: list[str], cap: int) -> "pa.Table | None":
+    """Materialize a dim-side Dataset driver-side when it is small (<= cap
+    rows). Returns None — and stops iterating — the moment the cap is
+    exceeded, so a mis-declared huge 'dimension' costs one extra batch, not
+    a driver OOM."""
+    batches, total = [], 0
+    for b in ds_i.iter_batches(batch_format="pyarrow", batch_size=8192):
+        total += b.num_rows
+        if total > cap:
+            return None
+        batches.append(b)
+    if not batches:
+        return None
+    return pa.concat_tables(batches).select(cols_full)
+
+
+def _dpp_route_parts(keys: list, n_parts: int, k_max: int) -> "set[int] | None":
+    """Partitions reachable by ANY of ``keys`` under the store's hash+salt
+    routing — the same vectorized arithmetic ``_route_for`` replicates dim
+    rows with, so the pruned container set and the dim exchange stay in
+    lockstep by construction. None when the key type doesn't hash."""
+    import numpy as np
+
+    from .partition import GOLDEN, hash_conv_values
+
+    h = hash_conv_values(keys)
+    if h is None or len(h) == 0:
+        return None
+    ks = np.arange(k_max + 1, dtype=np.uint64)
+    mixed = (h[:, None] ^ (ks[None, :] * GOLDEN)) + ks[None, :]
+    return set((mixed % np.uint64(n_parts)).astype(np.int64).ravel().tolist())
+
+
 def store_join_dim(
     fact_dir: str,
     dim=None,
@@ -132,6 +177,8 @@ def store_join_dim(
     dim_columns: list[str] | None = None,
     dims: "list[tuple] | None" = None,
     how: str = "inner",
+    dpp: bool = True,
+    return_plan: bool = False,
 ) -> "ray.data.Dataset":
     """Join a hash-routed fact store — SALTED layouts included — with a
     dimension TABLE (parquet path or Dataset), shuffling only the dim side.
@@ -151,7 +198,20 @@ def store_join_dim(
     must not collide with fact columns. ``dims=[(source, on, columns), ...]``
     joins SEVERAL dimensions against the same fact key in ONE co-grouped
     pass (the star-schema shape) — each dim is routed independently, the
-    group joins them in order."""
+    group joins them in order.
+
+    ``dpp=True`` (default) adds dynamic partition pruning for INNER joins —
+    the semijoin-pushdown trick Spark applies to star joins: a dim side
+    small enough to hold driver-side (<= ``_DPP_MAX_DIM_ROWS``, checked by
+    streaming its batches with an early abort) is collected ONCE, reused
+    for the routing exchange, and its distinct keys prune fact containers
+    before any decode — first by hash route (only partitions some key can
+    reach survive; the intersection across dims, since an inner-join row
+    must match every dim), then per-container zone maps, then the batched
+    dictionary/Bloom footer probe. A dim over the cap streams exactly as
+    before (no pruning from that dim). ``return_plan=True`` also returns
+    ``{parts_total, pruned_route, pruned_stats, pruned_probe, scanned,
+    dpp_dims}``."""
     import numpy as np
 
     from .partition import GOLDEN, stable_hash_ints, stable_hash_strings
@@ -228,6 +288,56 @@ def store_join_dim(
         types_i = {n: t for n, t in zip(sch.names, sch.types)}
         dim_specs.append((f"dim{i}", on_i, cols_full, [(c, types_i[c]) for c in cols_full], ds_i))
 
+    plan = {"parts_total": len(recs), "pruned_route": 0, "pruned_stats": 0,
+            "pruned_probe": 0, "scanned": 0, "dpp_dims": 0}
+    if dpp and how == "inner" and recs:
+        key_sets: list[list] = []
+        collected_specs = []
+        for tag, on_i, cols_full, fields, ds_i in dim_specs:
+            t_i = _collect_dim_table(ds_i, cols_full, _DPP_MAX_DIM_ROWS)
+            if t_i is None:
+                collected_specs.append((tag, on_i, cols_full, fields, ds_i))
+                continue
+            plan["dpp_dims"] += 1
+            keys_i = t_i[on_i].combine_chunks().drop_null().unique().to_pylist()
+            key_sets.append(keys_i)
+            # reuse the collected copy for the routing exchange: the dim
+            # pipeline executes once, not once for keys + once for routing
+            collected_specs.append((tag, on_i, cols_full, fields,
+                                    ray.data.from_arrow(t_i)))
+        dim_specs = collected_specs
+        parts_sets = [s for s in (_dpp_route_parts(k, n_parts, k_max)
+                                  for k in key_sets) if s is not None]
+        if parts_sets:
+            keep_parts = set.intersection(*parts_sets)
+            before = len(recs)
+            recs = [r for r in recs if int(r["part_id"]) in keep_parts]
+            plan["pruned_route"] = before - len(recs)
+        usable = [k for k in key_sets if k]
+        if usable and recs:
+            # ANY single dim's key set is a sound semijoin filter for an
+            # inner join; the smallest prunes hardest and probes cheapest
+            smallest = min(usable, key=len)
+            clause = [(fact_on, "in", smallest)]
+            if len(smallest) <= _DPP_STATS_MAX_KEYS:
+                from .zonemap import record_may_match
+
+                before = len(recs)
+                recs = [r for r in recs
+                        if record_may_match(r.get("stats") or {},
+                                            int(r.get("rows", 0)), clause)]
+                plan["pruned_stats"] = before - len(recs)
+            if len(smallest) <= _DPP_PROBE_MAX_KEYS and recs:
+                from .zonemap import probe_verdicts
+
+                paths = [resolve_container_path(fact_dir, r) for r in recs]
+                verdicts = probe_verdicts(paths, [clause])
+                before = len(recs)
+                recs = [r for r, p in zip(recs, paths)
+                        if verdicts.get(p) == "keep"]
+                plan["pruned_probe"] = before - len(recs)
+    plan["scanned"] = len(recs)
+
     def _route_for(tag: str, on_col: str, cols_full: list):
         def route(batch: pa.Table) -> pa.Table:
             """Replicate each dim row to its key's k_max+1 possible partitions."""
@@ -290,6 +400,12 @@ def store_join_dim(
         ]
         if not paths:
             return pa.table({})
+        # inner join: a group missing ANY dim side joins to nothing —
+        # decide that before paying for the fact-container decode
+        if how == "inner":
+            present = set(side)
+            if any(tag not in present for tag, _, _ in specs_for_join):
+                return pa.table({})
         out = pa.concat_tables(
             [decode_table(open(p, "rb").read(), columns=fact_cols) for p in paths]
         )
@@ -315,7 +431,8 @@ def store_join_dim(
     unioned = ray.data.from_arrow(file_rows)
     for r in routed:
         unioned = unioned.union(r)
-    return unioned.groupby("part_id").map_groups(_join_group, batch_format="pyarrow")
+    ds = unioned.groupby("part_id").map_groups(_join_group, batch_format="pyarrow")
+    return (ds, plan) if return_plan else ds
 
 
 class _MultiBucketJoiner:

@@ -467,3 +467,135 @@ def test_cli_join_three_stores(tri_stores):
             JOIN '{SF_DIR}/orders.parquet' ON user_id = o_custkey"""
     ).fetchone()
     assert out2["rows"] == n2
+
+
+# --- dynamic partition pruning (semijoin pushdown) -----------------------------------
+
+
+def test_store_join_dim_dpp_prunes_and_matches(ray_session, tmp_path):
+    """A dim filtered to a handful of keys decodes ONLY the fact containers
+    those keys can hash-route to (plus footer-probe survivors); the result
+    is identical to the unpruned path and to DuckDB."""
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray.storejoin import store_join_dim
+
+    fact = str(tmp_path / "fact")
+    encode_dataset(f"{SF_DIR}/lineitem.parquet", fact, n_parts=16,
+                   conv_col="l_orderkey", order_col="l_linenumber",
+                   sort_key=("l_orderkey", "l_linenumber"), salt_rows=0,
+                   bloom_cols=["l_orderkey"])
+    keys = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey FROM '{SF_DIR}/lineitem.parquet' "
+        "ORDER BY l_orderkey LIMIT 3"
+    ).fetchnumpy()["l_orderkey"]
+    dim = str(tmp_path / "dim.parquet")
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array(keys.astype("int64")),
+                  "tag": pa.array([f"t{i}" for i in range(len(keys))])}), dim)
+
+    ds, plan = store_join_dim(
+        fact, dim, dim_on="o_orderkey",
+        fact_columns=["l_orderkey", "l_extendedprice"], dim_columns=["tag"],
+        return_plan=True)
+    got = _collect(ds).sort_by([("l_orderkey", "ascending"),
+                                ("l_extendedprice", "ascending")])
+    ref = _collect(store_join_dim(
+        fact, dim, dim_on="o_orderkey",
+        fact_columns=["l_orderkey", "l_extendedprice"], dim_columns=["tag"],
+        dpp=False)).sort_by([("l_orderkey", "ascending"),
+                             ("l_extendedprice", "ascending")])
+    assert got.equals(ref)
+    n = duckdb.sql(
+        f"""SELECT count(*) FROM '{SF_DIR}/lineitem.parquet'
+            WHERE l_orderkey IN ({",".join(str(k) for k in keys)})"""
+    ).fetchone()[0]
+    assert got.num_rows == n > 0
+    # 3 keys reach at most 3 of 16 partitions; probe may prune further
+    assert plan["dpp_dims"] == 1
+    assert plan["pruned_route"] >= plan["parts_total"] - 3
+    assert plan["scanned"] <= 3
+    assert plan["scanned"] < plan["parts_total"]
+
+
+def test_store_join_dim_dpp_salted_and_star(ray_session, tmp_path):
+    """DPP over a SALTED fact store uses the same hash+salt arithmetic the
+    dim routing uses — pruned containers and replicated dim rows stay in
+    lockstep; with two dims, surviving partitions are the intersection."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray.storejoin import store_join_dim
+
+    fact = str(tmp_path / "fact")
+    encode_dataset(f"{SF_DIR}/lineitem.parquet", fact, n_parts=8,
+                   conv_col="l_orderkey", order_col="l_linenumber",
+                   sort_key=("l_orderkey", "l_linenumber"), salt_rows=4)
+    keys = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey FROM '{SF_DIR}/lineitem.parquet' "
+        "ORDER BY l_orderkey LIMIT 2"
+    ).fetchnumpy()["l_orderkey"].astype("int64")
+    d1 = str(tmp_path / "d1.parquet")
+    pq.write_table(pa.table({"k1": pa.array(keys), "a": pa.array(["x", "y"])}), d1)
+    d2 = str(tmp_path / "d2.parquet")
+    pq.write_table(pa.table({"k2": pa.array(keys[:1]), "b": pa.array(["z"])}), d2)
+
+    ds, plan = store_join_dim(
+        fact, dims=[(d1, "k1", ["a"]), (d2, "k2", ["b"])],
+        fact_columns=["l_orderkey"], return_plan=True)
+    got = _collect(ds)
+    n = duckdb.sql(
+        f"""SELECT count(*) FROM '{SF_DIR}/lineitem.parquet'
+            WHERE l_orderkey = {int(keys[0])}"""
+    ).fetchone()[0]
+    assert got.num_rows == n > 0
+    assert plan["dpp_dims"] == 2
+    # the intersection is ONE key's reachable partitions
+    assert plan["scanned"] < plan["parts_total"]
+    ref = _collect(store_join_dim(
+        fact, dims=[(d1, "k1", ["a"]), (d2, "k2", ["b"])],
+        fact_columns=["l_orderkey"], dpp=False))
+    assert got.sort_by("l_orderkey").equals(ref.sort_by("l_orderkey"))
+
+
+def test_store_join_dim_dpp_fallbacks(ray_session, tmp_path, monkeypatch):
+    """Over-cap dims stream exactly as before (no pruning, identical rows);
+    left joins never prune (every fact row must survive)."""
+    import pyarrow.parquet as pq
+
+    from parquet_converter_ray import storejoin
+    from parquet_converter_ray.storejoin import store_join_dim
+
+    fact = str(tmp_path / "fact")
+    encode_dataset(f"{SF_DIR}/lineitem.parquet", fact, n_parts=8,
+                   conv_col="l_orderkey", order_col="l_linenumber",
+                   sort_key=("l_orderkey", "l_linenumber"), salt_rows=0)
+    half = str(tmp_path / "orders_half.parquet")
+    ot = pq.read_table(f"{SF_DIR}/orders.parquet",
+                       columns=["o_orderkey", "o_orderpriority"])
+    ot = ot.filter(pc.equal(pc.bit_wise_and(ot["o_orderkey"], 1), 0))
+    pq.write_table(ot, half)
+
+    monkeypatch.setattr(storejoin, "_DPP_MAX_DIM_ROWS", 5)
+    ds, plan = store_join_dim(
+        fact, half, dim_on="o_orderkey",
+        fact_columns=["l_orderkey"], dim_columns=["o_orderpriority"],
+        return_plan=True)
+    assert plan["dpp_dims"] == 0
+    assert plan["scanned"] == plan["parts_total"]
+    n = duckdb.sql(
+        f"""SELECT count(*) FROM '{SF_DIR}/lineitem.parquet'
+            WHERE l_orderkey % 2 = 0"""
+    ).fetchone()[0]
+    assert _collect(ds).num_rows == n
+    monkeypatch.undo()
+
+    # left join: dpp must not engage even when the dim is collectible
+    ds, plan = store_join_dim(
+        fact, half, dim_on="o_orderkey", how="left",
+        fact_columns=["l_orderkey"], dim_columns=["o_orderpriority"],
+        return_plan=True)
+    assert plan["scanned"] == plan["parts_total"]
+    total = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/lineitem.parquet'").fetchone()[0]
+    assert _collect(ds).num_rows == total
