@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_phrase_search": transcripts.documents_phrase_search,
         "documents_anytoken_search": transcripts.documents_anytoken_search,
         "dpp_dim_join": transcripts.dpp_dim_join,
+        "store_cdc_changes": transcripts.store_cdc_changes,
         "rebucket_join": transcripts.rebucket_join,
         "store_upsert_stats": transcripts.store_upsert_stats,
         "store_snapshot_travel": transcripts.store_snapshot_travel,
@@ -538,6 +539,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE o_orderpriority = '1-URGENT'
             GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "store_cdc_changes": """
+            SELECT change, count(*)::BIGINT AS n_rows FROM (
+                SELECT CASE WHEN o_custkey % 25 = 3 THEN 'delete'
+                            ELSE 'update' END AS change
+                FROM orders
+                WHERE o_custkey % 25 = 3 OR o_orderkey % 10 = 0
+                UNION ALL
+                SELECT 'insert' AS change FROM orders WHERE o_orderkey % 100 = 7
+            ) GROUP BY change ORDER BY change
         """,
         "rebucket_join": """
             SELECT o_orderstatus, count(*)::BIGINT AS n_lineitems,

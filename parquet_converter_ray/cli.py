@@ -314,6 +314,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="right-hand side (may list several stores — a family)")
     p.add_argument("--columns", nargs="*", default=None)
 
+    p = sub.add_parser(
+        "changes",
+        help="row-level CDC between two states of a store (snapshot dir vs "
+             "live store): per changed key, insert / delete / update; "
+             "untouched partitions skip from metadata alone",
+    )
+    p.add_argument("old_dir", help="the earlier state (e.g. <store>/_snapshots/<name>)")
+    p.add_argument("new_dir", help="the later state (the live store)")
+    p.add_argument("--output", default=None,
+                   help="write the change rows to parquet instead of sampling")
+    p.add_argument("--limit", type=int, default=5,
+                   help="sample change rows printed when not writing")
+
     p = sub.add_parser("fsck", help="check store integrity (manifest <-> containers <-> bytes)")
     p.add_argument("encoded_dir")
     p.add_argument("--deep", action="store_true",
@@ -639,6 +652,28 @@ def main(argv: list[str] | None = None) -> int:
             res = store_diff(left, right, columns=args.columns)
             print(json.dumps(res))
             return 0 if res["equal"] else 3
+        elif args.cmd == "changes":
+            from .decode import store_changes
+
+            ds, plan = store_changes(args.old_dir, args.new_dir, return_plan=True)
+            if args.output:
+                ds.write_parquet(args.output, compression=cfg.compression)
+                rows = ray.data.read_parquet(args.output).count()
+                print(json.dumps({"rows": rows, "output": args.output, "plan": plan}))
+            else:
+                import collections
+
+                counts: "collections.Counter[str]" = collections.Counter()
+                sample = []
+                for b in ds.iter_batches(batch_format="pyarrow"):
+                    if b.num_rows == 0:
+                        continue
+                    counts.update(b["change"].to_pylist())
+                    if len(sample) < max(args.limit, 0):
+                        sample.extend(b.slice(0, args.limit - len(sample)).to_pylist())
+                print(json.dumps({"rows": sum(counts.values()),
+                                  "by_change": dict(sorted(counts.items())),
+                                  "plan": plan, "sample": sample}, default=str))
         elif args.cmd == "fsck":
             from .fsck import fsck_store
 

@@ -325,6 +325,187 @@ def store_diff(
     }
 
 
+class _ChangeScanner:
+    """Decode one part_id's containers from BOTH stores and emit the
+    row-level change set keyed by the store key. Plain callable in a task
+    pool; state is column lists only."""
+
+    def __init__(self, key_fields: "list[tuple[str, pa.DataType]]", value_cols: list[str]):
+        self.key_cols = [n for n, _ in key_fields]
+        self.value_cols = value_cols
+        self.out_schema = pa.schema(list(key_fields) + [("change", pa.string())])
+
+    def _side(self, paths) -> "pa.Table | None":
+        cols = list(dict.fromkeys(self.key_cols + self.value_cols))
+        tables = [decode_table(open(p, "rb").read(), columns=cols) for p in paths]
+        return pa.concat_tables(tables) if tables else None
+
+    def _fold(self, t: "pa.Table | None"):
+        """(pandas frame keyed by key_cols with n + wrapped hash-sum) or None."""
+        import numpy as np
+        import pandas as pd
+
+        if t is None or t.num_rows == 0:
+            return None
+        if self.value_cols:
+            h = _row_hashes(t, self.value_cols).view(np.int64)
+        else:
+            h = np.zeros(t.num_rows, dtype=np.int64)
+        df = t.select(self.key_cols).to_pandas()
+        df["_h"] = h
+        g = df.groupby(self.key_cols, sort=False, dropna=False)["_h"]
+        out = g.agg(n="size", hs="sum")  # int64 sum wraps (numpy), fine for hashing
+        return out.reset_index()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from .encode import pin_arrow_threads
+
+        pin_arrow_threads(1)
+        frames = []
+        for row in batch.to_pylist():
+            old = self._fold(self._side(row["old_paths"]))
+            new = self._fold(self._side(row["new_paths"]))
+            if old is None and new is None:
+                continue
+            if old is None:
+                new["change"] = "insert"
+                frames.append(new[self.key_cols + ["change"]])
+                continue
+            if new is None:
+                old["change"] = "delete"
+                frames.append(old[self.key_cols + ["change"]])
+                continue
+            m = old.merge(new, on=self.key_cols, how="outer",
+                          suffixes=("_o", "_n"), indicator=True)
+            change = pd.Series("update", index=m.index)
+            change[m["_merge"] == "left_only"] = "delete"
+            change[m["_merge"] == "right_only"] = "insert"
+            same = (m["_merge"] == "both") & (m["n_o"] == m["n_n"]) & (m["hs_o"] == m["hs_n"])
+            m = m[~same]
+            m["change"] = change[~same]
+            frames.append(m[self.key_cols + ["change"]])
+        if not frames:
+            return self.out_schema.empty_table()
+        out = pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                   preserve_index=False)
+        # pin key-column types to the store schema (pandas may widen)
+        return out.select(self.out_schema.names).cast(self.out_schema)
+
+
+def store_changes(
+    old_dir: str,
+    new_dir: str,
+    *,
+    return_plan: bool = False,
+) -> "ray.data.Dataset":
+    """Row-level CDC between two states of a store — typically a hard-link
+    SNAPSHOT (``snapshot.snapshot_store``; the snapshot dir is itself a
+    valid store) and the live store after appends/upserts/deletes. Emits
+    one row per changed store key: the key columns plus ``change`` in
+    {'insert', 'delete', 'update'}; unchanged keys are never emitted.
+
+    Scale shape: both stores must share the hash-routing layout (same
+    ``hash_version`` / ``n_parts`` / key columns / ``salt_rows`` — refused
+    loudly otherwise; ``rebucket`` repairs a mismatch), so the diff is
+    PARTITION-LOCAL — no exchange. Partitions whose recorded container sets
+    are identical (same generation/crc32/rows multiset — and a snapshot
+    hard-links the very same inodes for untouched partitions) are skipped
+    from metadata alone; only touched partitions decode, and each decodes
+    once per side inside one task. Duplicate keys fold per key via
+    (count, wrapped hash-sum), so the compare never needs key uniqueness.
+    Content equality is judged on the SHARED value columns (schema drift is
+    ``store_diff``'s job and is not flagged here).
+
+    Iceberg/Delta expose the same thing as incremental scans / CDF reads;
+    here it costs metadata + the touched partitions only."""
+    from . import manifest as mf
+    from .partition import HASH_VERSION
+    from .zonemap import _store_schema
+
+    po, pn = mf.load_run_record(old_dir), mf.load_run_record(new_dir)
+    for d, p in ((old_dir, po), (new_dir, pn)):
+        if not p:
+            raise ValueError(f"{d}: no _run.json — cannot prove layouts comparable")
+        if p.get("hash_version") != HASH_VERSION:
+            raise ValueError(f"{d}: hash_version {p.get('hash_version')!r} != current {HASH_VERSION!r}")
+        if (p.get("partition_mode") or "hash") != "hash":
+            raise ValueError(
+                f"{d}: partition_mode {p.get('partition_mode')!r} — range-clustered "
+                "partition boundaries are data-dependent, so partition-local CDC "
+                "is unsound; rebucket both states first"
+            )
+    for field in ("n_parts", "conv_col", "order_col", "salt_rows"):
+        if po.get(field) != pn.get(field):
+            raise ValueError(
+                f"layout mismatch on {field!r}: {po.get(field)!r} vs {pn.get(field)!r} "
+                "— the same row would route to different partitions; rebucket first"
+            )
+
+    key_cols = [po["conv_col"]] + ([po["order_col"]] if po.get("order_col") else [])
+
+    recs_o, recs_n = mf.load_records(old_dir), mf.load_records(new_dir)
+    container_files(old_dir)  # stray-container guards
+    container_files(new_dir)
+
+    def _by_part(recs):
+        out: dict[int, list] = {}
+        for r in recs:
+            out.setdefault(int(r["part_id"]), []).append(r)
+        return out
+
+    bo, bn = _by_part(recs_o), _by_part(recs_n)
+
+    def _sig(recs_p) -> tuple:
+        return tuple(sorted(
+            (int(r.get("generation", 0)), int(r.get("crc32", -1)), int(r.get("rows", -1)))
+            for r in recs_p
+        ))
+
+    all_parts = sorted(set(bo) | set(bn))
+    plan = {"parts_total": len(all_parts), "parts_skipped": 0, "parts_compared": 0}
+    spec_rows = []
+    for pid in all_parts:
+        ro, rn = bo.get(pid, []), bn.get(pid, [])
+        if _sig(ro) == _sig(rn):
+            plan["parts_skipped"] += 1
+            continue
+        plan["parts_compared"] += 1
+        spec_rows.append({
+            "part_id": pid,
+            "old_paths": [resolve_container_path(old_dir, r) for r in ro],
+            "new_paths": [resolve_container_path(new_dir, r) for r in rn],
+        })
+
+    schema_o = dict(_store_schema(old_dir, recs_o)) if recs_o else {}
+    schema_n = dict(_store_schema(new_dir, recs_n)) if recs_n else {}
+    value_cols = sorted((set(schema_o) & set(schema_n)) - set(key_cols))
+    key_fields = [(c, schema_n.get(c) or schema_o.get(c) or pa.string())
+                  for c in key_cols]
+
+    if not spec_rows:
+        empty = pa.schema(key_fields + [("change", pa.string())]).empty_table()
+        ds = ray.data.from_arrow(empty)
+        return (ds, plan) if return_plan else ds
+
+    spec = pa.table(
+        {
+            "part_id": pa.array([s["part_id"] for s in spec_rows], pa.int32()),
+            "old_paths": pa.array([s["old_paths"] for s in spec_rows],
+                                  pa.list_(pa.string())),
+            "new_paths": pa.array([s["new_paths"] for s in spec_rows],
+                                  pa.list_(pa.string())),
+        }
+    )
+    ds = (
+        ray.data.from_arrow(spec)
+        .repartition(len(spec_rows))
+        .map_batches(_ChangeScanner(key_fields, value_cols), batch_format="pyarrow")
+    )
+    return (ds, plan) if return_plan else ds
+
+
 def verify_distributed(source: "ray.data.Dataset | str", out_dir: str) -> tuple[bool, dict]:
     """Compare source vs decoded containers via order-insensitive
     fingerprints (streaming, fully distributed)."""

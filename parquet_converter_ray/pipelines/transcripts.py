@@ -1394,6 +1394,93 @@ def store_upsert_stats(sf_dir: str) -> pa.Table:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def store_cdc_changes(sf_dir: str) -> pa.Table:
+    """ORACLE-CHECKED row-level CDC: encode recast orders, take a hard-link
+    snapshot, mutate the live store with an UPSERT (edited text for
+    o_orderkey % 10 == 0, new 'ins-<orderkey>' conversations for
+    o_orderkey % 100 == 7) and a DELETE (conversations with
+    o_custkey % 25 == 3), then ``store_changes(snapshot, live)`` emits the
+    per-key change set — counted per change kind. The whole delta derives
+    from orders itself, so SQL (CASE + UNION ALL) is an exact oracle of
+    snapshot -> mutate -> partition-local diff. Untouched partitions are
+    skipped from manifest metadata (crc multiset equality); only touched
+    partitions decode. A row both updated and then deleted reports
+    'delete' — the diff sees final states, not the journey. Fresh scratch
+    store per call (the mutations would leak across runs)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from ..decode import store_changes
+    from ..encode import delete_conversations, encode_dataset, upsert_dataset
+    from ..snapshot import snapshot_path, snapshot_store
+    from ._util import read_parquet_clean
+
+    out = tempfile.mkdtemp(prefix="pcr-cdc-", dir="/tmp")
+    try:
+        encode_dataset(_recast_orders(sf_dir), out, n_parts=8, salt_rows=8)
+        snapshot_store(out, name="base")
+
+        def make_delivery(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ks = batch["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+            upd = batch.filter(pa.array(ks % 10 == 0))
+            upd = upd.set_column(
+                upd.column_names.index("text"),
+                "text",
+                pa.array(["UPSERTED"] * upd.num_rows, type=pa.string()),
+            )
+            insrc = batch.filter(pa.array(ks % 100 == 7))
+            ins = pa.table(
+                {
+                    "conv_id": pc.binary_join_element_wise(
+                        "ins-", pc.cast(insrc["turn_idx"], pa.string()), ""
+                    ),
+                    "turn_idx": pa.array([0] * insrc.num_rows, type=batch["turn_idx"].type),
+                    "role": pa.array(["X"] * insrc.num_rows, type=pa.string()),
+                    "text": pa.array(["INSERTED"] * insrc.num_rows, type=pa.string()),
+                }
+            )
+            return pa.concat_tables([upd, ins])
+
+        delivery = _recast_orders(sf_dir).map_batches(make_delivery, batch_format="pyarrow")
+        upsert_dataset(delivery, out)
+
+        keys = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+        def victims_of(batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].combine_chunks()
+            m = pa.array(ck.to_numpy(zero_copy_only=False) % 25 == 3)
+            return pa.table({"k": pc.unique(ck.filter(m))})
+
+        vic = sorted(
+            {
+                f"conv-{k}"
+                for b in keys.map_batches(victims_of, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+                for k in b["k"].to_pylist()
+            }
+        )
+        if vic:
+            delete_conversations(out, vic)
+
+        ds = store_changes(snapshot_path(out, "base"), out)
+        batches = [b for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows]
+        if not batches:
+            return pa.table({"change": pa.array([], pa.string()),
+                             "n_rows": pa.array([], pa.int64())})
+        t = pa.concat_tables(batches)
+        g = t.group_by("change").aggregate([("conv_id", "count")])
+        return pa.table(
+            {"change": g["change"], "n_rows": g["conv_id_count"].cast(pa.int64())}
+        ).sort_by("change")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def store_snapshot_travel(sf_dir: str) -> pa.Table:
     """ORACLE-CHECKED time travel: encode recast orders, take a hard-link
     snapshot, DELETE every conversation with o_custkey % 50 == 0 from the
