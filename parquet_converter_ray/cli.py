@@ -327,6 +327,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=5,
                    help="sample change rows printed when not writing")
 
+    p = sub.add_parser(
+        "vacuum",
+        help="reclaim space: sweep crashed tmp writes, fold crash leftovers "
+             "(repair), report/remove manifest-stray containers, apply "
+             "snapshot retention",
+    )
+    p.add_argument("encoded_dir")
+    p.add_argument("--keep-snapshots", type=int, default=None, metavar="N",
+                   help="drop all but the N most recently published snapshots")
+    p.add_argument("--force-strays", action="store_true",
+                   help="also delete part-*.pcc files the manifest does not "
+                        "reference (data with no lineage — refused by default)")
+    p.add_argument("--dry-run", action="store_true",
+                   help="report what would be removed without removing")
+
     p = sub.add_parser("fsck", help="check store integrity (manifest <-> containers <-> bytes)")
     p.add_argument("encoded_dir")
     p.add_argument("--deep", action="store_true",
@@ -674,6 +689,16 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"rows": sum(counts.values()),
                                   "by_change": dict(sorted(counts.items())),
                                   "plan": plan, "sample": sample}, default=str))
+        elif args.cmd == "vacuum":
+            from .vacuum import vacuum_store
+
+            rep = vacuum_store(
+                args.encoded_dir,
+                keep_snapshots=args.keep_snapshots,
+                force_strays=args.force_strays,
+                dry_run=args.dry_run,
+            )
+            print(json.dumps(rep))
         elif args.cmd == "fsck":
             from .fsck import fsck_store
 
