@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_anytoken_search": transcripts.documents_anytoken_search,
         "dpp_dim_join": transcripts.dpp_dim_join,
         "store_cdc_changes": transcripts.store_cdc_changes,
+        "store_retention_delete": transcripts.store_retention_delete,
         "rebucket_join": transcripts.rebucket_join,
         "store_upsert_stats": transcripts.store_upsert_stats,
         "store_snapshot_travel": transcripts.store_snapshot_travel,
@@ -549,6 +550,13 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'insert' AS change FROM orders WHERE o_orderkey % 100 = 7
             ) GROUP BY change ORDER BY change
+        """,
+        "store_retention_delete": """
+            SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "rebucket_join": """
             SELECT o_orderstatus, count(*)::BIGINT AS n_lineitems,

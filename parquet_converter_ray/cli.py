@@ -147,11 +147,17 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser(
         "delete",
-        help="delete whole conversations from a store in place (rewrites only their partitions)",
+        help="delete whole conversations (keys) or predicate-matching rows "
+             "(--where; the retention/TTL path) from a store in place — "
+             "rewrites only the partitions that can contain matches",
     )
     p.add_argument("encoded_dir")
-    p.add_argument("keys", nargs="+", help="conversation keys; use --int for integer-keyed columns")
+    p.add_argument("keys", nargs="*", help="conversation keys; use --int for integer-keyed columns")
     p.add_argument("--int", dest="as_int", action="store_true")
+    p.add_argument("--where", action="append", default=None, metavar="CLAUSE",
+                   help="delete ROWS matching all clauses instead of whole "
+                        "conversations (same grammar as scan --where); "
+                        "zone maps + footer probes prune untouched partitions")
 
     p = sub.add_parser(
         "snapshot", help="hard-link point-in-time snapshot (delete-proof, O(metadata))"
@@ -430,10 +436,22 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(upsert_dataset(args.input, args.encoded_dir)))
         elif args.cmd == "delete":
-            from .encode import delete_conversations
+            if args.where is not None:
+                if args.keys:
+                    print("delete: pass keys OR --where, not both", file=sys.stderr)
+                    return 2
+                from .encode import delete_rows
 
-            keys = [int(k) for k in args.keys] if args.as_int else list(args.keys)
-            print(json.dumps(delete_conversations(args.encoded_dir, keys)))
+                clauses = [_parse_where(c) for c in args.where]
+                print(json.dumps(delete_rows(args.encoded_dir, clauses)))
+            else:
+                if not args.keys:
+                    print("delete: needs conversation keys or --where", file=sys.stderr)
+                    return 2
+                from .encode import delete_conversations
+
+                keys = [int(k) for k in args.keys] if args.as_int else list(args.keys)
+                print(json.dumps(delete_conversations(args.encoded_dir, keys)))
         elif args.cmd == "snapshot":
             from .snapshot import drop_snapshot, snapshot_store
 

@@ -1397,8 +1397,11 @@ def _rewrite_partition(
     bound_cols: "frozenset[str]" = frozenset(),
     bloom_cols: "frozenset[str]" = frozenset(),
     text_bloom_cols: "frozenset[str]" = frozenset(),
+    where_dnf=None,
 ) -> tuple[int, int]:
-    """Rewrite ONE partition without the victim conversations (delete worker).
+    """Rewrite ONE partition without the victim conversations (delete worker)
+    — or, with ``where_dnf``, without the rows MATCHING that predicate
+    (``delete_rows``: the retention path).
 
     Inputs are the partition's RECORDED containers (base + appended
     generations) plus any record-less generation files (``leftover_paths``) a
@@ -1431,8 +1434,18 @@ def _rewrite_partition(
     if t is None:  # unreachable from delete: probes only select partitions with containers
         return 0, 0
     before = t.num_rows
-    vict = pa.array(victims).cast(t[conv_col].type)
-    t = t.filter(pc.invert(pc.is_in(t[conv_col], value_set=vict)))
+    if where_dnf is not None:
+        # predicate delete (retention): drop rows MATCHING the DNF; SQL
+        # semantics — a null comparison never matches, so null rows stay,
+        # exactly like DELETE ... WHERE in the oracle
+        from .zonemap import dnf_mask
+
+        m = dnf_mask(t, where_dnf)
+        if m is not None:
+            t = t.filter(pc.invert(pc.fill_null(m, False)))
+    else:
+        vict = pa.array(victims).cast(t[conv_col].type)
+        t = t.filter(pc.invert(pc.is_in(t[conv_col], value_set=vict)))
     deleted = before - t.num_rows
 
     for rf in gen_record_files:
@@ -1681,6 +1694,155 @@ def delete_conversations(out_dir: str, conv_values: list, codec: str | dict = "a
     summary["rows_deleted"] = int(sum(d for d, _ in results))
     summary["parts_rewritten"] = len(results)
     return summary
+
+def delete_rows(out_dir: str, predicate, codec: str | dict = "auto") -> dict:
+    """Delete the ROWS matching a predicate from an encoded store IN PLACE —
+    the retention / TTL path (``DELETE FROM store WHERE ...``), rewriting
+    only the partitions that can contain matches.
+
+    The touched set comes from the same pruning stack ``scan_store`` reads
+    with, inverted into a write plan: per-container zone maps rule out
+    containers where NO row can match (``record_may_match`` per DNF branch),
+    then the batched dictionary/Bloom footer probe refines membership-style
+    predicates — a partition is rewritten only if some container survives
+    both. On a range-clustered store a TTL delete ("ts < horizon") therefore
+    rewrites only the horizon's boundary and interior containers; the rest
+    of the store keeps its exact bytes (resume/fsck/zonemap state stays
+    valid). Each touched partition folds base + generations + crash
+    leftovers and rewrites atomically under the same crash contract as
+    ``delete_conversations`` (shared ``_rewrite_partition`` worker; SQL null
+    semantics — null comparisons never match, so null rows survive, same as
+    the oracle's DELETE). Works on hash-routed, salted, and range-clustered
+    layouts alike: candidates come from statistics, not key routing."""
+    import glob as _glob
+
+    from .decode import resolve_container_path
+    from .zonemap import (
+        _normalize_dnf,
+        _probe_applies,
+        probe_verdicts,
+        record_may_match,
+    )
+
+    prior = mf.load_run_record(out_dir)
+    if prior is None:
+        raise ValueError(f"no run record in {out_dir} — delete needs an encoded store")
+    conv_col, order_col = prior["conv_col"], prior.get("order_col")
+    sort_key = tuple(prior.get("sort_key") or ([conv_col] + ([order_col] if order_col else [])))
+    dnf = _normalize_dnf(predicate)
+    if not any(br for br in dnf):
+        raise ValueError("delete_rows needs a non-empty predicate — an empty "
+                         "one would delete the whole store; use a fresh encode instead")
+
+    recs = mf.load_records(out_dir)
+    by_part: dict[int, list[dict]] = {}
+    for r in recs:
+        by_part.setdefault(int(r["part_id"]), []).append(r)
+
+    # pruning stack, inverted into a write plan: container may hold a match
+    # if ANY DNF branch may match its zone maps
+    may: dict[int, list[dict]] = {}
+    for pid, rs in by_part.items():
+        keep = [
+            r for r in rs
+            if any(record_may_match(r.get("stats") or {}, int(r.get("rows", 0)), br)
+                   for br in dnf)
+        ]
+        if keep:
+            may[pid] = keep
+    plan = {"parts_total": len(by_part), "pruned_stats": len(by_part) - len(may),
+            "pruned_probe": 0}
+    if may and _probe_applies(dnf):
+        paths = [resolve_container_path(out_dir, r) for rs in may.values() for r in rs]
+        verdicts = probe_verdicts(paths, dnf)
+        refined: dict[int, list[dict]] = {}
+        for pid, rs in may.items():
+            keep = [r for r in rs
+                    if verdicts.get(resolve_container_path(out_dir, r)) == "keep"]
+            if keep:
+                refined[pid] = keep
+        plan["pruned_probe"] = len(may) - len(refined)
+        may = refined
+    touched = set(may)
+
+    # sweep crash leftovers exactly like delete_conversations: record-less
+    # generation files force their partitions into the rewrite set
+    recorded_names = {os.path.basename(r["path"]) for r in recs}
+    for f in _glob.glob(os.path.join(out_dir, "part-*-g*.pcc")):
+        if os.path.basename(f) not in recorded_names:
+            try:
+                touched.add(int(os.path.basename(f)[5:10]))
+            except ValueError:
+                pass
+
+    if not touched:
+        return {"rows_deleted": 0, "parts_rewritten": 0, "plan": plan,
+                **{k: v for k, v in mf.consolidate(out_dir).items()}}
+
+    rewrite = ray.remote(num_cpus=1)(_rewrite_partition)
+
+    def _gen_of(path: str) -> int:
+        try:
+            return int(os.path.basename(path).rsplit("-g", 1)[1].split(".")[0])
+        except (IndexError, ValueError):
+            return 0
+
+    folded_gen = 0
+    futures = []
+    for pid in sorted(touched):
+        if pid not in by_part:
+            if os.path.exists(os.path.join(out_dir, f"part-{pid:05d}.pcc")):
+                raise ValueError(
+                    f"partition {pid} in {out_dir} has a base container and "
+                    "generation file(s) but no lineage records at all — "
+                    "refusing to guess; run fsck --repair"
+                )
+            leftovers = sorted(_glob.glob(os.path.join(out_dir, f"part-{pid:05d}-g*.pcc")))
+            folded_gen = max([folded_gen] + [_gen_of(p) for p in leftovers])
+            futures.append(rewrite.remote(
+                pid, [], leftovers, [], {}, None,
+                out_dir, conv_col, sort_key, codec, [],
+                frozenset(prior.get("cluster_by") or ()),
+                frozenset(prior.get("bloom_cols") or ()),
+                frozenset(prior.get("text_bloom_cols") or ()),
+                where_dnf=dnf,
+            ))
+            continue
+        paths = [resolve_container_path(out_dir, r) for r in by_part[pid]]
+        leftovers = sorted(
+            set(_glob.glob(os.path.join(out_dir, f"part-{pid:05d}-g*.pcc"))) - set(paths)
+        )
+        folded_gen = max(
+            [folded_gen]
+            + [int(r.get("generation", 0)) for r in by_part[pid]]
+            + [_gen_of(p) for p in leftovers]
+        )
+        gen_recs = [
+            mf.record_path(out_dir, pid, int(r.get("generation", 0)))
+            for r in by_part[pid]
+            if int(r.get("generation", 0))
+        ]
+        base_rec = next((r for r in by_part[pid] if not int(r.get("generation", 0))), None)
+        futures.append(rewrite.remote(
+            pid, paths, leftovers, gen_recs,
+            (base_rec or {}).get("folded") or {},
+            (base_rec or {}).get("crc32"),
+            out_dir, conv_col, sort_key, codec, [],
+            frozenset(prior.get("cluster_by") or ()),
+            frozenset(prior.get("bloom_cols") or ()),
+            frozenset(prior.get("text_bloom_cols") or ()),
+            where_dnf=dnf,
+        ))
+    results = ray.get(futures)
+    if folded_gen > int(prior.get("snapshot_watermark") or 0):
+        prior["snapshot_watermark"] = folded_gen
+        mf.write_run_record(out_dir, prior)
+    summary = mf.consolidate(out_dir)
+    summary["rows_deleted"] = int(sum(d for d, _ in results))
+    summary["parts_rewritten"] = len(results)
+    summary["plan"] = plan
+    return summary
+
 
 def repair_store(out_dir: str) -> dict:
     """Finish any interrupted ``delete_conversations``: sweep record-less

@@ -1481,6 +1481,68 @@ def store_cdc_changes(sf_dir: str) -> pa.Table:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def store_retention_delete(sf_dir: str) -> pa.Table:
+    """ORACLE-CHECKED predicate delete (the retention / TTL path): lineitem
+    is encoded RANGE-CLUSTERED on ship date, ``delete_rows`` drops every row
+    shipped before 1996 — zone maps prove most containers hold no match, so
+    only the horizon's boundary/interior partitions rewrite — and the
+    surviving store aggregates per return flag. Oracle: plain SQL over the
+    raw table with the delete expressed as ``WHERE l_shipdate >= horizon``.
+    Fresh scratch store per call (the delete mutates it).
+
+    At 100 TB shape: TTL enforcement costs the matching containers' rewrite
+    plus KB of metadata reads — never a store scan, never a shuffle."""
+    import shutil
+    import tempfile
+
+    from ..decode import decode_dataset
+    from ..encode import delete_rows, encode_dataset
+    from ._util import finish_on_driver, sql_round
+
+    out = tempfile.mkdtemp(prefix="pcr-ttl-", dir="/tmp")
+    try:
+        shutil.rmtree(out, ignore_errors=True)
+        encode_dataset(
+            f"{sf_dir}/lineitem.parquet", out, n_parts=16,
+            conv_col="l_orderkey", order_col="l_linenumber",
+            sort_key=("l_orderkey", "l_linenumber"), salt_rows=0,
+            cluster_by="l_shipdate",
+        )
+        delete_rows(out, [("l_shipdate", "<", "1996-01-01")])
+
+        import pandas as pd
+
+        def partial(batch: pa.Table) -> "pd.DataFrame":
+            if batch.num_rows == 0:
+                return pd.DataFrame({"l_returnflag": [], "n_rows": [], "sum_qty": []})
+            g = batch.group_by("l_returnflag").aggregate(
+                [("l_quantity", "count"), ("l_quantity", "sum")]
+            )
+            return pd.DataFrame(
+                {
+                    "l_returnflag": g["l_returnflag"].to_pylist(),
+                    "n_rows": g["l_quantity_count"].to_numpy(zero_copy_only=False),
+                    "sum_qty": g["l_quantity_sum"].to_numpy(zero_copy_only=False),
+                }
+            )
+
+        ds = decode_dataset(out, columns=["l_returnflag", "l_quantity"])
+        tot = finish_on_driver(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["l_returnflag"],
+            ["n_rows", "sum_qty"],
+        ).sort_values("l_returnflag")
+        return pa.table(
+            {
+                "l_returnflag": pa.array(tot["l_returnflag"], pa.string()),
+                "n_rows": pa.array(tot["n_rows"].astype("int64"), pa.int64()),
+                "sum_qty": pa.array(sql_round(tot["sum_qty"].to_numpy(), 2), pa.float64()),
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def store_snapshot_travel(sf_dir: str) -> pa.Table:
     """ORACLE-CHECKED time travel: encode recast orders, take a hard-link
     snapshot, DELETE every conversation with o_custkey % 50 == 0 from the

@@ -28,6 +28,10 @@ from parquet_converter_ray.encode import (
 from parquet_converter_ray.fsck import fsck_store
 from parquet_converter_ray.synth import make_transcripts
 
+import ray
+
+SF_DIR = "/root/testdata/sf0.001"
+
 SORT = [(c, "ascending") for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")]
 
 
@@ -371,3 +375,125 @@ def test_delete_mixed_key_types_raises(ray_session, tmp_path):
     enc, _ = _mk_store(tmp_path, n=1000, append_n=200)
     with pytest.raises(TypeError, match="uniformly"):
         delete_conversations(enc, ["conv-a", 7])
+
+
+# --- predicate row delete (retention / TTL) -------------------------------------------
+
+
+class TestDeleteRows:
+    def _lineitem_range_store(self, tmp_path, n_parts=16):
+        out = str(tmp_path / "ttl_store")
+        encode_dataset(
+            f"{SF_DIR}/lineitem.parquet", out, n_parts=n_parts,
+            conv_col="l_orderkey", order_col="l_linenumber",
+            sort_key=("l_orderkey", "l_linenumber"), salt_rows=0,
+            cluster_by="l_shipdate",
+        )
+        return out
+
+    def test_ttl_prunes_and_matches_duckdb(self, ray_session, tmp_path):
+        import duckdb
+
+        from parquet_converter_ray.encode import delete_rows
+        from parquet_converter_ray.fsck import fsck_store
+
+        out = self._lineitem_range_store(tmp_path)
+        res = delete_rows(out, [("l_shipdate", "<", "1996-01-01")])
+        exp_deleted = duckdb.sql(
+            f"""SELECT count(*) FROM '{SF_DIR}/lineitem.parquet'
+                WHERE l_shipdate < TIMESTAMP '1996-01-01'"""
+        ).fetchone()[0]
+        assert res["rows_deleted"] == exp_deleted > 0
+        # zone maps prove most containers hold no pre-1996 row
+        assert res["plan"]["pruned_stats"] > 0
+        assert res["parts_rewritten"] < res["plan"]["parts_total"]
+        got = decode_dataset(out).count()
+        exp = duckdb.sql(
+            f"""SELECT count(*) FROM '{SF_DIR}/lineitem.parquet'
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'"""
+        ).fetchone()[0]
+        assert got == exp
+        assert fsck_store(out)["ok"]
+
+    def test_delete_rows_null_rows_survive(self, ray_session, tmp_path):
+        from parquet_converter_ray.encode import delete_rows
+
+        t = pa.table(
+            {
+                "conv_id": pa.array([f"c{i}" for i in range(100)]),
+                "turn_idx": pa.array(list(range(100)), pa.int64()),
+                "score": pa.array(
+                    [None if i % 10 == 0 else float(i) for i in range(100)]
+                ),
+            }
+        )
+        out = str(tmp_path / "nullstore")
+        encode_dataset(ray.data.from_arrow(t), out, n_parts=4,
+                       conv_col="conv_id", order_col="turn_idx",
+                       sort_key=("conv_id", "turn_idx"), salt_rows=0)
+        res = delete_rows(out, [("score", ">=", 0.0)])
+        # SQL semantics: NULL >= 0.0 is not TRUE, so the 10 null rows stay
+        assert res["rows_deleted"] == 90
+        left = pa.concat_tables(
+            list(decode_dataset(out).iter_batches(batch_format="pyarrow"))
+        )
+        assert left.num_rows == 10
+        assert left["score"].null_count == 10
+
+    def test_delete_rows_folds_generations(self, ray_session, tmp_path):
+        import glob as _glob
+
+        from parquet_converter_ray.encode import append_dataset, delete_rows
+
+        out = self._lineitem_range_store(tmp_path, n_parts=4)
+        extra = pa.table(
+            {
+                "l_orderkey": pa.array([10_000_001], pa.int64()),
+                "l_linenumber": pa.array([1], pa.int32()),
+            }
+        )
+        # append rows that land INSIDE the to-be-deleted ship-date band, so
+        # the touched partitions hold generation containers to fold
+        import pyarrow.parquet as pq
+
+        src = pq.read_table(f"{SF_DIR}/lineitem.parquet")
+        early = src.filter(
+            pc.less(src["l_shipdate"], pa.scalar("1996-01-01").cast(src["l_shipdate"].type))
+        ).slice(0, 5)
+        assert early.num_rows == 5
+        append_dataset(ray.data.from_arrow(early), out)
+        assert _glob.glob(os.path.join(out, "part-*-g*.pcc"))
+        before = decode_dataset(out).count()
+        res = delete_rows(out, [("l_shipdate", "<", "1996-01-01")])
+        assert res["rows_deleted"] > 0
+        assert decode_dataset(out).count() == before - res["rows_deleted"]
+        # touched partitions folded their generations into fresh bases
+        from parquet_converter_ray import manifest as mf
+
+        prior = mf.load_run_record(out)
+        assert int(prior.get("snapshot_watermark") or 0) >= 1
+
+    def test_delete_rows_refuses_empty_predicate(self, ray_session, tmp_path):
+        from parquet_converter_ray.encode import delete_rows
+
+        out = self._lineitem_range_store(tmp_path, n_parts=4)
+        with pytest.raises(ValueError, match="non-empty predicate"):
+            delete_rows(out, [])
+
+    def test_cli_delete_where(self, ray_session, tmp_path, capsys):
+        import json
+
+        from parquet_converter_ray.cli import main
+
+        out = self._lineitem_range_store(tmp_path, n_parts=4)
+        rc = main(["delete", out, "--where", "l_quantity <= 2"])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        import duckdb
+
+        exp = duckdb.sql(
+            f"SELECT count(*) FROM '{SF_DIR}/lineitem.parquet' WHERE l_quantity <= 2"
+        ).fetchone()[0]
+        assert rep["rows_deleted"] == exp
+        rc = main(["delete", out, "k1", "--where", "l_quantity <= 3"])
+        assert rc == 2  # keys and --where together refused
