@@ -69,6 +69,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dpp_dim_join": transcripts.dpp_dim_join,
         "store_cdc_changes": transcripts.store_cdc_changes,
         "store_retention_delete": transcripts.store_retention_delete,
+        # touched this session: store_join_dim now defaults to dynamic
+        # partition pruning, so its long-green driver query re-enters the
+        # first-50 window
+        "salted_dim_join": transcripts.salted_dim_join,
         "rebucket_join": transcripts.rebucket_join,
         "store_upsert_stats": transcripts.store_upsert_stats,
         "store_snapshot_travel": transcripts.store_snapshot_travel,
@@ -123,7 +127,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_band_union_revenue": transcripts.lineitem_band_union_revenue,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "store_bucket_join": transcripts.store_bucket_join,
-        "salted_dim_join": transcripts.salted_dim_join,
         "range_search": similarity.range_search,
         # --- (slot >50 from here) rotated-out long-green rows ---
         "export_wds": export.export_wds,
