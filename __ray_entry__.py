@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-bucket simhash/phash), then the round-4 window remainder. Eight
         # long-green r4 rows rotated just below slot 50.
         # --- round-5 new queries ---
+        "store_group_agg": transcripts.store_group_agg,
+        "store_family_group_agg": transcripts.store_family_group_agg,
         "documents_text_search": transcripts.documents_text_search,
         "documents_phrase_search": transcripts.documents_phrase_search,
         "documents_anytoken_search": transcripts.documents_anytoken_search,
@@ -117,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_store_profile": transcripts.lineitem_store_profile,
         "mix_sources": export.mix_sources,
         "split_assign": export.split_assign,
+        # --- (slot >50 from here) rotated below the window for the two new
+        # grouped-aggregate queries; long-green since r4 ---
         "pack_sequences": export.pack_sequences,
         "export_shards": export.export_shards,
         "audio_rms_windows": multimodal.audio_rms_windows,
@@ -230,6 +234,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "store_group_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*)::BIGINT AS n_rows,
+                   sum(l_quantity)::DOUBLE AS sum_l_quantity,
+                   min(l_extendedprice) AS min_l_extendedprice,
+                   max(l_shipdate) AS max_l_shipdate
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "store_family_group_agg": """
+            SELECT o_orderpriority,
+                   count(*)::BIGINT AS n_rows,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            WHERE o_orderdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1995-06-30'
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
         "count_lineitem": "SELECT count(*) AS n FROM lineitem",
         "null_unique_profile": """
             SELECT 'o_custkey' AS col, count(*) - count(o_custkey) AS null_count,

@@ -40,6 +40,10 @@ def _parse_where(clause: str) -> tuple[str, str, object]:
 
     def _val(s: str):
         s = s.strip()
+        # matching quotes delimit a string literal: "role == 'user'" must
+        # compare against user, not 'user' (quoted digits stay strings)
+        if len(s) >= 2 and s[0] == s[-1] and s[0] in ("'", '"'):
+            return s[1:-1]
         for conv in (int, float):
             try:
                 return conv(s)
@@ -284,6 +288,12 @@ def main(argv: list[str] | None = None) -> int:
         "--where-any", action="append", metavar="BRANCH",
         help="OR-branch of '&'-separated conjuncts (repeatable; ORed, each "
              "ANDed with any --where conjuncts) — same grammar as scan",
+    )
+    p.add_argument(
+        "--group-by", default=None, metavar="COL[,COL...]",
+        help="GROUP BY columns: emits one row per group (JSON lines, sorted "
+             "by group key); containers whose zone maps prove a single group "
+             "value answer from metadata without opening",
     )
 
     p = sub.add_parser(
@@ -626,17 +636,36 @@ def main(argv: list[str] | None = None) -> int:
                 ])
             else:
                 predicate = common or None
-            if len(args.encoded_dir) == 1:
+            if args.group_by:
+                from .storegroup import store_agg_group, store_agg_group_multi
+
+                gb = [c.strip() for c in args.group_by.split(",") if c.strip()]
+                if len(args.encoded_dir) == 1:
+                    tbl, plan = store_agg_group(
+                        args.encoded_dir[0], gb, args.agg, predicate,
+                        return_plan=True,
+                    )
+                else:
+                    tbl, plan = store_agg_group_multi(
+                        args.encoded_dir, gb, args.agg, predicate,
+                        return_plan=True,
+                    )
+                tbl = tbl.sort_by([(c, "ascending") for c in gb])
+                print(json.dumps({"plan": plan}, default=str))
+                for row in tbl.to_pylist():
+                    print(json.dumps(row, default=str))
+            elif len(args.encoded_dir) == 1:
                 result, plan = store_agg(
                     args.encoded_dir[0], args.agg, predicate, return_plan=True
                 )
+                print(json.dumps({"plan": plan, "result": result}, default=str))
             else:
                 from .storeagg import store_agg_multi
 
                 result, plan = store_agg_multi(
                     args.encoded_dir, args.agg, predicate, return_plan=True
                 )
-            print(json.dumps({"plan": plan, "result": result}, default=str))
+                print(json.dumps({"plan": plan, "result": result}, default=str))
         elif args.cmd == "join":
             from .storejoin import store_join, store_join_multi
 

@@ -1706,3 +1706,66 @@ def store_family_agg(sf_dir: str) -> pa.Table:
             "sum_price": pa.array([r2(res["sum_o_totalprice"])], pa.float64()),
         }
     )
+
+
+def store_group_agg(sf_dir: str) -> pa.Table:
+    """GROUP BY pushdown over the range-clustered lineitem store
+    (``storegroup.store_agg_group``): the ship-date predicate prunes the
+    pre-band containers from manifest zone maps (asserted), survivors decode
+    only the 5 involved columns and fold vectorized grouped partials; the
+    final fold is one driver-side Arrow group_by. ``sum(l_quantity)`` is a
+    sum of integral-valued doubles — exact in f64 regardless of fold order,
+    so the hash against DuckDB is stable without rounding. Oracle: plain
+    SQL GROUP BY over raw lineitem."""
+    from ..storegroup import store_agg_group
+
+    tbl, plan = store_agg_group(
+        _lineitem_range_store(sf_dir),
+        ["l_returnflag", "l_linestatus"],
+        ["count", "sum:l_quantity", "min:l_extendedprice", "max:l_shipdate"],
+        [("l_shipdate", ">=", "1997-01-01")],
+        return_plan=True,
+    )
+    assert plan["pruned"] > 0, f"range clustering should prune the pre-band: {plan}"
+    tbl = tbl.rename_columns(
+        ["l_returnflag", "l_linestatus", "n_rows", "sum_l_quantity",
+         "min_l_extendedprice", "max_l_shipdate"]
+    )
+    return tbl.sort_by(
+        [("l_returnflag", "ascending"), ("l_linestatus", "ascending")]
+    )
+
+
+def store_family_group_agg(sf_dir: str) -> pa.Table:
+    """GROUP BY over the delivery FAMILY as one logical table
+    (``storegroup.store_agg_group_multi``): per-member three-class plans
+    share one partial pool, one scan job covers every member's remainder,
+    and the date band ending before the delivery split proves the post-split
+    member contributes zero opened containers (asserted). Oracle: plain SQL
+    GROUP BY over raw orders."""
+    from ..storegroup import store_agg_group_multi
+    from ._util import sql_round
+
+    dirs = _orders_family(sf_dir)
+    tbl, plan = store_agg_group_multi(
+        dirs,
+        ["o_orderpriority"],
+        ["count", "min:o_totalprice", "max:o_totalprice", "sum:o_totalprice"],
+        [("o_orderdate", "between", ("1994-01-01", "1995-06-30"))],
+        return_plan=True,
+    )
+    new = plan["stores"][dirs[1]]
+    assert new["pruned"] == new["parts_total"], f"post-split store should prune fully: {new}"
+    import pandas as pd
+
+    df = tbl.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    out = pd.DataFrame(
+        {
+            "o_orderpriority": df["o_orderpriority"],
+            "n_rows": df["count"].astype("int64"),
+            "min_price": sql_round(df["min_o_totalprice"].to_numpy(), 2),
+            "max_price": sql_round(df["max_o_totalprice"].to_numpy(), 2),
+            "sum_price": sql_round(df["sum_o_totalprice"].to_numpy(), 2),
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -74,6 +74,22 @@ def test_cli_prefix_grammar():
     assert _parse_where("conv_id prefix conv-0001") == ("conv_id", "prefix", "conv-0001")
 
 
+def test_cli_where_unquotes_comparison_values():
+    """Quoted string literals in comparison/in/between ops must unquote —
+    "role == 'user'" previously compared against the 5-char string 'user'
+    (quotes included), so zone maps pruned every container and scan/agg
+    silently returned zero rows."""
+    from parquet_converter_ray.cli import _parse_where
+
+    assert _parse_where("role == 'user'") == ("role", "==", "user")
+    assert _parse_where('role != "tool"') == ("role", "!=", "tool")
+    assert _parse_where("role in 'user','tool'") == ("role", "in", ["user", "tool"])
+    assert _parse_where("k between 'a','b'") == ("k", "between", ("a", "b"))
+    # quoted digits stay strings; unquoted digits stay numeric
+    assert _parse_where("tag == '7'") == ("tag", "==", "7")
+    assert _parse_where("n == 7") == ("n", "==", 7)
+
+
 def test_knn_ivf_persisted_matches_inprocess(ray_session):
     """Persisted IVF index: identical results to the in-process IVF (same
     centroids, same assignment, same rerank) with the corpus never scanned
