@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-bucket simhash/phash), then the round-4 window remainder. Eight
         # long-green r4 rows rotated just below slot 50.
         # --- round-5 new queries ---
+        "store_distinct_pushdown": transcripts.store_distinct_pushdown,
+        "store_topk_scan": transcripts.store_topk_scan,
+        "store_family_topk": transcripts.store_family_topk,
         "store_group_agg": transcripts.store_group_agg,
         "store_family_group_agg": transcripts.store_family_group_agg,
         "documents_text_search": transcripts.documents_text_search,
@@ -234,6 +237,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "store_distinct_pushdown": """
+            SELECT DISTINCT l_returnflag
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            ORDER BY l_returnflag
+        """,
+        "store_topk_scan": """
+            SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+            FROM lineitem
+            ORDER BY l_shipdate DESC, l_orderkey, l_linenumber
+            LIMIT 12
+        """,
+        "store_family_topk": """
+            SELECT o_orderkey, o_orderdate, o_totalprice
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 7
+        """,
         "store_group_agg": """
             SELECT l_returnflag, l_linestatus,
                    count(*)::BIGINT AS n_rows,

@@ -297,6 +297,48 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = sub.add_parser(
+        "distinct",
+        help="DISTINCT values of one store column, metadata-first: dictionary "
+             "footers answer dict-encoded containers from KB-ranged reads, "
+             "zone maps answer single-valued ones from manifest JSON; only "
+             "the remainder decodes. Several directories fold as ONE family",
+    )
+    p.add_argument("encoded_dir", nargs="+")
+    p.add_argument("column")
+    p.add_argument(
+        "--where", action="append", default=[], metavar="CLAUSE",
+        help="conjunct (repeatable, ANDed; optional) — same grammar as scan",
+    )
+    p.add_argument(
+        "--where-any", action="append", metavar="BRANCH",
+        help="OR-branch of '&'-separated conjuncts — same grammar as scan",
+    )
+    p.add_argument("--limit", type=int, default=20,
+                   help="values printed (the count always prints)")
+    p.add_argument("--max-values", type=int, default=None,
+                   help="driver-fold guard override (default 2M)")
+
+    p = sub.add_parser(
+        "topk",
+        help="ORDER BY ... LIMIT k pushdown: zone maps prove a value "
+             "threshold from fully-matching containers, the threshold joins "
+             "the predicate, and only best-end containers/pages decode. "
+             "Several directories answer as ONE family",
+    )
+    p.add_argument("encoded_dir", nargs="+")
+    p.add_argument("--by", required=True, metavar="COL", help="ordering column")
+    p.add_argument("-k", type=int, default=10, help="rows to keep (default 10)")
+    p.add_argument("--asc", action="store_true",
+                   help="smallest first (default: largest first)")
+    p.add_argument("--where", action="append", default=[], metavar="CLAUSE")
+    p.add_argument("--where-any", action="append", metavar="BRANCH")
+    p.add_argument("--columns", nargs="*", default=None)
+    p.add_argument("--tiebreak", default=None, metavar="COL[,COL...]",
+                   help="ascending tie-break columns (deterministic row set)")
+    p.add_argument("--output", default=None,
+                   help="write the k rows as parquet instead of printing")
+
+    p = sub.add_parser(
         "join",
         help="co-partitioned (bucketed) join of TWO OR MORE encoded stores "
              "hash-routed on the same key — each part_id joins locally, zero "
@@ -666,6 +708,51 @@ def main(argv: list[str] | None = None) -> int:
                     args.encoded_dir, args.agg, predicate, return_plan=True
                 )
                 print(json.dumps({"plan": plan, "result": result}, default=str))
+        elif args.cmd == "distinct":
+            from .storedistinct import store_distinct_multi
+
+            common = [_parse_where(w) for w in args.where]
+            if args.where_any:
+                predicate = ("or", [
+                    common + [_parse_where(c) for c in b.split("&")]
+                    for b in args.where_any
+                ])
+            else:
+                predicate = common or None
+            kw = {}
+            if args.max_values is not None:
+                kw["max_values"] = args.max_values
+            tbl, plan = store_distinct_multi(
+                args.encoded_dir, args.column, predicate, return_plan=True, **kw
+            )
+            print(json.dumps({"plan": plan, "n_values": tbl.num_rows}, default=str))
+            for v in tbl[args.column].to_pylist()[: args.limit]:
+                print(json.dumps({args.column: v}, default=str))
+        elif args.cmd == "topk":
+            from .storetopk import store_topk_multi
+
+            common = [_parse_where(w) for w in args.where]
+            if args.where_any:
+                predicate = ("or", [
+                    common + [_parse_where(c) for c in b.split("&")]
+                    for b in args.where_any
+                ])
+            else:
+                predicate = common or None
+            tb = [c.strip() for c in (args.tiebreak or "").split(",") if c.strip()]
+            tbl, plan = store_topk_multi(
+                args.encoded_dir, args.by, args.k, desc=not args.asc,
+                predicate=predicate, columns=args.columns, tiebreak=tb,
+                return_plan=True,
+            )
+            print(json.dumps({"plan": plan, "rows": tbl.num_rows}, default=str))
+            if args.output:
+                import pyarrow.parquet as pq
+
+                pq.write_table(tbl, args.output, compression=cfg.compression)
+            else:
+                for row in tbl.to_pylist():
+                    print(json.dumps(row, default=str))
         elif args.cmd == "join":
             from .storejoin import store_join, store_join_multi
 

@@ -1708,6 +1708,76 @@ def store_family_agg(sf_dir: str) -> pa.Table:
     )
 
 
+def store_distinct_pushdown(sf_dir: str) -> pa.Table:
+    """DISTINCT pushdown over the range-clustered lineitem store
+    (``storedistinct.store_distinct``): the ship-date predicate prunes the
+    pre-band containers from manifest zone maps (asserted); fully-matching
+    survivors answer from their dictionary footers (KB-ranged reads of the
+    dict-values buffers — ``l_returnflag`` is low-cardinality, so the dict
+    codec wins at encode) without decoding any data pages (asserted); only
+    the band-boundary containers decode. Oracle: SELECT DISTINCT over raw
+    lineitem."""
+    from ..storedistinct import store_distinct
+
+    tbl, plan = store_distinct(
+        _lineitem_range_store(sf_dir),
+        "l_returnflag",
+        [("l_shipdate", ">=", "1997-01-01")],
+        return_plan=True,
+    )
+    assert plan["pruned"] > 0, f"range clustering should prune the pre-band: {plan}"
+    assert plan["footer_answered"] > 0, f"dict footers should answer: {plan}"
+    return tbl
+
+
+def store_topk_scan(sf_dir: str) -> pa.Table:
+    """ORDER BY ... LIMIT pushdown over the range-clustered lineitem store
+    (``storetopk.store_topk``): zone maps prove a ship-date threshold τ from
+    fully-matching containers, τ joins the predicate, and only the latest
+    date-range containers decode (asserted) — their per-page min/max masks
+    and sorted-lead ranges narrow further inside each container. The
+    (l_orderkey, l_linenumber) tiebreak makes the row SET deterministic.
+    Oracle: plain ORDER BY ... LIMIT over raw lineitem."""
+    from ..storetopk import store_topk
+
+    tbl, plan = store_topk(
+        _lineitem_range_store(sf_dir),
+        "l_shipdate",
+        12,
+        desc=True,
+        columns=["l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"],
+        tiebreak=["l_orderkey", "l_linenumber"],
+        return_plan=True,
+    )
+    assert plan["tau"] is not None, f"zone maps should prove a threshold: {plan}"
+    assert plan["pruned_stats"] > 0, f"τ should prune early-date containers: {plan}"
+    return tbl
+
+
+def store_family_topk(sf_dir: str) -> pa.Table:
+    """Top-k over the delivery FAMILY as one logical table
+    (``storetopk.store_topk_multi``): the τ guarantee pool spans both
+    members (top-k is a global question), the date-band predicate prunes
+    pre-band containers inside the historical member (asserted), and one
+    scan job covers every surviving container across members. Oracle:
+    WHERE + ORDER BY ... LIMIT over raw orders."""
+    from ..storetopk import store_topk_multi
+
+    tbl, plan = store_topk_multi(
+        _orders_family(sf_dir),
+        "o_totalprice",
+        7,
+        desc=True,
+        predicate=[("o_orderdate", ">=", "1995-07-01")],
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+        tiebreak=["o_orderkey"],
+        return_plan=True,
+    )
+    assert plan["tau"] is not None, f"full containers should prove τ: {plan}"
+    assert plan["pruned_stats"] > 0, f"the pre-band should prune: {plan}"
+    return tbl
+
+
 def store_group_agg(sf_dir: str) -> pa.Table:
     """GROUP BY pushdown over the range-clustered lineitem store
     (``storegroup.store_agg_group``): the ship-date predicate prunes the

@@ -142,3 +142,30 @@ def test_cli_decode_partition_by(small_parquet, tmp_path_factory):
     assert t.num_rows == src.num_rows
     key = [(c, "ascending") for c in sorted(src.column_names)]
     assert t.select(src.column_names).cast(src.schema).sort_by(key).equals(src.sort_by(key))
+
+
+def test_cli_distinct_and_topk(small_parquet, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli") / "enc")
+    r = run_cli("encode", small_parquet, out, "--n-parts", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = run_cli("distinct", out, "role")
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = r.stdout.strip().splitlines()
+    head = json.loads(lines[0])
+    vals = {json.loads(ln)["role"] for ln in lines[1:]}
+    assert vals == {"assistant", "system", "user", "tool"}
+    assert head["plan"]["scanned"] == 0, head  # dict footers answer everything
+
+    r = run_cli(
+        "topk", out, "--by", "ts", "-k", "3",
+        "--columns", "conv_id", "turn_idx", "ts",
+        "--tiebreak", "conv_id,turn_idx",
+        "--where", "role==user",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = r.stdout.strip().splitlines()
+    assert json.loads(lines[0])["rows"] == 3
+    rows = [json.loads(ln) for ln in lines[1:]]
+    assert len(rows) == 3
+    assert rows[0]["ts"] >= rows[1]["ts"] >= rows[2]["ts"]
