@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_distinct_pushdown": transcripts.store_distinct_pushdown,
         "store_topk_scan": transcripts.store_topk_scan,
         "store_family_topk": transcripts.store_family_topk,
+        "store_group_topk_scan": transcripts.store_group_topk_scan,
         "store_group_agg": transcripts.store_group_agg,
         "store_family_group_agg": transcripts.store_family_group_agg,
         "documents_text_search": transcripts.documents_text_search,
@@ -255,6 +256,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1995-07-01'
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 7
+        """,
+        "store_group_topk_scan": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+            FROM (
+                SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+                       ) AS rn
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            )
+            WHERE rn <= 3
+            ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber
         """,
         "store_group_agg": """
             SELECT l_returnflag, l_linestatus,

@@ -335,6 +335,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--columns", nargs="*", default=None)
     p.add_argument("--tiebreak", default=None, metavar="COL[,COL...]",
                    help="ascending tie-break columns (deterministic row set)")
+    p.add_argument("--group-by", default=None, metavar="COL[,COL...]",
+                   help="top-k rows PER GROUP (ROW_NUMBER semantics) instead "
+                        "of globally")
     p.add_argument("--output", default=None,
                    help="write the k rows as parquet instead of printing")
 
@@ -740,11 +743,21 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 predicate = common or None
             tb = [c.strip() for c in (args.tiebreak or "").split(",") if c.strip()]
-            tbl, plan = store_topk_multi(
-                args.encoded_dir, args.by, args.k, desc=not args.asc,
-                predicate=predicate, columns=args.columns, tiebreak=tb,
-                return_plan=True,
-            )
+            if args.group_by:
+                from .storetopk import store_group_topk_multi
+
+                gb = [c.strip() for c in args.group_by.split(",") if c.strip()]
+                tbl, plan = store_group_topk_multi(
+                    args.encoded_dir, gb, args.by, args.k, desc=not args.asc,
+                    predicate=predicate, columns=args.columns, tiebreak=tb,
+                    return_plan=True,
+                )
+            else:
+                tbl, plan = store_topk_multi(
+                    args.encoded_dir, args.by, args.k, desc=not args.asc,
+                    predicate=predicate, columns=args.columns, tiebreak=tb,
+                    return_plan=True,
+                )
             print(json.dumps({"plan": plan, "rows": tbl.num_rows}, default=str))
             if args.output:
                 import pyarrow.parquet as pq

@@ -1778,6 +1778,35 @@ def store_family_topk(sf_dir: str) -> pa.Table:
     return tbl
 
 
+def store_group_topk_scan(sf_dir: str) -> pa.Table:
+    """Grouped top-k pushdown over the range-clustered lineitem store
+    (``storetopk.store_group_topk``): ``ROW_NUMBER() OVER (PARTITION BY
+    l_returnflag ORDER BY l_extendedprice DESC, ...) <= 3`` without a global
+    sort or exchange — the ship-date predicate prunes the pre-band
+    containers from manifest zone maps (asserted), survivors decode only the
+    5 involved columns, each block keeps its 3 best rows per flag, and the
+    driver fold repeats the selection over ≤ 3 flags × 3 × blocks rows.
+    Oracle: the same window query over raw lineitem."""
+    from ..storetopk import store_group_topk
+
+    tbl, plan = store_group_topk(
+        _lineitem_range_store(sf_dir),
+        ["l_returnflag"],
+        "l_extendedprice",
+        3,
+        desc=True,
+        predicate=[("l_shipdate", ">=", "1997-01-01")],
+        columns=["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"],
+        tiebreak=["l_orderkey", "l_linenumber"],
+        return_plan=True,
+    )
+    assert plan["pruned_stats"] > 0, f"range clustering should prune the pre-band: {plan}"
+    return tbl.sort_by(
+        [("l_returnflag", "ascending"), ("l_extendedprice", "descending"),
+         ("l_orderkey", "ascending"), ("l_linenumber", "ascending")]
+    )
+
+
 def store_group_agg(sf_dir: str) -> pa.Table:
     """GROUP BY pushdown over the range-clustered lineitem store
     (``storegroup.store_agg_group``): the ship-date predicate prunes the

@@ -296,3 +296,239 @@ def store_topk_multi(
             {c: pa.array([], type=types0[c]) for c in out_cols}
         )
     return (out, plan) if return_plan else out
+
+
+# --- grouped top-k (top-n per group) ----------------------------------------
+
+
+def _group_run_starts(tbl: pa.Table, group_by) -> "np.ndarray":
+    """Row indices where a new group starts, given ``tbl`` already sorted
+    with the group columns leading. Column-wise dictionary codes make the
+    adjacent-row comparison numeric for strings too; nulls code as -1 (their
+    own SQL group)."""
+    import numpy as np
+
+    n = tbl.num_rows
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for c in group_by:
+        col = tbl[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = pc.dictionary_encode(col).indices
+        v = pc.fill_null(codes, -1).to_numpy(zero_copy_only=False)
+        change[1:] |= v[1:] != v[:-1]
+    return np.flatnonzero(change)
+
+
+def _group_topk_take(batch: pa.Table, group_by, order_by, desc, tiebreak,
+                     k: int, is_float: bool) -> pa.Table:
+    """k best rows PER GROUP of one table: one multi-key sort (groups
+    leading, then the SQL-total-order rank keys), then a vectorized
+    rank-within-run filter — no Python loop over groups."""
+    import numpy as np
+
+    if batch.num_rows == 0:
+        return batch
+    keys = [(c, "ascending") for c in group_by] + [
+        (order_by, "descending" if desc else "ascending")
+    ] + [(c, "ascending") for c in tiebreak]
+    tbl = batch
+    if is_float:
+        col = batch[order_by]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        isnan = pc.fill_null(pc.is_nan(col), False)
+        isnull = pc.is_null(col)
+        cls = pc.add(
+            pc.cast(isnan if not desc else pc.invert(pc.or_(isnan, isnull)),
+                    pa.int8()),
+            pc.multiply(pc.cast(isnull, pa.int8()), pa.scalar(2, pa.int8())),
+        )
+        tbl = batch.append_column("__cls", cls)
+        keys = [(c, "ascending") for c in group_by] + [("__cls", "ascending")] + keys[len(group_by):]
+    idx = pc.sort_indices(tbl, sort_keys=keys, null_placement="at_end")
+    tbl = tbl.take(idx)
+    starts = _group_run_starts(tbl, group_by)
+    pos = np.arange(tbl.num_rows, dtype=np.int64)
+    rank = pos - starts[np.searchsorted(starts, pos, side="right") - 1]
+    tbl = tbl.filter(pa.array(rank < k))
+    return tbl.drop_columns(["__cls"]) if is_float else tbl
+
+
+class _GroupTopKPartial:
+    """Per-block grouped top-k partial (see ``_group_topk_take``)."""
+
+    def __init__(self, group_by, order_by, desc, tiebreak, k, is_float):
+        self.group_by = list(group_by)
+        self.order_by = order_by
+        self.desc = desc
+        self.tiebreak = list(tiebreak)
+        self.k = k
+        self.is_float = is_float
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _group_topk_take(batch, self.group_by, self.order_by, self.desc,
+                                self.tiebreak, self.k, self.is_float)
+
+
+def store_group_topk(
+    out_dir: str,
+    group_by,
+    order_by: str,
+    k: int,
+    *,
+    desc: bool = True,
+    predicate=None,
+    columns: "list[str] | None" = None,
+    tiebreak=(),
+    verify_crc: bool = False,
+    return_plan: bool = False,
+    max_partial_rows: int = 2_000_000,
+):
+    """Top-k rows PER GROUP (``ROW_NUMBER() OVER (PARTITION BY group ORDER
+    BY col) <= k``) without a global sort or exchange: zone maps + the
+    membership footer probe prune containers on the predicate, survivors
+    decode only the involved columns, each block keeps its k best rows per
+    group (sound: a row in the global per-group top k is in its block's),
+    and the driver fold repeats the same selection over ≤ (groups per
+    block) × k × blocks rows — the rollup-grade contract ``storegroup``
+    uses, guarded LOUDLY by ``max_partial_rows``. No τ threshold: a global
+    value bound can't speak for every group (a per-group τ would need
+    single-group containers; range-cluster by the group column and the
+    predicate pruning already does that job)."""
+    return store_group_topk_multi(
+        [out_dir],
+        group_by,
+        order_by,
+        k,
+        desc=desc,
+        predicate=predicate,
+        columns=columns,
+        tiebreak=tiebreak,
+        verify_crc=verify_crc,
+        return_plan=return_plan,
+        max_partial_rows=max_partial_rows,
+    )
+
+
+def store_group_topk_multi(
+    dirs,
+    group_by,
+    order_by: str,
+    k: int,
+    *,
+    desc: bool = True,
+    predicate=None,
+    columns: "list[str] | None" = None,
+    tiebreak=(),
+    verify_crc: bool = False,
+    return_plan: bool = False,
+    max_partial_rows: int = 2_000_000,
+):
+    """Grouped top-k over a FAMILY of stores as one logical table (one
+    probe job + one scan job across members; involved column types must
+    agree)."""
+    import ray.data
+
+    from . import manifest as mf
+    from .decode import container_files, resolve_container_path
+
+    if not dirs:
+        raise ValueError("store_group_topk_multi needs at least one store directory")
+    if not (1 <= k <= MAX_K):
+        raise ValueError(
+            f"k={k} outside [1, {MAX_K}] — larger per-group top-k exceeds the "
+            "driver-fold contract; use a distributed window over "
+            "decode_dataset(...) instead"
+        )
+    group_by = list(group_by)
+    if not group_by:
+        raise ValueError("store_group_topk needs at least one group column")
+    dnf = _normalize_dnf(predicate) if predicate else []
+    tiebreak = list(tiebreak)
+
+    member_recs = []
+    types0: dict = {}
+    typed = []
+    need_typed = sorted({*group_by, order_by, *tiebreak,
+                         *(c for br in dnf for c, _, _ in br), *(columns or [])})
+    for d in dirs:
+        recs = mf.load_records(d)
+        if not recs:
+            raise FileNotFoundError(f"no manifest records under {d}")
+        container_files(d)
+        schema = dict(_store_schema(d, recs))
+        if not types0:
+            types0 = schema
+        missing = [c for c in need_typed if c not in schema]
+        if missing:
+            raise ValueError(f"columns {missing} not in store schema {sorted(schema)}")
+        member_recs.append(recs)
+        typed.append({c: schema[c] for c in need_typed} if columns is not None
+                     else schema)
+    if any(tt != typed[0] for tt in typed[1:]):
+        detail = "; ".join(
+            f"{d}: {{{', '.join(f'{c}: {t}' for c, t in tt.items())}}}"
+            for d, tt in zip(dirs, typed)
+        )
+        raise ValueError(
+            "family members disagree on involved column types — conform them "
+            f"via compact_family first: {detail}"
+        )
+    t = typed[0][order_by]
+    is_float = pa.types.is_floating(t)
+
+    plan = {"parts_total": 0, "pruned_stats": 0, "pruned_dict": 0,
+            "pruned_bloom": 0, "scanned": 0}
+    paths: list[str] = []
+    for d, recs in zip(dirs, member_recs):
+        plan["parts_total"] += len(recs)
+        for r in recs:
+            st = r.get("stats") or {}
+            rows = int(r.get("rows", 0))
+            if dnf and st and not any(record_may_match(st, rows, br) for br in dnf):
+                plan["pruned_stats"] += 1
+                continue
+            paths.append(resolve_container_path(d, r))
+    paths = _probe_scan_paths(paths, dnf, plan)
+    plan["scanned"] = len(paths)
+
+    out_cols = list(columns) if columns is not None else list(types0)
+    work_cols = list(dict.fromkeys(out_cols + group_by + [order_by] + tiebreak))
+    read_cols = list(dict.fromkeys(work_cols + [c for br in dnf for c, _, _ in br]))
+
+    partials: list[pa.Table] = []
+    if paths:
+        ds = ray.data.read_binary_files(paths)
+        ds = ds.map_batches(
+            _ScanDecoder(read_cols, work_cols, dnf, verify_crc),
+            batch_format="pyarrow",
+            batch_size=1,
+        ).map_batches(
+            _GroupTopKPartial(group_by, order_by, desc, tiebreak, k, is_float),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        n = 0
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            if not b.num_rows:
+                continue
+            n += b.num_rows
+            if n > max_partial_rows:
+                raise ValueError(
+                    f"grouped top-k partials exceed max_partial_rows="
+                    f"{max_partial_rows} — the group cardinality is beyond the "
+                    "driver-fold contract; use a distributed window over "
+                    "decode_dataset(...) or raise max_partial_rows"
+                )
+            partials.append(b)
+
+    if partials:
+        merged = pa.concat_tables(partials).combine_chunks()
+        out = _group_topk_take(merged, group_by, order_by, desc, tiebreak, k,
+                               is_float)
+        out = out.select(out_cols)
+    else:
+        out = pa.table({c: pa.array([], type=types0[c]) for c in out_cols})
+    return (out, plan) if return_plan else out

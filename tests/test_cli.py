@@ -169,3 +169,18 @@ def test_cli_distinct_and_topk(small_parquet, tmp_path_factory):
     rows = [json.loads(ln) for ln in lines[1:]]
     assert len(rows) == 3
     assert rows[0]["ts"] >= rows[1]["ts"] >= rows[2]["ts"]
+
+
+def test_cli_group_topk(small_parquet, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli") / "enc")
+    r = run_cli("encode", small_parquet, out, "--n-parts", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli(
+        "topk", out, "--by", "ts", "-k", "2", "--group-by", "role",
+        "--columns", "role", "conv_id", "ts", "--tiebreak", "conv_id,turn_idx",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = r.stdout.strip().splitlines()
+    assert json.loads(lines[0])["rows"] == 8  # 4 roles x k=2
+    roles = [json.loads(ln)["role"] for ln in lines[1:]]
+    assert sorted(set(roles)) == ["assistant", "system", "tool", "user"]

@@ -178,3 +178,92 @@ def test_topk_family(store, table, tmp_path_factory, ray_session):
 def test_topk_unknown_column(store):
     with pytest.raises(ValueError, match="not in store schema"):
         store_topk(store, "nope", 5)
+
+
+# --- grouped top-k -----------------------------------------------------------
+
+
+def _duck_group_topk(table, group, order, k, desc=True, tiebreak=("k",), where=""):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", table)
+    d = "DESC" if desc else "ASC"
+    tb = ", ".join(tiebreak)
+    return con.execute(
+        f"SELECT * EXCLUDE (rn) FROM (SELECT *, ROW_NUMBER() OVER "
+        f"(PARTITION BY {group} ORDER BY {order} {d} NULLS LAST, {tb}) rn "
+        f"FROM t {where}) WHERE rn <= {k} ORDER BY {group}, rn"
+    ).fetch_arrow_table()
+
+
+def test_group_topk_matches_rownumber(store, table):
+    from parquet_converter_ray.storetopk import store_group_topk
+
+    got = store_group_topk(
+        store, ["flag"], "price", 4, columns=["flag", "k", "price"],
+        tiebreak=["k"],
+    )
+    exp = _duck_group_topk(table, "flag", "price", 4).select(["flag", "k", "price"])
+    got = got.sort_by([("flag", "ascending"), ("price", "descending"), ("k", "ascending")])
+    exp = exp.sort_by([("flag", "ascending"), ("price", "descending"), ("k", "ascending")])
+    _eq(got, exp)
+
+
+def test_group_topk_asc_with_predicate(store, table):
+    from parquet_converter_ray.storetopk import store_group_topk
+
+    got, plan = store_group_topk(
+        store, ["flag"], "price", 3, desc=False,
+        predicate=[("qty", ">=", 40)],
+        columns=["flag", "k", "price", "qty"], tiebreak=["k"], return_plan=True,
+    )
+    exp = _duck_group_topk(
+        table, "flag", "price", 3, desc=False, where="WHERE qty >= 40"
+    ).select(["flag", "k", "price", "qty"])
+    key = [("flag", "ascending"), ("price", "ascending"), ("k", "ascending")]
+    _eq(got.sort_by(key), exp.sort_by(key))
+
+
+def test_group_topk_null_order_values(store, table):
+    from parquet_converter_ray.storetopk import store_group_topk
+
+    got = store_group_topk(
+        store, ["flag"], "pnull", 2500, columns=["flag", "k", "pnull"],
+        tiebreak=["k"],
+    )
+    exp = _duck_group_topk(table, "flag", "pnull", 2500).select(["flag", "k", "pnull"])
+    key = [("flag", "ascending"), ("k", "ascending")]
+    _eq(got.sort_by(key), exp.sort_by(key))
+
+
+def test_group_topk_nan_greatest(store, table):
+    from parquet_converter_ray.storetopk import store_group_topk
+
+    got = store_group_topk(
+        store, ["flag"], "pnan", 5, columns=["flag", "k", "pnan"], tiebreak=["k"],
+    )
+    exp = _duck_group_topk(table, "flag", "pnan", 5).select(["flag", "k", "pnan"])
+    key = [("flag", "ascending"), ("k", "ascending")]
+    _eq(got.sort_by(key), exp.sort_by(key))
+
+
+def test_group_topk_multi_group_cols(store, table):
+    from parquet_converter_ray.storetopk import store_group_topk
+
+    got = store_group_topk(
+        store, ["flag", "qty"], "price", 1, columns=["flag", "qty", "k", "price"],
+        tiebreak=["k"],
+    )
+    exp = _duck_group_topk(table, "flag, qty", "price", 1).select(
+        ["flag", "qty", "k", "price"]
+    )
+    key = [("flag", "ascending"), ("qty", "ascending"), ("k", "ascending")]
+    _eq(got.sort_by(key), exp.sort_by(key))
+
+
+def test_group_topk_guard(store):
+    from parquet_converter_ray.storetopk import store_group_topk
+
+    with pytest.raises(ValueError, match="max_partial_rows"):
+        store_group_topk(store, ["k"], "price", 10, max_partial_rows=100)
