@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_topk_scan": transcripts.store_topk_scan,
         "store_family_topk": transcripts.store_family_topk,
         "store_group_topk_scan": transcripts.store_group_topk_scan,
+        "store_sample_pushdown": transcripts.store_sample_pushdown,
         "store_group_agg": transcripts.store_group_agg,
         "store_family_group_agg": transcripts.store_family_group_agg,
         "documents_text_search": transcripts.documents_text_search,
@@ -256,6 +257,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1995-07-01'
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 7
+        """,
+        "store_sample_pushdown": """
+            SELECT o_orderkey, o_orderdate, o_totalprice
+            FROM orders
+            ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':r5'), o_orderkey
+            LIMIT 120
         """,
         "store_group_topk_scan": """
             SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice

@@ -342,6 +342,25 @@ def main(argv: list[str] | None = None) -> int:
                    help="write the k rows as parquet instead of printing")
 
     p = sub.add_parser(
+        "sample",
+        help="deterministic n-row sample (lowest md5(key+seed) digests — "
+             "content-stable AND SQL-reproducible): one key-column pass, "
+             "then point lookups fetch only the winners' rows. Several "
+             "directories sample as ONE family",
+    )
+    p.add_argument("encoded_dir", nargs="+")
+    p.add_argument("--key", required=True, help="unique int/string key column")
+    p.add_argument("-n", type=int, default=100, help="sample size (default 100)")
+    p.add_argument("--seed", default="", help="redraws the sample (default '')")
+    p.add_argument("--where", action="append", default=[], metavar="CLAUSE")
+    p.add_argument("--where-any", action="append", metavar="BRANCH")
+    p.add_argument("--columns", nargs="*", default=None)
+    p.add_argument("--output", default=None,
+                   help="write the sample as parquet instead of printing")
+    p.add_argument("--limit", type=int, default=5,
+                   help="sample rows printed when not writing")
+
+    p = sub.add_parser(
         "join",
         help="co-partitioned (bucketed) join of TWO OR MORE encoded stores "
              "hash-routed on the same key — each part_id joins locally, zero "
@@ -765,6 +784,29 @@ def main(argv: list[str] | None = None) -> int:
                 pq.write_table(tbl, args.output, compression=cfg.compression)
             else:
                 for row in tbl.to_pylist():
+                    print(json.dumps(row, default=str))
+        elif args.cmd == "sample":
+            from .storesample import store_sample_multi
+
+            common = [_parse_where(w) for w in args.where]
+            if args.where_any:
+                predicate = ("or", [
+                    common + [_parse_where(c) for c in b.split("&")]
+                    for b in args.where_any
+                ])
+            else:
+                predicate = common or None
+            tbl, plan = store_sample_multi(
+                args.encoded_dir, args.key, args.n, seed=args.seed,
+                predicate=predicate, columns=args.columns, return_plan=True,
+            )
+            print(json.dumps({"plan": plan, "rows": tbl.num_rows}, default=str))
+            if args.output:
+                import pyarrow.parquet as pq
+
+                pq.write_table(tbl, args.output, compression=cfg.compression)
+            else:
+                for row in tbl.to_pylist()[: args.limit]:
                     print(json.dumps(row, default=str))
         elif args.cmd == "join":
             from .storejoin import store_join, store_join_multi

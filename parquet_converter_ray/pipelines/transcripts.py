@@ -1778,6 +1778,25 @@ def store_family_topk(sf_dir: str) -> pa.Table:
     return tbl
 
 
+def store_sample_pushdown(sf_dir: str) -> pa.Table:
+    """Deterministic hash-sample over the delivery FAMILY
+    (``storesample.store_sample_multi``): the 120 rows whose
+    ``md5(o_orderkey || ':r5')`` digests sort lowest — a content-stable,
+    engine-reproducible draw. Pass 1 decodes ONLY the key column of every
+    member; pass 2 re-fetches the winners through the ordinary point-lookup
+    scan stack. Oracle: the identical md5 ordering in SQL — randomness made
+    hash-checkable."""
+    from ..storesample import store_sample_multi
+
+    return store_sample_multi(
+        _orders_family(sf_dir),
+        "o_orderkey",
+        120,
+        seed="r5",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+
 def store_group_topk_scan(sf_dir: str) -> pa.Table:
     """Grouped top-k pushdown over the range-clustered lineitem store
     (``storetopk.store_group_topk``): ``ROW_NUMBER() OVER (PARTITION BY

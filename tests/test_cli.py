@@ -184,3 +184,21 @@ def test_cli_group_topk(small_parquet, tmp_path_factory):
     assert json.loads(lines[0])["rows"] == 8  # 4 roles x k=2
     roles = [json.loads(ln)["role"] for ln in lines[1:]]
     assert sorted(set(roles)) == ["assistant", "system", "tool", "user"]
+
+
+def test_cli_sample(small_parquet, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli") / "enc")
+    r = run_cli("encode", small_parquet, out, "--n-parts", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli("sample", out, "--key", "conv_id", "-n", "5",
+                "--seed", "z", "--columns", "conv_id", "--limit", "5",
+                "--where", "turn_idx==0")
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = r.stdout.strip().splitlines()
+    assert json.loads(lines[0])["rows"] == 5
+    a = [json.loads(ln)["conv_id"] for ln in lines[1:]]
+    r2 = run_cli("sample", out, "--key", "conv_id", "-n", "5",
+                 "--seed", "z", "--columns", "conv_id", "--limit", "5",
+                 "--where", "turn_idx==0")
+    b = [json.loads(ln)["conv_id"] for ln in r2.stdout.strip().splitlines()[1:]]
+    assert a == b  # deterministic across processes
