@@ -146,6 +146,10 @@ def run_bench() -> dict:
         ("documents_text_search", transcripts.documents_text_search),
         ("documents_phrase_search", transcripts.documents_phrase_search),
         ("rebucket_join", transcripts.rebucket_join),
+        ("store_group_agg", transcripts.store_group_agg),
+        ("store_topk_scan", transcripts.store_topk_scan),
+        ("store_distinct_pushdown", transcripts.store_distinct_pushdown),
+        ("store_sample_pushdown", transcripts.store_sample_pushdown),
     ]
     for name, fn in query_list:
         t0 = time.monotonic()
