@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_family_topk": transcripts.store_family_topk,
         "store_group_topk_scan": transcripts.store_group_topk_scan,
         "store_sample_pushdown": transcripts.store_sample_pushdown,
+        "store_quantiles_scan": transcripts.store_quantiles_scan,
         "store_group_agg": transcripts.store_group_agg,
         "store_family_group_agg": transcripts.store_family_group_agg,
         "documents_text_search": transcripts.documents_text_search,
@@ -257,6 +258,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1995-07-01'
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 7
+        """,
+        "store_quantiles_scan": """
+            SELECT q, value FROM (
+                SELECT CAST(0.25 AS DOUBLE) AS q, round(quantile_cont(l_extendedprice, 0.25), 4) AS value FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                UNION ALL
+                SELECT 0.5, round(quantile_cont(l_extendedprice, 0.5), 4) FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                UNION ALL
+                SELECT 0.75, round(quantile_cont(l_extendedprice, 0.75), 4) FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                UNION ALL
+                SELECT 0.9, round(quantile_cont(l_extendedprice, 0.9), 4) FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            )
+            ORDER BY q
         """,
         "store_sample_pushdown": """
             SELECT o_orderkey, o_orderdate, o_totalprice

@@ -278,7 +278,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("encoded_dir", nargs="+")
     p.add_argument(
         "--agg", action="append", required=True, metavar="FN[:COL]",
-        help="count | nn:col (non-null count) | min:col | max:col | sum:col (repeatable)",
+        help="count | nn:col (non-null count) | min:col | max:col | sum:col "
+             "| avg:col (repeatable)",
     )
     p.add_argument(
         "--where", action="append", default=[], metavar="CLAUSE",
@@ -340,6 +341,20 @@ def main(argv: list[str] | None = None) -> int:
                         "of globally")
     p.add_argument("--output", default=None,
                    help="write the k rows as parquet instead of printing")
+
+    p = sub.add_parser(
+        "quantiles",
+        help="EXACT quantiles over an encoded store without a sort: pruned "
+             "one-column scans feed histogram-refinement selection "
+             "(quantile_cont semantics). Several directories answer as ONE "
+             "family",
+    )
+    p.add_argument("encoded_dir", nargs="+")
+    p.add_argument("column")
+    p.add_argument("--q", default="0.25,0.5,0.75", metavar="Q1,Q2,...",
+                   help="quantiles in [0,1] (default quartiles)")
+    p.add_argument("--where", action="append", default=[], metavar="CLAUSE")
+    p.add_argument("--where-any", action="append", metavar="BRANCH")
 
     p = sub.add_parser(
         "sample",
@@ -785,6 +800,25 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 for row in tbl.to_pylist():
                     print(json.dumps(row, default=str))
+        elif args.cmd == "quantiles":
+            from .storeagg import store_quantiles
+
+            common = [_parse_where(w) for w in args.where]
+            if args.where_any:
+                predicate = ("or", [
+                    common + [_parse_where(c) for c in b.split("&")]
+                    for b in args.where_any
+                ])
+            else:
+                predicate = common or None
+            qs = [float(x) for x in args.q.split(",") if x.strip()]
+            vals, plan = store_quantiles(
+                args.encoded_dir, args.column, qs, predicate, return_plan=True
+            )
+            print(json.dumps(
+                {"plan": plan, "quantiles": dict(zip(map(str, qs), vals))},
+                default=str,
+            ))
         elif args.cmd == "sample":
             from .storesample import store_sample_multi
 

@@ -1797,6 +1797,35 @@ def store_sample_pushdown(sf_dir: str) -> pa.Table:
     )
 
 
+def store_quantiles_scan(sf_dir: str) -> pa.Table:
+    """EXACT quantiles over the range-clustered lineitem store
+    (``storeagg.store_quantiles``): the ship-date band prunes the pre-band
+    containers from manifest zone maps (asserted), then the
+    histogram-refinement selection (``profile.exact_quantiles`` — per-block
+    fixed-size histogram partials, only the rank-bearing bins' values
+    collected) runs over the pruned, one-column decode. No sort exchange at
+    any store size. Oracle: quantile_cont over raw lineitem under the same
+    band."""
+    from ..storeagg import store_quantiles
+    from ._util import sql_round
+
+    qs = [0.25, 0.5, 0.75, 0.9]
+    vals, plan = store_quantiles(
+        _lineitem_range_store(sf_dir),
+        "l_extendedprice",
+        qs,
+        [("l_shipdate", ">=", "1997-01-01")],
+        return_plan=True,
+    )
+    assert plan["pruned_stats"] > 0, f"range clustering should prune the pre-band: {plan}"
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array([sql_round(v, 4) for v in vals], pa.float64()),
+        }
+    )
+
+
 def store_group_topk_scan(sf_dir: str) -> pa.Table:
     """Grouped top-k pushdown over the range-clustered lineitem store
     (``storetopk.store_group_topk``): ``ROW_NUMBER() OVER (PARTITION BY

@@ -64,7 +64,37 @@ from .zonemap import (
     record_may_match,
 )
 
-AGG_FNS = ("count", "nn", "min", "max", "sum")
+AGG_FNS = ("count", "nn", "min", "max", "sum", "avg")
+
+
+def _expand_avg(aggs_n):
+    """``avg`` is derived, never a partial: it expands to (sum, nn) — both
+    already exact and decomposable — and divides at finalize. Returns the
+    physical agg list (deduped) plus the avg'd columns."""
+    base: list[tuple[str, str | None]] = []
+    avgs: list[str] = []
+    for fn, col in aggs_n:
+        if fn == "avg":
+            avgs.append(col)
+            base.extend([("sum", col), ("nn", col)])
+        else:
+            base.append((fn, col))
+    return list(dict.fromkeys(base)), avgs
+
+
+def _attach_avgs(result: dict, requested) -> dict:
+    """Finalized result in the REQUESTED key order: avg_{col} = sum/nn
+    (SQL: NULL over zero rows); synthetic sum/nn keys the caller did not ask
+    for are dropped."""
+    out: dict = {}
+    for fn, col in requested:
+        key = fn if col is None else f"{fn}_{col}"
+        if fn == "avg":
+            s, nn = result.get(f"sum_{col}"), result.get(f"nn_{col}", 0)
+            out[key] = (float(s) / nn) if (s is not None and nn) else None
+        else:
+            out[key] = result.get(key)
+    return out
 
 
 def _normalize_aggs(aggs) -> list[tuple[str, str | None]]:
@@ -266,7 +296,8 @@ def store_agg(
     from . import manifest as mf
     from .decode import container_files
 
-    aggs = _normalize_aggs(aggs)
+    requested = _normalize_aggs(aggs)
+    aggs, _ = _expand_avg(requested)
     dnf = _normalize_dnf(predicate) if predicate else []
     clauses = [cl for br in dnf for cl in br]  # flat view: column collection
     recs = mf.load_records(out_dir)
@@ -294,11 +325,8 @@ def store_agg(
         partials = scan_agg_partials(scan_paths, aggs, schema, dnf, clauses,
                                      verify_crc)
         _merge_partials(partials, aggs, acc)
-    return (
-        (_finalize_agg(aggs, acc, schema), plan)
-        if return_plan
-        else _finalize_agg(aggs, acc, schema)
-    )
+    result = _attach_avgs(_finalize_agg(aggs, acc, schema), requested)
+    return (result, plan) if return_plan else result
 
 
 def _probe_scan_paths(scan_paths: list[str], dnf, plan: dict) -> list[str]:
@@ -437,7 +465,8 @@ def store_agg_multi(
 
     if not dirs:
         raise ValueError("store_agg_multi needs at least one store directory")
-    aggs_n = _normalize_aggs(aggs)
+    requested = _normalize_aggs(aggs)
+    aggs_n, _ = _expand_avg(requested)
     dnf = _normalize_dnf(predicate) if predicate else []
     clauses = [cl for br in dnf for cl in br]
     need = sorted(
@@ -496,5 +525,45 @@ def store_agg_multi(
         partials = scan_agg_partials(all_paths, aggs_n, schema0, dnf, clauses,
                                      verify_crc)
         _merge_partials(partials, aggs_n, acc)
-    result = _finalize_agg(aggs_n, acc, schema0)
+    result = _attach_avgs(_finalize_agg(aggs_n, acc, schema0), requested)
     return (result, merged) if return_plan else result
+
+
+def store_quantiles(
+    dirs,
+    col: str,
+    qs,
+    predicate=None,
+    *,
+    n_bins: int = 2048,
+    collect_cap: int = 1_000_000,
+    verify_crc: bool = False,
+    return_plan: bool = False,
+):
+    """EXACT quantiles over an encoded store (or a family passed as a list)
+    WITHOUT a global sort: the zone-map/footer-probe pruned scan feeds
+    ``profile.exact_quantiles``' histogram-refinement selection — per-block
+    fixed-size histogram partials, then only the rank-bearing bins' values
+    collect (re-histogrammed when skewed), O(n_bins + collected) driver
+    state. Semantics are DuckDB ``quantile_cont`` (linear interpolation
+    between the order statistics at floor/ceil((n-1)q)); NULLs are skipped;
+    numeric / timestamp / date columns only.
+
+    On a store range-clustered by ``col`` with a band predicate, the selection
+    runs over only the band's containers; every pass is a streaming decode of
+    ONE column (plus predicate columns) — 2-3 pruned scans at any store size
+    vs the all-to-all exchange ``Dataset.sort`` would pay."""
+    from .profile import exact_quantiles
+    from .zonemap import scan_store, scan_store_multi
+
+    if isinstance(dirs, str):
+        dirs = [dirs]
+    if len(dirs) == 1:
+        ds, plan = scan_store(dirs[0], predicate or [], columns=[col],
+                              verify_crc=verify_crc, return_plan=True)
+    else:
+        ds, plan = scan_store_multi(dirs, predicate or [], columns=[col],
+                                    verify_crc=verify_crc, return_plan=True)
+    vals = exact_quantiles(ds, col, list(qs), n_bins=n_bins,
+                           collect_cap=collect_cap)
+    return (vals, plan) if return_plan else vals

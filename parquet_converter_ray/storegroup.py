@@ -48,8 +48,9 @@ single-valued zone maps is the same public idea applied per group.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from .storeagg import _meta_answer, _normalize_aggs, record_all_match
+from .storeagg import _expand_avg, _meta_answer, _normalize_aggs, record_all_match
 from .zonemap import (
     _int_physical,
     _is_strlike,
@@ -342,6 +343,27 @@ def _probe_group_paths(scan_paths, dnf, plan):
     return kept
 
 
+def _attach_group_avgs(tbl: pa.Table, group_by, requested) -> pa.Table:
+    """Output columns in the REQUESTED order with ``avg_{col} = sum/nn``
+    (NULL over zero non-null rows); synthetic sum/nn columns the caller did
+    not ask for are dropped."""
+    cols: dict[str, pa.Array] = {c: tbl[c] for c in group_by}
+    for fn, col in requested:
+        key = fn if col is None else f"{fn}_{col}"
+        if fn == "avg":
+            s = tbl[f"sum_{col}"]
+            if isinstance(s, pa.ChunkedArray):
+                s = s.combine_chunks()
+            nn = tbl[f"nn_{col}"]
+            if isinstance(nn, pa.ChunkedArray):
+                nn = nn.combine_chunks()
+            avg = pc.divide(s.cast(pa.float64()), nn.cast(pa.float64()))
+            cols[key] = pc.if_else(pc.equal(nn, 0), pa.scalar(None, pa.float64()), avg)
+        else:
+            cols[key] = tbl[key]
+    return pa.table(cols)
+
+
 def store_agg_group(
     out_dir: str,
     group_by,
@@ -360,7 +382,8 @@ def store_agg_group(
     from .decode import container_files
 
     group_by = list(group_by)
-    aggs = list(dict.fromkeys(_normalize_aggs(aggs)))
+    requested = list(dict.fromkeys(_normalize_aggs(aggs)))
+    aggs, _ = _expand_avg(requested)
     dnf = _normalize_dnf(predicate) if predicate else []
     clauses = [cl for br in dnf for cl in br]
     recs = mf.load_records(out_dir)
@@ -391,7 +414,9 @@ def store_agg_group(
     if not partials:
         partials = [pschema.empty_table()]
     merged = _merge_group_partials(partials, group_by, aggs)
-    result = _finalize_group(merged, group_by, aggs, schema)
+    result = _attach_group_avgs(
+        _finalize_group(merged, group_by, aggs, schema), group_by, requested
+    )
     return (result, plan) if return_plan else result
 
 
@@ -418,7 +443,8 @@ def store_agg_group_multi(
     if not dirs:
         raise ValueError("store_agg_group_multi needs at least one store directory")
     group_by = list(group_by)
-    aggs = list(dict.fromkeys(_normalize_aggs(aggs)))
+    requested = list(dict.fromkeys(_normalize_aggs(aggs)))
+    aggs, _ = _expand_avg(requested)
     dnf = _normalize_dnf(predicate) if predicate else []
     clauses = [cl for br in dnf for cl in br]
     need = sorted(
@@ -482,5 +508,7 @@ def store_agg_group_multi(
     if not partials:
         partials = [pschema.empty_table()]
     merged = _merge_group_partials(partials, group_by, aggs)
-    result = _finalize_group(merged, group_by, aggs, schema0)
+    result = _attach_group_avgs(
+        _finalize_group(merged, group_by, aggs, schema0), group_by, requested
+    )
     return (result, merged_plan) if return_plan else result

@@ -824,6 +824,12 @@ class _ScanDecoder:
             t = pa.table({nm: decode_array(blobs[nm]) for nm in names})
             return t.select(self.out_cols) if self.out_cols is not None else t
         pred_cols = list(dict.fromkeys(c for br in self.dnf for c, _, _ in br))
+        if not pred_cols:
+            # an empty branch matches everything (same convention as
+            # ``dnf_mask``): an empty predicate normalizes to [[]], which is
+            # a full decode, not an error
+            t = pa.table({nm: decode_array(blobs[nm]) for nm in names})
+            return t.select(self.out_cols) if self.out_cols is not None else t
         n = blobs[pred_cols[0]].n  # rows in container
         out_names = self.out_cols if self.out_cols is not None else names
         readers: dict = {}

@@ -306,3 +306,89 @@ def test_store_agg_prefix_predicate(store, table):
         plan["pruned"] + plan.get("pruned_dict", 0) + plan.get("pruned_bloom", 0)
         + plan["meta_answered"] + plan["scanned"]
     )
+
+
+# --- avg (derived sum/nn) and quantiles over stores --------------------------
+
+
+def _duck(table, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", table)
+    return con.execute(sql).fetchone()
+
+
+def test_store_agg_avg(store, table):
+    res = store_agg(store, ["avg:qty", "count"])
+    exp = _duck(table, "SELECT avg(qty), count(*) FROM t")
+    assert abs(res["avg_qty"] - exp[0]) < 1e-9
+    assert res["count"] == exp[1]
+    assert set(res) == {"avg_qty", "count"}  # synthetic sum/nn dropped
+
+
+def test_store_agg_avg_with_nulls_and_explicit_sum(store, table):
+    res = store_agg(store, ["avg:price_null", "sum:price_null", "nn:price_null"])
+    exp = _duck(table, "SELECT avg(price_null), sum(price_null), count(price_null) FROM t")
+    assert abs(res["avg_price_null"] - exp[0]) < 1e-6
+    assert abs(res["sum_price_null"] - exp[1]) < 1e-6
+    assert res["nn_price_null"] == exp[2]
+
+
+def test_store_agg_avg_empty_result(store):
+    res = store_agg(store, ["avg:qty"], [("qty", ">", 10**9)])
+    assert res["avg_qty"] is None
+
+
+def test_store_group_avg(store, table):
+    from parquet_converter_ray.storegroup import store_agg_group
+
+    tbl = store_agg_group(store, ["flag"], ["avg:qty", "count"]).sort_by("flag")
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", table)
+    exp = con.execute(
+        "SELECT flag, avg(qty) a, count(*) c FROM t GROUP BY flag ORDER BY flag"
+    ).fetch_arrow_table()
+    assert tbl.column_names == ["flag", "avg_qty", "count"]
+    assert tbl["flag"].to_pylist() == exp["flag"].to_pylist()
+    got = tbl["avg_qty"].to_pylist()
+    want = exp["a"].to_pylist()
+    assert all(abs(g - w) < 1e-9 for g, w in zip(got, want))
+    assert tbl["count"].to_pylist() == exp["c"].to_pylist()
+
+
+def test_store_quantiles(store, table):
+    from parquet_converter_ray.storeagg import store_quantiles
+
+    lo = "1997-01-01 00:00:00"
+    vals, plan = store_quantiles(
+        store, "price_null", [0.25, 0.5, 0.9], [("ts", ">=", lo)], return_plan=True
+    )
+    assert plan["pruned_stats"] > 0, plan
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", table)
+    exp = con.execute(
+        "SELECT quantile_cont(price_null, 0.25), quantile_cont(price_null, 0.5), "
+        f"quantile_cont(price_null, 0.9) FROM t WHERE ts >= TIMESTAMP '{lo}'"
+    ).fetchone()
+    for g, w in zip(vals, exp):
+        assert abs(g - w) < 1e-9, (vals, exp)
+
+
+def test_store_quantiles_no_predicate(store, table):
+    """Empty predicate = full-store quantiles (regression: an empty DNF
+    normalizes to one empty branch, which must decode everything, not crash
+    the scan decoder on pred_cols[0])."""
+    from parquet_converter_ray.storeagg import store_quantiles
+
+    vals = store_quantiles(store, "qty", [0.5])
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", table)
+    exp = con.execute("SELECT quantile_cont(qty, 0.5) FROM t").fetchone()[0]
+    assert abs(vals[0] - exp) < 1e-9
