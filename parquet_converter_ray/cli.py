@@ -305,7 +305,8 @@ def main(argv: list[str] | None = None) -> int:
              "the remainder decodes. Several directories fold as ONE family",
     )
     p.add_argument("encoded_dir", nargs="+")
-    p.add_argument("column")
+    p.add_argument("column", help="one column, or COL1,COL2 for distinct "
+                   "TUPLES (delegates to the grouped-aggregate pushdown)")
     p.add_argument(
         "--where", action="append", default=[], metavar="CLAUSE",
         help="conjunct (repeatable, ANDed; optional) — same grammar as scan",
@@ -756,15 +757,36 @@ def main(argv: list[str] | None = None) -> int:
                 ])
             else:
                 predicate = common or None
-            kw = {}
-            if args.max_values is not None:
-                kw["max_values"] = args.max_values
-            tbl, plan = store_distinct_multi(
-                args.encoded_dir, args.column, predicate, return_plan=True, **kw
-            )
-            print(json.dumps({"plan": plan, "n_values": tbl.num_rows}, default=str))
-            for v in tbl[args.column].to_pylist()[: args.limit]:
-                print(json.dumps({args.column: v}, default=str))
+            cols = [c.strip() for c in args.column.split(",") if c.strip()]
+            if len(cols) > 1:
+                # distinct TUPLES = GROUP BY with a count: single-valued
+                # containers still answer from manifest JSON; the count
+                # column doubles as SELECT COUNT(*) GROUP BY output
+                from .storegroup import store_agg_group_multi
+
+                kw = {}
+                if args.max_values is not None:
+                    kw["max_partial_rows"] = args.max_values
+                tbl, plan = store_agg_group_multi(
+                    args.encoded_dir, cols, ["count"], predicate,
+                    return_plan=True, **kw
+                )
+                tbl = tbl.sort_by([(c, "ascending") for c in cols])
+                print(json.dumps({"plan": plan, "n_values": tbl.num_rows},
+                                 default=str))
+                for row in tbl.to_pylist()[: args.limit]:
+                    print(json.dumps(row, default=str))
+            else:
+                kw = {}
+                if args.max_values is not None:
+                    kw["max_values"] = args.max_values
+                tbl, plan = store_distinct_multi(
+                    args.encoded_dir, cols[0], predicate, return_plan=True, **kw
+                )
+                print(json.dumps({"plan": plan, "n_values": tbl.num_rows},
+                                 default=str))
+                for v in tbl[cols[0]].to_pylist()[: args.limit]:
+                    print(json.dumps({cols[0]: v}, default=str))
         elif args.cmd == "topk":
             from .storetopk import store_topk_multi
 

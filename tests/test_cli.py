@@ -202,3 +202,16 @@ def test_cli_sample(small_parquet, tmp_path_factory):
                  "--where", "turn_idx==0")
     b = [json.loads(ln)["conv_id"] for ln in r2.stdout.strip().splitlines()[1:]]
     assert a == b  # deterministic across processes
+
+
+def test_cli_distinct_tuples(small_parquet, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli") / "enc")
+    r = run_cli("encode", small_parquet, out, "--n-parts", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli("distinct", out, "role,tool", "--limit", "50")
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = r.stdout.strip().splitlines()
+    rows = [json.loads(ln) for ln in lines[1:]]
+    assert all(set(row) == {"role", "tool", "count"} for row in rows)
+    tools = {row["tool"] for row in rows if row["role"] == "tool"}
+    assert len(tools) > 1 and sum(row["count"] for row in rows) == 3000
