@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_group_topk_scan": transcripts.store_group_topk_scan,
         "store_sample_pushdown": transcripts.store_sample_pushdown,
         "store_quantiles_scan": transcripts.store_quantiles_scan,
+        "documents_ranked_search": transcripts.documents_ranked_search,
         "store_group_agg": transcripts.store_group_agg,
         "store_family_group_agg": transcripts.store_family_group_agg,
         "documents_text_search": transcripts.documents_text_search,
@@ -258,6 +259,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1995-07-01'
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 7
+        """,
+        "documents_ranked_search": """
+            SELECT doc_id, lang, score FROM (
+                SELECT doc_id, lang,
+                       ((CASE WHEN regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(text), '(^|[^a-z0-9])dup([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(text), '(^|[^a-z0-9])quantum([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+                       )::INTEGER AS score
+                FROM documents
+            )
+            WHERE score >= 1
+            ORDER BY score DESC, doc_id
+            LIMIT 20
         """,
         "store_quantiles_scan": """
             SELECT q, value FROM (

@@ -344,6 +344,25 @@ def main(argv: list[str] | None = None) -> int:
                    help="write the k rows as parquet instead of printing")
 
     p = sub.add_parser(
+        "search",
+        help="ranked full-text search: token blooms prune containers via "
+             "KB footer reads, survivors score (distinct query tokens per "
+             "row) and the k best rows return. Several directories search "
+             "as ONE corpus",
+    )
+    p.add_argument("encoded_dir", nargs="+")
+    p.add_argument("query")
+    p.add_argument("--col", default="text", help="text column (default text)")
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--mode", choices=["any", "all"], default="any",
+                   help="any: rank by distinct tokens present; all: only "
+                        "rows holding EVERY token (stronger pruning)")
+    p.add_argument("--where", action="append", default=[], metavar="CLAUSE")
+    p.add_argument("--where-any", action="append", metavar="BRANCH")
+    p.add_argument("--columns", nargs="*", default=None)
+    p.add_argument("--tiebreak", default=None, metavar="COL[,COL...]")
+
+    p = sub.add_parser(
         "quantiles",
         help="EXACT quantiles over an encoded store without a sort: pruned "
              "one-column scans feed histogram-refinement selection "
@@ -822,6 +841,26 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 for row in tbl.to_pylist():
                     print(json.dumps(row, default=str))
+        elif args.cmd == "search":
+            from .storesearch import store_search_multi
+
+            common = [_parse_where(w) for w in args.where]
+            if args.where_any:
+                predicate = ("or", [
+                    common + [_parse_where(c) for c in b.split("&")]
+                    for b in args.where_any
+                ])
+            else:
+                predicate = common or None
+            tb = [c.strip() for c in (args.tiebreak or "").split(",") if c.strip()]
+            tbl, plan = store_search_multi(
+                args.encoded_dir, args.col, args.query, args.k,
+                mode=args.mode, predicate=predicate, columns=args.columns,
+                tiebreak=tb, return_plan=True,
+            )
+            print(json.dumps({"plan": plan, "rows": tbl.num_rows}, default=str))
+            for row in tbl.to_pylist():
+                print(json.dumps(row, default=str))
         elif args.cmd == "quantiles":
             from .storeagg import store_quantiles
 

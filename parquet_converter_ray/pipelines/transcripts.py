@@ -1797,6 +1797,28 @@ def store_sample_pushdown(sf_dir: str) -> pa.Table:
     )
 
 
+def documents_ranked_search(sf_dir: str) -> pa.Table:
+    """Ranked full-text search over the token-bloomed documents store
+    (``storesearch.store_search``): score = number of DISTINCT query tokens
+    a document contains (one RE2 token-boundary match per token — the
+    hastok mask's own pattern class), ``hasany`` pruning drops containers
+    provably holding NO query token via ranged token-bloom footer reads,
+    per-block top-k partials fold on the driver. The doc_id tiebreak makes
+    the row SET deterministic. Oracle: the identical CASE-regexp score in
+    DuckDB (same RE2 class) with the same ORDER BY ... LIMIT."""
+    from ..storesearch import store_search
+
+    tbl = store_search(
+        _documents_token_store(sf_dir),
+        "text",
+        "spark dup quantum",
+        20,
+        columns=["doc_id", "lang"],
+        tiebreak=["doc_id"],
+    )
+    return tbl
+
+
 def store_quantiles_scan(sf_dir: str) -> pa.Table:
     """EXACT quantiles over the range-clustered lineitem store
     (``storeagg.store_quantiles``): the ship-date band prunes the pre-band

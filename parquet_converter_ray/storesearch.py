@@ -1,0 +1,205 @@
+"""Ranked full-text search over encoded stores.
+
+``store_search`` answers "the k most relevant rows for this query" in one
+pruned scan — the search-engine composition of three pieces this engine
+already proves independently:
+
+1. **Token-bloom pruning** — the query becomes a ``hasany`` (default) or
+   ``hastok`` predicate on the text column: the per-container TOKEN Bloom
+   filters (``encode --text-bloom-cols``) and exact dictionary probes drop
+   containers that provably hold no query token via KB-ranged footer
+   reads; zone maps prune any additional comparison predicate.
+2. **Vectorized scoring** — survivors decode late-materialized; each row's
+   score is the number of DISTINCT query tokens it contains, computed as
+   one RE2 token-boundary match per token (the exact same pattern class
+   the ``hastok`` mask and the tokenizer use, so a DuckDB
+   ``regexp_matches`` oracle reproduces scores bit-for-bit).
+3. **Top-k fold** — each block keeps its k best (score DESC, tiebreak ASC)
+   rows; the driver re-ranks ≤ k × blocks rows (``storetopk._topk_take``).
+
+Distinct-token-count ranking is the SQL-checkable baseline; TF/BM25-style
+weighting drops into the same scan shape (swap the per-token 0/1 for a
+count and a length norm) but stops being exactly SQL-expressible, which is
+why the conjunctive count is the shipped default. ``mode="all"`` restricts
+to rows holding EVERY token (scores then tie at len(tokens); the tiebreak
+orders them — grep-style retrieval with the stronger conjunctive prune).
+
+The reference engine has no text search at all; this is an inverted-file
+-free design — at 100 TB the bloom probe opens footers only, and a rare
+term decodes only the containers whose token sets may hold it.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .bloom import query_tokens
+from .storeagg import _probe_scan_paths
+from .storetopk import MAX_K, _topk_take
+from .zonemap import (
+    _normalize_dnf,
+    _ScanDecoder,
+    _store_schema,
+    record_may_match,
+)
+
+
+class _ScoreTopK:
+    """Per-block scoring + top-k partial: score = distinct query tokens
+    present (one RE2 boundary match per token, Kleene-safe over nulls)."""
+
+    def __init__(self, col: str, tokens, k: int, tiebreak):
+        self.col = col
+        self.tokens = list(tokens)
+        self.k = k
+        self.tiebreak = list(tiebreak)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lower = pc.utf8_lower(col)
+        score = None
+        for t in self.tokens:
+            pat = "(^|[^a-z0-9])" + re.escape(t) + "([^a-z0-9]|$)"
+            m = pc.cast(
+                pc.fill_null(pc.match_substring_regex(lower, pattern=pat), False),
+                pa.int32(),
+            )
+            score = m if score is None else pc.add(score, m)
+        tbl = batch.append_column("score", score)
+        return _topk_take(tbl, "score", True, self.tiebreak, self.k, False)
+
+
+def store_search(
+    out_dir: str,
+    col: str,
+    query: str,
+    k: int = 10,
+    *,
+    mode: str = "any",
+    predicate=None,
+    columns: "list[str] | None" = None,
+    tiebreak=(),
+    verify_crc: bool = False,
+    return_plan: bool = False,
+):
+    """k most relevant rows of one store for ``query`` (module docstring)."""
+    return store_search_multi(
+        [out_dir],
+        col,
+        query,
+        k,
+        mode=mode,
+        predicate=predicate,
+        columns=columns,
+        tiebreak=tiebreak,
+        verify_crc=verify_crc,
+        return_plan=return_plan,
+    )
+
+
+def store_search_multi(
+    dirs,
+    col: str,
+    query: str,
+    k: int = 10,
+    *,
+    mode: str = "any",
+    predicate=None,
+    columns: "list[str] | None" = None,
+    tiebreak=(),
+    verify_crc: bool = False,
+    return_plan: bool = False,
+):
+    """Ranked search over a FAMILY of stores as one corpus (one probe job +
+    one scan job across members)."""
+    import ray.data
+
+    from . import manifest as mf
+    from .decode import container_files, resolve_container_path
+
+    if not dirs:
+        raise ValueError("store_search_multi needs at least one store directory")
+    if not (1 <= k <= MAX_K):
+        raise ValueError(f"k={k} outside [1, {MAX_K}]")
+    if mode not in ("any", "all"):
+        raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+    tokens = query_tokens(query)
+    if not tokens:
+        raise ValueError(f"query {query!r} holds no tokens")
+    tiebreak = list(tiebreak)
+
+    op = "hasany" if mode == "any" else "hastok"
+    dnf = _normalize_dnf(predicate) if predicate else []
+    text_cl = (col, op, query)
+    scan_dnf = [br + [text_cl] for br in dnf] if dnf else [[text_cl]]
+
+    member_recs = []
+    types0: dict = {}
+    need = sorted({col, *tiebreak, *(c for br in scan_dnf for c, _, _ in br),
+                   *(columns or [])})
+    for d in dirs:
+        recs = mf.load_records(d)
+        if not recs:
+            raise FileNotFoundError(f"no manifest records under {d}")
+        container_files(d)
+        schema = dict(_store_schema(d, recs))
+        if not types0:
+            types0 = schema
+        missing = [c for c in need if c not in schema]
+        if missing:
+            raise ValueError(f"columns {missing} not in store schema {sorted(schema)}")
+        if not (pa.types.is_string(schema[col]) or pa.types.is_large_string(schema[col])):
+            raise ValueError(f"search needs a text column; {col!r} is {schema[col]}")
+        member_recs.append(recs)
+
+    plan = {"parts_total": 0, "pruned_stats": 0, "pruned_dict": 0,
+            "pruned_bloom": 0, "scanned": 0}
+    paths: list[str] = []
+    for d, recs in zip(dirs, member_recs):
+        plan["parts_total"] += len(recs)
+        for r in recs:
+            st = r.get("stats") or {}
+            rows = int(r.get("rows", 0))
+            if scan_dnf and st and not any(
+                record_may_match(st, rows, br) for br in scan_dnf
+            ):
+                plan["pruned_stats"] += 1
+                continue
+            paths.append(resolve_container_path(d, r))
+    paths = _probe_scan_paths(paths, scan_dnf, plan)
+    plan["scanned"] = len(paths)
+
+    out_cols = list(columns) if columns is not None else [
+        c for c in types0 if c != col
+    ]
+    work_cols = list(dict.fromkeys(out_cols + [col] + tiebreak))
+    read_cols = list(dict.fromkeys(work_cols + [c for br in scan_dnf for c, _, _ in br]))
+
+    partials: list[pa.Table] = []
+    if paths:
+        ds = ray.data.read_binary_files(paths)
+        ds = ds.map_batches(
+            _ScanDecoder(read_cols, work_cols, scan_dnf, verify_crc),
+            batch_format="pyarrow",
+            batch_size=1,
+        ).map_batches(
+            _ScoreTopK(col, tokens, k, tiebreak),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        partials = [b for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows]
+
+    want = out_cols + ["score"]
+    if partials:
+        merged = pa.concat_tables(partials).combine_chunks()
+        out = _topk_take(merged, "score", True, tiebreak, k, False).select(want)
+    else:
+        cols = {c: pa.array([], type=types0[c]) for c in out_cols}
+        cols["score"] = pa.array([], type=pa.int32())
+        out = pa.table(cols)
+    return (out, plan) if return_plan else out

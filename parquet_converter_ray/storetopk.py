@@ -83,9 +83,11 @@ def _topk_take(batch: pa.Table, order_by: str, desc: bool, tiebreak, k: int,
         )
         tbl = batch.append_column("__cls", cls)
         keys = [("__cls", "ascending")] + keys
-    if batch.num_rows > k or is_float:
-        idx = pc.sort_indices(tbl, sort_keys=keys, null_placement="at_end")
-        tbl = tbl.take(idx.slice(0, k))
+    # always sort: callers rely on RANKED output even when rows <= k (the
+    # per-block partial classes early-out before calling this when order
+    # doesn't matter yet)
+    idx = pc.sort_indices(tbl, sort_keys=keys, null_placement="at_end")
+    tbl = tbl.take(idx.slice(0, k))
     return tbl.drop_columns(["__cls"]) if is_float else tbl
 
 

@@ -215,3 +215,29 @@ def test_cli_distinct_tuples(small_parquet, tmp_path_factory):
     assert all(set(row) == {"role", "tool", "count"} for row in rows)
     tools = {row["tool"] for row in rows if row["role"] == "tool"}
     assert len(tools) > 1 and sum(row["count"] for row in rows) == 3000
+
+
+def test_cli_search(tmp_path_factory):
+    import numpy as np
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(500, dtype=np.int64)),
+            "text": pa.array(
+                ["alpha beta"] * 498 + ["alpha beta gamma", "gamma delta"]
+            ),
+        }
+    )
+    src = str(tmp_path_factory.mktemp("cli") / "docs.parquet")
+    pq.write_table(docs, src)
+    out = str(tmp_path_factory.mktemp("cli") / "enc")
+    r = run_cli("encode", src, out, "--n-parts", "2", "--conv-col", "doc_id",
+                "--order-col", "doc_id", "--text-bloom-cols", "text")
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli("search", out, "gamma delta", "-k", "3",
+                "--columns", "doc_id", "--tiebreak", "doc_id")
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = r.stdout.strip().splitlines()
+    rows = [json.loads(ln) for ln in lines[1:]]
+    assert [r_["doc_id"] for r_ in rows] == [499, 498]
+    assert [r_["score"] for r_ in rows] == [2, 1]
