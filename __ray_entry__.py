@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_sample_pushdown": transcripts.store_sample_pushdown,
         "store_quantiles_scan": transcripts.store_quantiles_scan,
         "documents_ranked_search": transcripts.documents_ranked_search,
+        "docs_stratified_sample": transcripts.docs_stratified_sample,
         "store_group_agg": transcripts.store_group_agg,
         "store_family_group_agg": transcripts.store_family_group_agg,
         "documents_text_search": transcripts.documents_text_search,
@@ -259,6 +260,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1995-07-01'
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 7
+        """,
+        "docs_stratified_sample": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id, ROW_NUMBER() OVER (
+                    PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':r5'), doc_id
+                ) AS rn
+                FROM documents
+            )
+            WHERE rn <= 5
+            ORDER BY lang, md5(CAST(doc_id AS VARCHAR) || ':r5'), doc_id
         """,
         "documents_ranked_search": """
             SELECT doc_id, lang, score FROM (

@@ -386,6 +386,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("encoded_dir", nargs="+")
     p.add_argument("--key", required=True, help="unique int/string key column")
     p.add_argument("-n", type=int, default=100, help="sample size (default 100)")
+    p.add_argument("--group-by", default=None, metavar="COL[,COL...]",
+                   help="STRATIFIED: n rows per group (ROW_NUMBER over the "
+                        "digest within each group)")
     p.add_argument("--seed", default="", help="redraws the sample (default '')")
     p.add_argument("--where", action="append", default=[], metavar="CLAUSE")
     p.add_argument("--where-any", action="append", metavar="BRANCH")
@@ -891,10 +894,19 @@ def main(argv: list[str] | None = None) -> int:
                 ])
             else:
                 predicate = common or None
-            tbl, plan = store_sample_multi(
-                args.encoded_dir, args.key, args.n, seed=args.seed,
-                predicate=predicate, columns=args.columns, return_plan=True,
-            )
+            if args.group_by:
+                from .storesample import store_sample_stratified
+
+                gb = [c.strip() for c in args.group_by.split(",") if c.strip()]
+                tbl, plan = store_sample_stratified(
+                    args.encoded_dir, args.key, gb, args.n, seed=args.seed,
+                    predicate=predicate, columns=args.columns, return_plan=True,
+                )
+            else:
+                tbl, plan = store_sample_multi(
+                    args.encoded_dir, args.key, args.n, seed=args.seed,
+                    predicate=predicate, columns=args.columns, return_plan=True,
+                )
             print(json.dumps({"plan": plan, "rows": tbl.num_rows}, default=str))
             if args.output:
                 import pyarrow.parquet as pq

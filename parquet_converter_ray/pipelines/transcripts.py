@@ -1797,6 +1797,26 @@ def store_sample_pushdown(sf_dir: str) -> pa.Table:
     )
 
 
+def docs_stratified_sample(sf_dir: str) -> pa.Table:
+    """Stratified deterministic sample over the documents store
+    (``storesample.store_sample_stratified``): 5 documents PER LANGUAGE,
+    chosen by the lowest md5(doc_id + seed) digests within each language —
+    the "n docs per stratum" curation draw, content-stable across engines
+    and oracle-checkable as ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+    md5(...)) <= 5. Pass 1 decodes only (doc_id, lang); pass 2 fetches the
+    winners through the point-lookup scan stack."""
+    from ..storesample import store_sample_stratified
+
+    return store_sample_stratified(
+        _documents_token_store(sf_dir),
+        "doc_id",
+        ["lang"],
+        5,
+        seed="r5",
+        columns=["lang", "doc_id"],
+    )
+
+
 def documents_ranked_search(sf_dir: str) -> pa.Table:
     """Ranked full-text search over the token-bloomed documents store
     (``storesearch.store_search``): score = number of DISTINCT query tokens

@@ -243,3 +243,196 @@ def store_sample_multi(
     )
     tbl = tbl.take(idx.slice(0, n)).drop_columns(["__h"]).select(out_cols)
     return (tbl, plan) if return_plan else tbl
+
+
+class _GroupBottomNPartial:
+    """Per-block per-group bottom-n (digest, key) pairs: one multi-key sort
+    (group, digest, key) + the vectorized rank-within-run filter."""
+
+    def __init__(self, key, group_by, n, seed, key_type, group_types):
+        self.key = key
+        self.group_by = list(group_by)
+        self.n = n
+        self.seed = seed
+        self.key_type = key_type
+        self.group_types = group_types
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .storetopk import _group_run_starts
+
+        keys = batch[self.key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        h = _digests(keys, self.seed)
+        cols = {f"g_{c}": batch[c] for c in self.group_by}
+        cols["h"] = pa.array(h, type=pa.string())
+        cols["k"] = keys.cast(self.key_type)
+        tbl = pa.table(cols)
+        sort_keys = [(f"g_{c}", "ascending") for c in self.group_by] + [
+            ("h", "ascending"), ("k", "ascending")
+        ]
+        idx = pc.sort_indices(tbl, sort_keys=sort_keys, null_placement="at_end")
+        tbl = tbl.take(idx)
+        starts = _group_run_starts(tbl, [f"g_{c}" for c in self.group_by])
+        pos = np.arange(tbl.num_rows, dtype=np.int64)
+        rank = pos - starts[np.searchsorted(starts, pos, side="right") - 1]
+        return tbl.filter(pa.array(rank < self.n))
+
+
+def store_sample_stratified(
+    dirs,
+    key: str,
+    group_by,
+    n: int,
+    *,
+    seed: str = "",
+    predicate=None,
+    columns: "list[str] | None" = None,
+    verify_crc: bool = False,
+    return_plan: bool = False,
+    max_partial_rows: int = 2_000_000,
+):
+    """STRATIFIED deterministic sample: the n rows per group whose
+    ``md5(str(key) + ':' + seed)`` digests sort lowest WITHIN the group —
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY md5(...), key) <= n``
+    in SQL, so the per-stratum draw is oracle-checkable like the global
+    one. The training-data shape: "n documents per language / source /
+    quality band", content-stable across runs and engines.
+
+    Pass 1 decodes only the key + group columns with per-block per-group
+    bottom-n partials (≤ groups-per-block × n × blocks rows, the
+    rollup-grade driver contract, guarded by ``max_partial_rows``); pass 2
+    fetches winners through the point-lookup scan stack and re-ranks
+    exactly. ``dirs`` may be one store (str) or a family (list)."""
+    import ray.data
+
+    from . import manifest as mf
+    from .decode import container_files, resolve_container_path
+    from .storetopk import _group_run_starts
+    from .zonemap import scan_store, scan_store_multi
+
+    if isinstance(dirs, str):
+        dirs = [dirs]
+    if not dirs:
+        raise ValueError("store_sample_stratified needs at least one store")
+    if not (1 <= n <= MAX_N):
+        raise ValueError(f"n={n} outside [1, {MAX_N}] (per-group sample size)")
+    group_by = list(group_by)
+    if not group_by:
+        raise ValueError("store_sample_stratified needs at least one group column")
+    dnf = _normalize_dnf(predicate) if predicate else []
+    clauses = [cl for br in dnf for cl in br]
+
+    member_recs = []
+    types0: dict = {}
+    for d in dirs:
+        recs = mf.load_records(d)
+        if not recs:
+            raise FileNotFoundError(f"no manifest records under {d}")
+        container_files(d)
+        schema = dict(_store_schema(d, recs))
+        if not types0:
+            types0 = schema
+        for c in {key, *group_by, *(c for c, _, _ in clauses), *(columns or [])}:
+            if c not in schema:
+                raise ValueError(f"column {c!r} not in store schema {sorted(schema)}")
+        for c in [key, *group_by]:
+            if schema[c] != types0[c]:
+                raise ValueError(
+                    f"family members disagree on {c!r}'s type — conform them "
+                    "via compact_family first"
+                )
+        member_recs.append(recs)
+    kt = types0[key]
+    if not (pa.types.is_integer(kt) or _is_strlike(kt)):
+        raise ValueError(
+            f"sample key must be an int or string column; {key!r} is {kt}"
+        )
+
+    plan = {"parts_total": 0, "pruned_stats": 0, "pruned_dict": 0,
+            "pruned_bloom": 0, "scanned": 0}
+    paths: list[str] = []
+    for d, recs in zip(dirs, member_recs):
+        plan["parts_total"] += len(recs)
+        for r in recs:
+            st = r.get("stats") or {}
+            rows = int(r.get("rows", 0))
+            if dnf and st and not any(record_may_match(st, rows, br) for br in dnf):
+                plan["pruned_stats"] += 1
+                continue
+            paths.append(resolve_container_path(d, r))
+    paths = _probe_scan_paths(paths, dnf, plan)
+    plan["scanned"] = len(paths)
+
+    read_cols = list(dict.fromkeys([key] + group_by + [c for c, _, _ in clauses]))
+    partials: list[pa.Table] = []
+    if paths:
+        ds = ray.data.read_binary_files(paths)
+        ds = ds.map_batches(
+            _ScanDecoder(read_cols, list(dict.fromkeys([key] + group_by)), dnf,
+                         verify_crc),
+            batch_format="pyarrow",
+            batch_size=1,
+        ).map_batches(
+            _GroupBottomNPartial(key, group_by, n, seed, kt,
+                                 {c: types0[c] for c in group_by}),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        rows_seen = 0
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            if not b.num_rows:
+                continue
+            rows_seen += b.num_rows
+            if rows_seen > max_partial_rows:
+                raise ValueError(
+                    f"stratified-sample partials exceed max_partial_rows="
+                    f"{max_partial_rows} — group cardinality × n is beyond "
+                    "the driver-fold contract; lower n or sample per group "
+                    "via decode_dataset(...).groupby"
+                )
+            partials.append(b)
+    out_cols = list(columns) if columns is not None else list(
+        dict.fromkeys(group_by + [key])
+    )
+    if not partials:
+        empty = pa.table({c: pa.array([], type=types0[c]) for c in out_cols})
+        return (empty, plan) if return_plan else empty
+
+    merged = pa.concat_tables(partials).combine_chunks()
+    gnames = [f"g_{c}" for c in group_by]
+    sort_keys = [(g, "ascending") for g in gnames] + [("h", "ascending"),
+                                                      ("k", "ascending")]
+    idx = pc.sort_indices(merged, sort_keys=sort_keys, null_placement="at_end")
+    merged = merged.take(idx)
+    starts = _group_run_starts(merged, gnames)
+    pos = np.arange(merged.num_rows, dtype=np.int64)
+    rank = pos - starts[np.searchsorted(starts, pos, side="right") - 1]
+    winners = merged.filter(pa.array(rank < n))
+    wk = winners["k"].to_pylist()
+    if len(set(wk)) != len(wk):
+        raise ValueError(
+            f"sample key {key!r} is not unique — duplicate keys make the "
+            "per-group boundary row set engine-dependent"
+        )
+
+    in_cl = (key, "in", wk)
+    pred2 = ("or", [br + [in_cl] for br in dnf]) if dnf else [in_cl]
+    fetch_cols = list(dict.fromkeys(out_cols + [key] + group_by))
+    if len(dirs) == 1:
+        ds2 = scan_store(dirs[0], pred2, columns=fetch_cols, verify_crc=verify_crc)
+    else:
+        ds2 = scan_store_multi(dirs, pred2, columns=fetch_cols, verify_crc=verify_crc)
+    batches = [b for b in ds2.iter_batches(batch_format="pyarrow") if b.num_rows]
+    tbl = pa.concat_tables(batches).combine_chunks() if batches else pa.table(
+        {c: pa.array([], type=types0[c]) for c in fetch_cols}
+    )
+    keys2 = tbl[key]
+    if isinstance(keys2, pa.ChunkedArray):
+        keys2 = keys2.combine_chunks()
+    tbl = tbl.append_column("__h", pa.array(_digests(keys2, seed), type=pa.string()))
+    sort_keys = [(c, "ascending") for c in group_by] + [("__h", "ascending"),
+                                                        (key, "ascending")]
+    idx = pc.sort_indices(tbl, sort_keys=sort_keys, null_placement="at_end")
+    tbl = tbl.take(idx).drop_columns(["__h"]).select(out_cols)
+    return (tbl, plan) if return_plan else tbl

@@ -140,3 +140,59 @@ def test_sample_bounds_and_bad_key(store):
         store_sample(store, "price", 5)
     with pytest.raises(ValueError, match="not in store schema"):
         store_sample(store, "nope", 5)
+
+
+# --- stratified (per-group) sampling ------------------------------------------
+
+
+def _duck_strat(table, key, group, n, seed, where=""):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", table)
+    kexpr = f"CAST({key} AS VARCHAR)" if key == "k" else key
+    return con.execute(
+        f"SELECT * EXCLUDE (rn) FROM ("
+        f"  SELECT {group}, {key}, ROW_NUMBER() OVER ("
+        f"    PARTITION BY {group} ORDER BY md5({kexpr} || ':{seed}'), {key}"
+        f"  ) rn FROM t {where}"
+        f") WHERE rn <= {n} ORDER BY {group}, md5({kexpr} || ':{seed}'), {key}"
+    ).fetch_arrow_table()
+
+
+def test_stratified_matches_sql(store, table):
+    from parquet_converter_ray.storesample import store_sample_stratified
+
+    got = store_sample_stratified(store, "k", ["flag"], 7, seed="st")
+    exp = _duck_strat(table, "k", "flag", 7, "st").select(["flag", "k"])
+    assert got.to_pydict() == exp.to_pydict()
+    # exactly 7 per stratum
+    import collections
+
+    assert set(collections.Counter(got["flag"].to_pylist()).values()) == {7}
+
+
+def test_stratified_with_predicate(store, table):
+    from parquet_converter_ray.storesample import store_sample_stratified
+
+    got = store_sample_stratified(
+        store, "k", ["flag"], 4, seed="p2",
+        predicate=[("price", ">=", 500)],
+    )
+    exp = _duck_strat(
+        table, "k", "flag", 4, "p2", where="WHERE price >= 500"
+    ).select(["flag", "k"])
+    assert got.to_pydict() == exp.to_pydict()
+
+
+def test_stratified_string_key_and_columns(store, table):
+    from parquet_converter_ray.storesample import store_sample_stratified
+
+    got = store_sample_stratified(
+        store, "name", ["flag"], 3, seed="s",
+        columns=["flag", "name", "price"],
+    )
+    exp = _duck_strat(table, "name", "flag", 3, "s")
+    assert got.num_rows == exp.num_rows == 9
+    assert got["name"].to_pylist() == exp["name"].to_pylist()
+    assert got.column_names == ["flag", "name", "price"]
