@@ -150,6 +150,8 @@ def run_bench() -> dict:
         ("store_topk_scan", transcripts.store_topk_scan),
         ("store_distinct_pushdown", transcripts.store_distinct_pushdown),
         ("store_sample_pushdown", transcripts.store_sample_pushdown),
+        ("documents_ranked_search", transcripts.documents_ranked_search),
+        ("store_group_topk_scan", transcripts.store_group_topk_scan),
     ]
     for name, fn in query_list:
         t0 = time.monotonic()
