@@ -57,11 +57,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # NOTE on ordering: the driver verifies the FIRST 50 entries per round.
-        # Round 5 window = this round's NEW queries, the 3 entries never
-        # driver-checked through round 4 (r4 VERDICT item 2), the queries this
-        # round's refactors touch (bloom typed probes, storeagg prefix proofs,
-        # full-bucket simhash/phash), then the round-4 window remainder. Eight
-        # long-green r4 rows rotated just below slot 50.
+        # Round 5 window = this round's NEW queries (8 pushdown-surface
+        # queries from session 8 lead: distinct/topk/grouped-topk/sample/
+        # stratified/quantiles/ranked-search + the grouped aggregates), the
+        # session 1-7 new queries, the 3 entries never driver-checked through
+        # round 4, the refactor-touched rows, then the round-4 window
+        # remainder. Long-green rows rotate just below slot 50.
         # --- round-5 new queries ---
         "store_distinct_pushdown": transcripts.store_distinct_pushdown,
         "store_topk_scan": transcripts.store_topk_scan,
