@@ -319,6 +319,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="values printed (the count always prints)")
     p.add_argument("--max-values", type=int, default=None,
                    help="driver-fold guard override (default 2M)")
+    p.add_argument("--approx", action="store_true",
+                   help="HyperLogLog distinct COUNT only (fixed 4 KB driver "
+                        "state — the at-scale path for unique-key columns)")
 
     p = sub.add_parser(
         "topk",
@@ -780,7 +783,18 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 predicate = common or None
             cols = [c.strip() for c in args.column.split(",") if c.strip()]
-            if len(cols) > 1:
+            if args.approx:
+                if len(cols) != 1:
+                    print("--approx takes exactly one column", file=sys.stderr)
+                    return 2
+                from .storedistinct import store_approx_distinct
+
+                n, plan = store_approx_distinct(
+                    args.encoded_dir, cols[0], predicate, return_plan=True
+                )
+                print(json.dumps({"plan": plan, "approx_n_values": n},
+                                 default=str))
+            elif len(cols) > 1:
                 # distinct TUPLES = GROUP BY with a count: single-valued
                 # containers still answer from manifest JSON; the count
                 # column doubles as SELECT COUNT(*) GROUP BY output

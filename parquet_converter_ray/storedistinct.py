@@ -380,3 +380,34 @@ def store_distinct_multi(
     out = _finalize_distinct(u, had_null, col, t)
     merged["n_values"] = out.num_rows
     return (out, merged) if return_plan else out
+
+
+def store_approx_distinct(
+    dirs,
+    col: str,
+    predicate=None,
+    *,
+    verify_crc: bool = False,
+    return_plan: bool = False,
+):
+    """APPROXIMATE distinct count over an encoded store (or a family passed
+    as a list) — the at-scale dual of ``store_distinct``'s driver-bounded
+    exact fold: the zone-map/footer-probe pruned scan feeds
+    ``profile.approx_distinct``'s HyperLogLog partials (one fixed 4 KB
+    register array per block, elementwise-max merge — driver state never
+    grows with cardinality, so a unique-key column over any store size is
+    fine here and loudly refused in the exact path). ~1% typical error
+    (accuracy pytest-pinned in tests/test_profile.py for the sketch)."""
+    from .profile import approx_distinct
+    from .zonemap import scan_store, scan_store_multi
+
+    if isinstance(dirs, str):
+        dirs = [dirs]
+    if len(dirs) == 1:
+        ds, plan = scan_store(dirs[0], predicate or [], columns=[col],
+                              verify_crc=verify_crc, return_plan=True)
+    else:
+        ds, plan = scan_store_multi(dirs, predicate or [], columns=[col],
+                                    verify_crc=verify_crc, return_plan=True)
+    n = approx_distinct(ds, col)
+    return (n, plan) if return_plan else n

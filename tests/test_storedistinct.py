@@ -182,3 +182,23 @@ def test_distinct_family_type_mismatch_refused(store, tmp_path_factory, ray_sess
 def test_distinct_unknown_column_refused(store):
     with pytest.raises(ValueError, match="not in store schema"):
         store_distinct(store, "nope")
+
+
+def test_approx_distinct_close_to_exact(store, table):
+    from parquet_converter_ray.storedistinct import store_approx_distinct
+
+    n = store_approx_distinct(store, "k")
+    assert abs(n - N) / N < 0.05, n
+    # predicate path: approx over the band tracks the exact band count
+    lo = "1997-01-01 00:00:00"
+    n2 = store_approx_distinct(store, "k", [("ts", ">=", lo)])
+    import pyarrow.compute as pc
+
+    exact = len(
+        pc.unique(
+            table.filter(
+                pc.greater_equal(table["ts"], pa.scalar(np.datetime64(lo.replace(" ", "T"), "us")))
+            )["k"].combine_chunks()
+        )
+    )
+    assert abs(n2 - exact) / max(exact, 1) < 0.05, (n2, exact)
