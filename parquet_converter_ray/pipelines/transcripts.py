@@ -1797,6 +1797,19 @@ def store_sample_pushdown(sf_dir: str) -> pa.Table:
     )
 
 
+def store_approx_distinct_orders(sf_dir: str) -> pa.Table:
+    """Approximate COUNT(DISTINCT o_custkey) over the orders delivery
+    family (``storedistinct.store_approx_distinct``): HyperLogLog partials
+    over the pruned scan — fixed 4 KB driver state at any cardinality (the
+    at-scale dual of the exact footer-answered DISTINCT). Rows-only by
+    design (an approximate count has no exact SQL oracle); the ≤5%-of-exact
+    accuracy bound is pytest-pinned (tests/test_storedistinct.py)."""
+    from ..storedistinct import store_approx_distinct
+
+    n = store_approx_distinct(_orders_family(sf_dir), "o_custkey")
+    return pa.table({"approx_custkeys": pa.array([int(n)], pa.int64())})
+
+
 def docs_stratified_sample(sf_dir: str) -> pa.Table:
     """Stratified deterministic sample over the documents store
     (``storesample.store_sample_stratified``): 5 documents PER LANGUAGE,
