@@ -364,6 +364,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--where-any", action="append", metavar="BRANCH")
     p.add_argument("--columns", nargs="*", default=None)
     p.add_argument("--tiebreak", default=None, metavar="COL[,COL...]")
+    p.add_argument("--snippet", action="store_true",
+                   help="append a ±40-char context snippet around each "
+                        "hit's first matched token")
 
     p = sub.add_parser(
         "quantiles",
@@ -873,7 +876,7 @@ def main(argv: list[str] | None = None) -> int:
             tbl, plan = store_search_multi(
                 args.encoded_dir, args.col, args.query, args.k,
                 mode=args.mode, predicate=predicate, columns=args.columns,
-                tiebreak=tb, return_plan=True,
+                tiebreak=tb, snippet=args.snippet, return_plan=True,
             )
             print(json.dumps({"plan": plan, "rows": tbl.num_rows}, default=str))
             for row in tbl.to_pylist():

@@ -74,6 +74,27 @@ class _ScoreTopK:
         return _topk_take(tbl, "score", True, self.tiebreak, self.k, False)
 
 
+def _snippets(texts: pa.Array, tokens, width: int = 40) -> pa.Array:
+    """±width-char context around the FIRST query-token hit per row —
+    driver-side over the final k rows only (k is small by contract), so a
+    Python loop here is fine where one in the scan would not be."""
+    pats = [re.compile("(^|[^a-z0-9])(" + "|".join(re.escape(t) for t in tokens)
+                       + ")([^a-z0-9]|$)")]
+    out = []
+    for v in texts.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        m = pats[0].search(v.lower())
+        if not m:
+            out.append(v[: 2 * width])
+            continue
+        lo = max(0, m.start(2) - width)
+        hi = min(len(v), m.end(2) + width)
+        out.append(("…" if lo else "") + v[lo:hi] + ("…" if hi < len(v) else ""))
+    return pa.array(out, type=pa.string())
+
+
 def store_search(
     out_dir: str,
     col: str,
@@ -84,6 +105,7 @@ def store_search(
     predicate=None,
     columns: "list[str] | None" = None,
     tiebreak=(),
+    snippet: bool = False,
     verify_crc: bool = False,
     return_plan: bool = False,
 ):
@@ -97,6 +119,7 @@ def store_search(
         predicate=predicate,
         columns=columns,
         tiebreak=tiebreak,
+        snippet=snippet,
         verify_crc=verify_crc,
         return_plan=return_plan,
     )
@@ -112,11 +135,13 @@ def store_search_multi(
     predicate=None,
     columns: "list[str] | None" = None,
     tiebreak=(),
+    snippet: bool = False,
     verify_crc: bool = False,
     return_plan: bool = False,
 ):
     """Ranked search over a FAMILY of stores as one corpus (one probe job +
-    one scan job across members)."""
+    one scan job across members). ``snippet=True`` appends a ``snippet``
+    column: ±40 chars around each hit's first matched token."""
     import ray.data
 
     from . import manifest as mf
@@ -197,9 +222,17 @@ def store_search_multi(
     want = out_cols + ["score"]
     if partials:
         merged = pa.concat_tables(partials).combine_chunks()
-        out = _topk_take(merged, "score", True, tiebreak, k, False).select(want)
+        top = _topk_take(merged, "score", True, tiebreak, k, False)
+        if snippet:
+            texts = top[col]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            top = top.append_column("snippet", _snippets(texts, tokens))
+        out = top.select(want + (["snippet"] if snippet else []))
     else:
         cols = {c: pa.array([], type=types0[c]) for c in out_cols}
         cols["score"] = pa.array([], type=pa.int32())
+        if snippet:
+            cols["snippet"] = pa.array([], type=pa.string())
         out = pa.table(cols)
     return (out, plan) if return_plan else out

@@ -139,3 +139,13 @@ def test_search_refusals(store):
         store_search(store, "doc_id", "alpha", 5)
     with pytest.raises(ValueError, match="mode"):
         store_search(store, "text", "alpha", 5, mode="bm25")
+
+
+def test_search_snippet(store, table):
+    got = store_search(
+        store, "text", "xyzzy", 3, columns=["doc_id"], tiebreak=["doc_id"],
+        snippet=True,
+    )
+    assert got.column_names == ["doc_id", "score", "snippet"]
+    sn = got["snippet"].to_pylist()[0]
+    assert "xyzzy" in sn and len(sn) <= 92  # token ± 40 chars + ellipses
