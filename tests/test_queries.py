@@ -173,6 +173,7 @@ def test_all_queries_have_oracle_or_are_documented(ray_session):
         "knn_ivf_persisted",  # ANN vs persisted index: recall-tested in pytest
         "export_wds",  # tar sink: invariants read back from the written shards
         "image_phash_clusters",  # decode-level perceptual hash: no SQL analogue
+        "store_approx_distinct_orders",  # HLL estimate: accuracy pytest, no exact SQL
     }
     assert set(oracles) <= set(qs)
 
