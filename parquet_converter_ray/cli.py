@@ -357,9 +357,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("query")
     p.add_argument("--col", default="text", help="text column (default text)")
     p.add_argument("-k", type=int, default=10)
-    p.add_argument("--mode", choices=["any", "all"], default="any",
+    p.add_argument("--mode", choices=["any", "all", "bm25"], default="any",
                    help="any: rank by distinct tokens present; all: only "
-                        "rows holding EVERY token (stronger pruning)")
+                        "rows holding EVERY token (stronger pruning); "
+                        "bm25: Okapi BM25 relevance (two-pass: exact df "
+                        "stats, then tf/length-normalized scoring)")
     p.add_argument("--where", action="append", default=[], metavar="CLAUSE")
     p.add_argument("--where-any", action="append", metavar="BRANCH")
     p.add_argument("--columns", nargs="*", default=None)

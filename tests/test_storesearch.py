@@ -138,7 +138,7 @@ def test_search_refusals(store):
     with pytest.raises(ValueError, match="text column"):
         store_search(store, "doc_id", "alpha", 5)
     with pytest.raises(ValueError, match="mode"):
-        store_search(store, "text", "alpha", 5, mode="bm25")
+        store_search(store, "text", "alpha", 5, mode="tfidf")
 
 
 def test_search_snippet(store, table):
@@ -149,3 +149,46 @@ def test_search_snippet(store, table):
     assert got.column_names == ["doc_id", "score", "snippet"]
     sn = got["snippet"].to_pylist()[0]
     assert "xyzzy" in sn and len(sn) <= 92  # token ± 40 chars + ellipses
+
+
+def test_search_bm25_ranking(store, table):
+    """BM25 properties: a doc stuffed with the rare term outranks docs with
+    common terms; deterministic across calls; idf weights the rare token
+    above the common one."""
+    got, plan = store_search(
+        store, "text", "xyzzy alpha", 10, mode="bm25",
+        columns=["doc_id"], tiebreak=["doc_id"], return_plan=True,
+    )
+    assert got["doc_id"].to_pylist()[0] == 17  # the only xyzzy doc wins
+    assert got["score"].to_pylist() == sorted(got["score"].to_pylist(), reverse=True)
+    assert plan["bm25"]["df"]["xyzzy"] == 1
+    assert plan["bm25"]["df"]["alpha"] > 1000
+    again = store_search(
+        store, "text", "xyzzy alpha", 10, mode="bm25",
+        columns=["doc_id"], tiebreak=["doc_id"],
+    )
+    assert got.to_pydict() == again.to_pydict()
+
+
+def test_search_bm25_tf_saturation(tmp_path_factory, ray_session):
+    """More occurrences of the query term score higher (monotone tf), and
+    shorter docs with equal tf outrank longer ones (length norm)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "zork filler filler filler",
+                    "zork zork filler filler",
+                    "zork zork zork filler",
+                    "filler filler filler filler",
+                ]
+            ),
+        }
+    )
+    out = str(tmp_path_factory.mktemp("bm25") / "store")
+    encode_dataset(ray.data.from_arrow(t), out, conv_col="doc_id",
+                   order_col="doc_id", salt_rows=0, n_parts=1)
+    got = store_search(out, "text", "zork", 4, mode="bm25",
+                       columns=["doc_id"], tiebreak=["doc_id"])
+    assert got["doc_id"].to_pylist() == [2, 1, 0]  # tf 3 > 2 > 1; doc 3 absent
