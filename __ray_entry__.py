@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "store_quantiles_scan": transcripts.store_quantiles_scan,
         "documents_ranked_search": transcripts.documents_ranked_search,
         "docs_stratified_sample": transcripts.docs_stratified_sample,
+        "documents_bm25_search": transcripts.documents_bm25_search,
         "store_approx_distinct_orders": transcripts.store_approx_distinct_orders,
         "store_group_agg": transcripts.store_group_agg,
         "store_family_group_agg": transcripts.store_family_group_agg,

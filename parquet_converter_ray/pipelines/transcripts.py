@@ -1797,6 +1797,26 @@ def store_sample_pushdown(sf_dir: str) -> pa.Table:
     )
 
 
+def documents_bm25_search(sf_dir: str) -> pa.Table:
+    """BM25-ranked retrieval over the token-bloomed documents store
+    (``storesearch.store_search(mode="bm25")``): two-pass Okapi BM25 —
+    exact df/length statistics over the pruned candidate set, then
+    tokenizer-exact tf scoring with length normalization and a float top-k
+    fold. Rows-only by design (BM25 has no SQL analogue); ranking
+    properties are pytest-pinned in tests/test_storesearch.py."""
+    from ..storesearch import store_search
+
+    return store_search(
+        _documents_token_store(sf_dir),
+        "text",
+        "spark dup quantum",
+        10,
+        mode="bm25",
+        columns=["doc_id", "lang"],
+        tiebreak=["doc_id"],
+    )
+
+
 def store_approx_distinct_orders(sf_dir: str) -> pa.Table:
     """Approximate COUNT(DISTINCT o_custkey) over the orders delivery
     family (``storedistinct.store_approx_distinct``): HyperLogLog partials

@@ -174,6 +174,7 @@ def test_all_queries_have_oracle_or_are_documented(ray_session):
         "export_wds",  # tar sink: invariants read back from the written shards
         "image_phash_clusters",  # decode-level perceptual hash: no SQL analogue
         "store_approx_distinct_orders",  # HLL estimate: accuracy pytest, no exact SQL
+        "documents_bm25_search",  # BM25 relevance: ranking pytest, no SQL analogue
     }
     assert set(oracles) <= set(qs)
 
